@@ -1,0 +1,32 @@
+"""Shared helpers for the declared queries.
+
+The testdata ``events`` table stores its ``ts`` column as parquet
+TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright
+(PARQUET_TYPE_ILLEGAL). We read it with
+``spark.sql.legacy.parquet.nanosAsLong`` and truncate ns → µs with
+integer division (``div 1000`` — floating-point division would round
+instead, diverging from DuckDB's cast-truncation semantics for
+TIMESTAMP_NS → TIMESTAMP and corrupting the microsecond digit).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Fixed watermark literals (FIXTURES.md §A) — deterministic stand-ins for
+# the reference's runtime watermark dict (gluejob.py:89-118).
+WM = "1997-01-01 00:00:00"
+WM_UPSERT = "1997-07-01 00:00:00"
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one testdata table, normalizing events.ts to TimestampType."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)

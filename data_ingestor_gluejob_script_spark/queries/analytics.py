@@ -1,0 +1,124 @@
+"""Extended analytics queries — aggregation / top-k / window / tumbling
+surfaces the reference lacks entirely (SURVEY.md §2.2 gaps).
+
+Float discipline: every double-typed aggregate is ROUNDed identically
+on both engines, because Spark's partial-aggregation order differs from
+DuckDB's sequential sum in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import load
+
+
+def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregate: map-side partial agg + single
+    shuffle on a 6-value grouping key; whole-stage codegen end-to-end."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-k: revenue per customer, ORDER BY rounded
+    revenue DESC with key tiebreak, LIMIT 10. Spark executes this as
+    TakeOrderedAndProject — no global sort materialization."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    revenue = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    ).alias("revenue")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(revenue)
+        .orderBy(F.col("revenue").desc(), F.col("custkey"))
+        .limit(10)
+    )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window surface: latest order per customer via row_number over
+    (o_orderdate DESC, o_orderkey) — one shuffle on o_custkey."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of a tumbling 1h window over the events stream table
+    (streaming/ holds the readStream twin of the same aggregation)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("window_start")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+QUERIES = {
+    "q_agg_pricing": q_agg_pricing,
+    "q_topk_customers": q_topk_customers,
+    "q_window_rank": q_window_rank,
+    "q_tumbling_window": q_tumbling_window,
+}
+
+ORACLES = {
+    "q_agg_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_topk_customers": """
+        SELECT o_custkey AS custkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey
+        ORDER BY revenue DESC, custkey
+        LIMIT 10
+    """,
+    "q_window_rank": """
+        SELECT o_custkey, o_orderkey, o_orderdate
+        FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                     row_number() OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate DESC, o_orderkey) AS rn
+              FROM orders)
+        WHERE rn = 1
+    """,
+    "q_tumbling_window": """
+        SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1
+    """,
+}

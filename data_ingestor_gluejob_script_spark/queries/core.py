@@ -1,0 +1,233 @@
+"""Core declared queries — reference-derived semantics (SURVEY.md §2.3).
+
+Each query is the Spark-first re-expression of one reference operator
+(file:line cited per query), exercised on the TPC-H-ish testdata via
+the FIXTURES.md role mapping (orders plays the watermark anchor
+`retail_subscriptions`; lineitem plays the child tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.normalize import cast_all_string, dict_map
+from ..operators.relational import join_chain, semi_join, watermark_filter
+from ..operators.temporal import format_ts_micro
+from ..operators.upsert import union_all, upsert_dedup
+from ._util import WM, WM_UPSERT, load
+
+LINEITEM_PROJ = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"]
+
+# l_returnflag normalization map — same dict-map shape as the reference's
+# boolean canonicalization (gluejob.py:16-28), unmapped values pass through.
+RETURNFLAG_MAP = {"R": "returned", "A": "accepted", "N": "none"}
+
+
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P1: schema-pruned scan (gluejob.py:234-236). Catalyst pushes
+    the 4-column ReadSchema into the parquet footer read."""
+    return load(spark, sf_dir, "lineitem").select(*LINEITEM_PROJ)
+
+
+def q_filter_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: incremental predicate ``ts >= watermark`` (gluejob.py:541)."""
+    return watermark_filter(load(spark, sf_dir, "orders"), "o_orderdate", WM)
+
+
+def q_semi_join_1hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: child.* for anchor rows past the watermark — the
+    retail_plans pattern (gluejob.py:548-556) as LEFT SEMI."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    anchor = watermark_filter(load(spark, sf_dir, "orders"), "o_orderdate", WM)
+    return semi_join(lineitem, anchor, "l_orderkey", "o_orderkey")
+
+
+def q_join_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: 2-hop inner chain, base.* projected — the retail_items
+    pattern (gluejob.py:558-567). Filters applied to the dims BEFORE
+    the join so the broadcast candidates are post-filter."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = watermark_filter(load(spark, sf_dir, "orders"), "o_orderdate", WM)
+    customer = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return join_chain(
+        lineitem,
+        [(orders, "l_orderkey", "o_orderkey"), (customer, "o_custkey", "c_custkey")],
+    )
+
+
+def q_join_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: 3-hop chain — the retail_provisionings pattern
+    (gluejob.py:569-579), deepest lineage in the reference."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = watermark_filter(load(spark, sf_dir, "orders"), "o_orderdate", WM)
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "BRAZIL")
+    return join_chain(
+        lineitem,
+        [
+            (orders, "l_orderkey", "o_orderkey"),
+            (customer, "o_custkey", "c_custkey"),
+            (nation, "c_nationkey", "n_nationkey"),
+        ],
+    )
+
+
+def q_cast_all_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8: lake coercion — every column cast to string
+    (gluejob.py:236,278)."""
+    return cast_all_string(load(spark, sf_dir, "orders"))
+
+
+def q_dictmap_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: dict-map canonicalization with unmapped passthrough
+    (gluejob.py:16-28) as a pure Catalyst CASE expression."""
+    df = load(spark, sf_dir, "lineitem")
+    return df.withColumn("l_returnflag", dict_map(F.col("l_returnflag"), RETURNFLAG_MAP))
+
+
+def q_partition_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3/O5: write-partition key derivation (gluejob.py:182-183),
+    made observable as a (year, month) → row-count aggregate."""
+    df = load(spark, sf_dir, "events")
+    return df.groupBy(
+        F.year("ts").alias("ts_year"), F.month("ts").alias("ts_month")
+    ).agg(F.count("*").alias("n_rows"))
+
+
+def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: microsecond-precision timestamp→string serialization
+    (gluejob.py:186, '%Y-%m-%d %H:%M:%S.%f')."""
+    df = load(spark, sf_dir, "events")
+    return df.select("event_id", format_ts_micro(F.col("ts")).alias("ts_str"))
+
+
+def q_upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6+O7: the upsert — union with precedence, one row per key,
+    incoming wins (gluejob.py:196-198). Incoming = orders past the
+    split watermark with o_totalprice zeroed as an observable marker."""
+    orders = load(spark, sf_dir, "orders")
+    incoming = watermark_filter(orders, "o_orderdate", WM_UPSERT).withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    return upsert_dedup(incoming, orders, "o_orderkey")
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: order-insignificant union of two disjoint slices
+    (gluejob.py:197)."""
+    orders = load(spark, sf_dir, "orders")
+    return union_all(
+        orders.filter(F.col("o_orderdate") < F.lit(WM)),
+        orders.filter(F.col("o_orderdate") >= F.lit(WM)),
+    )
+
+
+def q_count_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: the empty-batch guard (gluejob.py:175-179) as a 1-row count."""
+    df = load(spark, sf_dir, "lineitem")
+    return df.filter(F.col("l_shipdate") >= F.lit(WM)).agg(
+        F.count("*").alias("n_rows")
+    )
+
+
+QUERIES = {
+    "q_scan_project": q_scan_project,
+    "q_filter_watermark": q_filter_watermark,
+    "q_semi_join_1hop": q_semi_join_1hop,
+    "q_join_2hop": q_join_2hop,
+    "q_join_3hop": q_join_3hop,
+    "q_cast_all_string": q_cast_all_string,
+    "q_dictmap_normalize": q_dictmap_normalize,
+    "q_partition_derive": q_partition_derive,
+    "q_date_format": q_date_format,
+    "q_upsert_dedup": q_upsert_dedup,
+    "q_union_all": q_union_all,
+    "q_count_guard": q_count_guard,
+}
+
+_LI_COLS = (
+    "l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+    "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate"
+)
+
+ORACLES = {
+    "q_scan_project": (
+        "SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice FROM lineitem"
+    ),
+    "q_filter_watermark": (
+        f"SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '{WM}'"
+    ),
+    "q_semi_join_1hop": f"""
+        SELECT * FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '{WM}')
+    """,
+    "q_join_2hop": f"""
+        SELECT l.* FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderdate >= TIMESTAMP '{WM}'
+          AND c.c_mktsegment = 'BUILDING'
+    """,
+    "q_join_3hop": f"""
+        SELECT l.* FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '{WM}'
+          AND n.n_name = 'BRAZIL'
+    """,
+    "q_cast_all_string": """
+        SELECT o_orderkey::VARCHAR AS o_orderkey,
+               o_custkey::VARCHAR AS o_custkey,
+               o_orderstatus::VARCHAR AS o_orderstatus,
+               o_totalprice::VARCHAR AS o_totalprice,
+               o_orderdate::VARCHAR AS o_orderdate,
+               o_orderpriority::VARCHAR AS o_orderpriority
+        FROM orders
+    """,
+    "q_dictmap_normalize": f"""
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+               l_extendedprice, l_discount, l_tax,
+               CASE WHEN l_returnflag = 'R' THEN 'returned'
+                    WHEN l_returnflag = 'A' THEN 'accepted'
+                    WHEN l_returnflag = 'N' THEN 'none'
+                    ELSE l_returnflag END AS l_returnflag,
+               l_linestatus, l_shipdate
+        FROM lineitem
+    """,
+    "q_partition_derive": """
+        SELECT CAST(year(ts::TIMESTAMP) AS INTEGER) AS ts_year,
+               CAST(month(ts::TIMESTAMP) AS INTEGER) AS ts_month,
+               count(*) AS n_rows
+        FROM events GROUP BY 1, 2
+    """,
+    "q_date_format": """
+        SELECT event_id,
+               strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        FROM events
+    """,
+    "q_upsert_dedup": f"""
+        WITH incoming AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CAST(0.0 AS DOUBLE) AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderdate >= TIMESTAMP '{WM_UPSERT}')
+        SELECT * FROM incoming
+        UNION ALL
+        SELECT * FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)
+    """,
+    "q_union_all": f"""
+        SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '{WM}'
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '{WM}'
+    """,
+    "q_count_guard": (
+        f"SELECT count(*) AS n_rows FROM lineitem "
+        f"WHERE l_shipdate >= TIMESTAMP '{WM}'"
+    ),
+}

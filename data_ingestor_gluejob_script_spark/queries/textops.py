@@ -1,0 +1,402 @@
+"""Training-data text operators over the ``documents`` table: exact and
+near deduplication, text analysis, fingerprinting (SURVEY.md §2.3
+extended set + the LLM-pipeline additions).
+
+Everything here is pure Catalyst expressions — split/transform/
+array_distinct/md5/explode — no Python UDFs, so the whole pipeline
+stays inside whole-stage codegen and scales linearly with executors.
+
+Hash discipline for cross-engine determinism: all hashing is md5 over
+explicit strings (identical hex output in Spark and DuckDB), never
+engine-native ``hash()`` (xxhash in DuckDB, Murmur3 in Spark).
+
+Scale notes (100 TB):
+- exact dedup shuffles on md5(text) (32-byte keys), not raw documents;
+- MinHash-LSH is the scale path for near-dup: candidate generation is
+  an equi-join on (band_index, band_hash) — no O(n²) pair enumeration;
+- the exact-Jaccard verifier uses an inverted-index join on shingle
+  hashes; at scale, drop ultra-high-document-frequency shingles first
+  (stop-shingle filter) to bound join fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import load
+
+N_MINHASH = 8  # 8 slots = 2 bands × 4 rows
+MINHASH_BANDS = ((0, 1, 2, 3), (4, 5, 6, 7))
+JACCARD_THRESHOLD = 0.8
+SHINGLE_K = 3
+
+EN_STOPWORDS = ["the", "a", "of", "and", "to"]
+DE_STOPWORDS = ["der", "und", "das", "die", "ein"]
+FR_STOPWORDS = ["le", "la", "et", "les", "des"]
+
+
+def words_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles_col(text: Column) -> Column:
+    """Distinct k-word shingles (k=3): transform over an index sequence,
+    concat_ws of consecutive words — all JVM-side array functions."""
+    ws = words_col(text)
+    n = F.size(ws)
+    idx = F.sequence(F.lit(0), n - F.lit(SHINGLE_K))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", ws[i], ws[i + 1], ws[i + 2])
+    )
+    return F.array_distinct(sh)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.explode(shingles_col(F.col("text"))).alias("w"))
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on text, keep lowest doc_id. Implemented as a
+    min-per-group + semi-join on md5(text) so the shuffle carries
+    32-byte digests instead of full documents."""
+    docs = load(spark, sf_dir, "documents")
+    hashed = docs.withColumn("_h", F.md5("text"))
+    keep = hashed.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+    return hashed.join(keep, ["_h", "doc_id"], "left_semi").drop("_h")
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, and a
+    BPE-ish proxy (4 chars ≈ 1 token, ceil)."""
+    docs = load(spark, sf_dir, "documents")
+    ws = words_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        F.size(F.array_distinct(ws)).alias("n_unique_tokens"),
+        F.ceil(F.octet_length("text") / F.lit(4)).cast("long").alias("n_bpe_est"),
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (text analysis surface)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: 4 integer criteria summed to 0-4.
+    Integer/boolean arithmetic only — no float comparisons to diverge
+    across engines."""
+    docs = load(spark, sf_dir, "documents")
+    ws = words_col(F.col("text"))
+    len_ok = F.col("n_chars").between(100, 5000).cast("int")
+    tok_ok = F.size(ws).between(20, 1000).cast("int")
+    stop_ok = (
+        F.size(
+            F.array_intersect(
+                F.array_distinct(ws), F.array(*[F.lit(w) for w in EN_STOPWORDS])
+            )
+        )
+        >= 2
+    ).cast("int")
+    alpha_ok = (F.regexp_replace(F.col("text"), "[a-z ]", "") == "").cast("int")
+    return docs.select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        tok_ok.alias("tok_ok"),
+        stop_ok.alias("stop_ok"),
+        alpha_ok.alias("alpha_ok"),
+        (len_ok + tok_ok + stop_ok + alpha_ok).alias("quality_score"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-set voting with a deterministic
+    argmax (en > de > fr on ties, 'und' when no hits). Set-membership
+    (array_intersect) rather than regex, so both engines tokenize
+    identically."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.array_distinct(words_col(F.col("text")))
+
+    def hits(stopwords: list[str]) -> Column:
+        return F.size(F.array_intersect(ws, F.array(*[F.lit(w) for w in stopwords])))
+
+    en, de, fr = hits(EN_STOPWORDS), hits(DE_STOPWORDS), hits(FR_STOPWORDS)
+    guess = (
+        F.when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+    return docs.select(
+        "doc_id",
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        guess.alias("lang_guess"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized
+    lowercased text (content hash), plus a 16-bit SimHash over the
+    distinct-word set for similarity-preserving fingerprints."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), "\\s+", " "))
+    # SimHash: per word take 16 bits of md5, vote +1/-1 per bit, sign.
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(words_col(F.col("text")))).alias("w")
+    )
+    h = F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"v{j}")
+            for j in range(16)
+        ]
+    )
+    simhash = None
+    for j in range(16):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    sim = votes.select("doc_id", simhash.alias("simhash16"))
+    fp = docs.select("doc_id", F.md5(norm).alias("content_md5"))
+    return fp.join(sim, "doc_id", "inner")
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_idx, band_hash): MinHash signature over 3-word
+    shingles — slot i = min over shingles of md5('{i}:'||shingle) —
+    folded into band hashes. Lexicographic min over md5 hex is a valid
+    uniform min-hash family and is engine-portable."""
+    toks = _doc_shingles(spark, sf_dir)
+    sig = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("w")))).alias(f"s{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    bands = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.md5(F.concat_ws("|", *[F.col(f"s{i}") for i in slots])).alias("band_hash"),
+        )
+        for bi, slots in enumerate(MINHASH_BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates: pairs sharing ≥1 of 2
+    bands (4 rows each). Candidate generation is an equi-join on
+    (band_idx, band_hash) — the O(n²)-free scale path."""
+    bands = _minhash_bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            "inner",
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (≥ 0.8) via inverted-index
+    join on shingle: |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|.
+    No crossJoin anywhere — fan-out is bounded by shingle document
+    frequency."""
+    toks = _doc_shingles(spark, sf_dir)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            "inner",
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing made observable: treat text bytes as
+    an opaque payload and compute typed metadata (byte length, content
+    hash, 256-byte chunk count). The decode/feature-extract stage for
+    real image/audio payloads lives in operators/multimodal.py."""
+    docs = load(spark, sf_dir, "documents")
+    n_bytes = F.octet_length("text")
+    return docs.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.md5("text").alias("content_md5"),
+        F.ceil(n_bytes / F.lit(256)).cast("long").alias("n_chunks"),
+    )
+
+
+QUERIES = {
+    "q_exact_dedup_docs": q_exact_dedup_docs,
+    "q_token_count": q_token_count,
+    "q_text_stats": q_text_stats,
+    "q_quality_score": q_quality_score,
+    "q_lang_id": q_lang_id,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_binary_meta": q_binary_meta,
+}
+
+_EN = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+_DE = ", ".join(f"'{w}'" for w in DE_STOPWORDS)
+_FR = ", ".join(f"'{w}'" for w in FR_STOPWORDS)
+
+_SHINGLES_CTE = """
+    words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                 for i in range(1, len(ws) - 1)]) AS shingles
+           FROM words),
+    toks AS (SELECT doc_id, unnest(shingles) AS w FROM sh)
+"""
+
+_SIG_SLOTS = ", ".join(
+    f"min(md5('{i}:' || w)) AS s{i}" for i in range(N_MINHASH)
+)
+_BAND1 = " || '|' || ".join(f"s{i}" for i in MINHASH_BANDS[0])
+_BAND2 = " || '|' || ".join(f"s{i}" for i in MINHASH_BANDS[1])
+
+ORACLES = {
+    "q_exact_dedup_docs": """
+        SELECT * FROM documents
+        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    """,
+    "q_token_count": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+               CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS n_bpe_est
+        FROM documents
+    """,
+    "q_text_stats": """
+        SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        FROM documents GROUP BY lang
+    """,
+    "q_quality_score": f"""
+        SELECT doc_id,
+               CAST(n_chars BETWEEN 100 AND 5000 AS INTEGER) AS len_ok,
+               CAST(len(string_split(text, ' ')) BETWEEN 20 AND 1000 AS INTEGER) AS tok_ok,
+               CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                       [{_EN}])) >= 2 AS INTEGER) AS stop_ok,
+               CAST(regexp_replace(text, '[a-z ]', '', 'g') = '' AS INTEGER) AS alpha_ok,
+               CAST(n_chars BETWEEN 100 AND 5000 AS INTEGER)
+             + CAST(len(string_split(text, ' ')) BETWEEN 20 AND 1000 AS INTEGER)
+             + CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                       [{_EN}])) >= 2 AS INTEGER)
+             + CAST(regexp_replace(text, '[a-z ]', '', 'g') = '' AS INTEGER)
+               AS quality_score
+        FROM documents
+    """,
+    "q_lang_id": f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   len(list_intersect(list_distinct(string_split(text, ' ')),
+                                      [{_EN}])) AS en_hits,
+                   len(list_intersect(list_distinct(string_split(text, ' ')),
+                                      [{_DE}])) AS de_hits,
+                   len(list_intersect(list_distinct(string_split(text, ' ')),
+                                      [{_FR}])) AS fr_hits
+            FROM documents)
+        SELECT doc_id, en_hits, de_hits, fr_hits,
+               CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0
+                    THEN 'en'
+                    WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+                    WHEN fr_hits > 0 THEN 'fr'
+                    ELSE 'und' END AS lang_guess
+        FROM scored
+    """,
+    "q_doc_fingerprint": """
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+            FROM documents),
+        bits AS (
+            SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) AS h
+            FROM toks),
+        votes AS (
+            SELECT doc_id,
+                   {votes}
+            FROM bits GROUP BY doc_id),
+        sim AS (
+            SELECT doc_id, {simhash} AS simhash16 FROM votes)
+        SELECT d.doc_id,
+               md5(lower(regexp_replace(d.text, '\\s+', ' ', 'g'))) AS content_md5,
+               sim.simhash16
+        FROM documents d JOIN sim ON d.doc_id = sim.doc_id
+    """.format(
+        votes=", ".join(
+            f"sum(((h >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(16)
+        ),
+        simhash=" + ".join(
+            f"(CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16)
+        ),
+    ),
+    "q_minhash_lsh_pairs": f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (SELECT doc_id, {_SIG_SLOTS} FROM toks GROUP BY doc_id),
+        bands AS (SELECT doc_id, md5({_BAND1}) AS b1, md5({_BAND2}) AS b2 FROM sig)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.doc_id < b.doc_id AND (a.b1 = b.b1 OR a.b2 = b.b2)
+    """,
+    "q_ngram_jaccard_pairs": f"""
+        WITH {_SHINGLES_CTE},
+        sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+            FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(s / (x.n + y.n - s), 6) AS jaccard
+        FROM shared
+        JOIN sz x ON doc_a = x.doc_id
+        JOIN sz y ON doc_b = y.doc_id
+        WHERE s / (x.n + y.n - s) >= {JACCARD_THRESHOLD}
+    """,
+    "q_binary_meta": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS content_md5,
+               CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks
+        FROM documents
+    """,
+}
