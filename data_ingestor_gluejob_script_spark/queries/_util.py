@@ -26,6 +26,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one testdata table, normalizing events.ts to TimestampType."""
     path = os.path.join(sf_dir, f"{table}.parquet")
     if table == "events":
+        # The engine's own session factory sets this globally; set it
+        # here too because the driver supplies its own SparkSession.
+        # Safe to leave enabled: it only affects TIMESTAMP(NANOS)
+        # parquet columns, which exist solely in the events table.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

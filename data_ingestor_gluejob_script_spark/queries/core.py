@@ -64,7 +64,7 @@ def q_join_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load(spark, sf_dir, "lineitem")
     orders = watermark_filter(load(spark, sf_dir, "orders"), "o_orderdate", WM)
     customer = load(spark, sf_dir, "customer")
-    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "BRAZIL")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     return join_chain(
         lineitem,
         [
@@ -178,7 +178,7 @@ ORACLES = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         WHERE o.o_orderdate >= TIMESTAMP '{WM}'
-          AND n.n_name = 'BRAZIL'
+          AND n.n_name = 'NATION_7'
     """,
     "q_cast_all_string": """
         SELECT o_orderkey::VARCHAR AS o_orderkey,

@@ -1,0 +1,205 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.3
+extended set): brute-force exact cosine top-k as the correctness
+baseline, and a sign-LSH bucketed variant as the scale path.
+
+Spark-first design:
+- All vector arithmetic is JVM-side ``zip_with``/``aggregate`` higher-
+  order functions over ``array<double>`` — no Python UDFs, no collect.
+- The single query vector is a 1-row broadcast: the "crossJoin" is a
+  BroadcastNestedLoopJoin carrying one row, i.e. a map-side scalar —
+  the correct physical shape for one-query-vs-corpus scoring.
+- The LSH variant buckets vectors by an 8-bit hyperplane-sign
+  signature and scores only within the query's bucket — candidate
+  count is bounded by bucket occupancy, not corpus size. At 100 TB the
+  same plan holds: signature derivation is a map, the bucket probe is
+  a broadcast-able filter, and multi-query batches become an equi-join
+  on the signature column (shuffle on ~#buckets keys).
+
+Cross-engine float discipline: float32 inputs are widened to double
+(exact), folds are sequential left-to-right in BOTH engines (Spark
+``aggregate``, DuckDB ``list_dot_product``), so doubles are
+bit-identical; similarities are rounded to 6 dp BEFORE ordering so the
+top-k selection agrees.
+
+Reference parity note: the reference has no similarity operator at all
+(SURVEY.md §2.2) — this is north-star extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import load
+
+EMB_DIM = 64  # testdata embeddings.embedding is array<float>[64]
+TOP_K = 5
+N_HYPERPLANES = 8
+QUERY_VEC_ID = 0
+
+
+def _lsh_weights(j: int) -> list[float]:
+    """Deterministic integer hyperplane j: w_i = ((i*31 + j*17) % 7) - 3.
+
+    A fixed pseudo-random ±small-integer family both engines can
+    evaluate exactly — no RNG, no stored model, bit-identical
+    projections in Spark and DuckDB.
+    """
+    return [float(((i * 31 + j * 17) % 7) - 3) for i in range(EMB_DIM)]
+
+
+def as_double_vec(col: Column) -> Column:
+    """Exact float32 → float64 widening of an array column."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic summation
+    order, matching DuckDB's list_dot_product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def lsh_signature(vec: Column) -> Column:
+    """8-bit sign signature: bit j = (vec · hyperplane_j >= 0)."""
+    sig = F.lit(0)
+    for j in range(N_HYPERPLANES):
+        w = F.array(*[F.lit(x) for x in _lsh_weights(j)])
+        sig = sig + F.when(dot(vec, w) >= 0, F.lit(2**j)).otherwise(F.lit(0))
+    return sig
+
+
+def _scored(emb: DataFrame) -> DataFrame:
+    """(vec_id, cosine_sim vs QUERY_VEC_ID) for every other vector."""
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("q_emb")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("emb"), F.col("q_emb")), 6).alias("cosine_sim"),
+        )
+    )
+
+
+def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("emb")
+    )
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 neighbors of vec_id=0. Compiles
+    to scan → broadcast 1-row → map → TakeOrderedAndProject (no global
+    sort)."""
+    return _scored(_load_emb(spark, sf_dir)).orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    ).limit(TOP_K)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: score only vectors whose 8-bit hyperplane
+    signature equals the query's (the LSH bucket). Deterministic by
+    construction, so the DuckDB oracle computes the identical
+    algorithm — approximation error is part of the contract, not a
+    mismatch."""
+    emb = _load_emb(spark, sf_dir).withColumn("sig", lsh_signature(F.col("emb")))
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("q_emb"), F.col("sig").alias("q_sig")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("sig") == F.col("q_sig"))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("emb"), F.col("q_emb")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup taxonomy entry):
+    candidate pairs share an LSH bucket (equi-join on signature — the
+    O(n²)-free shape), verified by exact cosine >= 0.9."""
+    emb = _load_emb(spark, sf_dir).withColumn("sig", lsh_signature(F.col("emb")))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            "inner",
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.9)
+    )
+
+
+QUERIES = {
+    "q_similarity_topk": q_similarity_topk,
+    "q_ann_lsh_topk": q_ann_lsh_topk,
+    "q_embed_neardup_pairs": q_embed_neardup_pairs,
+}
+
+
+def _sql_weights(j: int) -> str:
+    return "[" + ", ".join(str(x) for x in _lsh_weights(j)) + "]::DOUBLE[]"
+
+
+_SQL_SIG = " + ".join(
+    f"(CASE WHEN list_dot_product(e, {_sql_weights(j)}) >= 0 "
+    f"THEN {2**j} ELSE 0 END)"
+    for j in range(N_HYPERPLANES)
+)
+
+_SQL_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+ORACLES = {
+    "q_similarity_topk": f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT e AS qe FROM v WHERE vec_id = {QUERY_VEC_ID})
+        SELECT vec_id,
+               {_SQL_COS.format(a="e", b="qe")} AS cosine_sim
+        FROM v, q WHERE vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine_sim DESC, vec_id LIMIT {TOP_K}
+    """,
+    "q_ann_lsh_topk": f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        sigged AS (SELECT vec_id, e, {_SQL_SIG} AS sig FROM v),
+        q AS (SELECT e AS qe, sig AS qsig FROM sigged
+              WHERE vec_id = {QUERY_VEC_ID})
+        SELECT vec_id,
+               {_SQL_COS.format(a="e", b="qe")} AS cosine_sim
+        FROM sigged, q
+        WHERE vec_id <> {QUERY_VEC_ID} AND sig = qsig
+        ORDER BY cosine_sim DESC, vec_id LIMIT {TOP_K}
+    """,
+    "q_embed_neardup_pairs": f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        sigged AS (SELECT vec_id, e, {_SQL_SIG} AS sig FROM v)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_SQL_COS.format(a="a.e", b="b.e")} AS cosine_sim
+        FROM sigged a JOIN sigged b
+          ON a.sig = b.sig AND a.vec_id < b.vec_id
+        WHERE {_SQL_COS.format(a="a.e", b="b.e")} >= 0.9
+    """,
+}

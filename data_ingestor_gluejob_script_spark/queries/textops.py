@@ -42,14 +42,22 @@ def words_col(text: Column) -> Column:
 
 def shingles_col(text: Column) -> Column:
     """Distinct k-word shingles (k=3): transform over an index sequence,
-    concat_ws of consecutive words — all JVM-side array functions."""
+    concat_ws of consecutive words — all JVM-side array functions.
+
+    Docs with fewer than k words yield an EMPTY shingle set: without
+    the guard, ``sequence(0, n-k)`` has a negative stop and generates a
+    descending index sequence, which under ANSI mode throws
+    INVALID_ARRAY_INDEX — and diverges from the oracle's empty list.
+    """
     ws = words_col(text)
     n = F.size(ws)
     idx = F.sequence(F.lit(0), n - F.lit(SHINGLE_K))
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", ws[i], ws[i + 1], ws[i + 2])
     )
-    return F.array_distinct(sh)
+    return F.when(n >= F.lit(SHINGLE_K), F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

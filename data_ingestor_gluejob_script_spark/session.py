@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Testdata events.ts is parquet TIMESTAMP(NANOS), which the
+        # vectorized reader rejects; read nanos as long once, globally
+        # (no-op for non-nanos files), instead of mutating conf mid-query.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
