@@ -1,0 +1,255 @@
+"""The ingestion pipeline itself: flow dispatch (C1), the per-table
+loop, and the partition-scoped upsert lake writer (K1+O6+O7).
+
+This is the reference job's actual purpose (``/root/reference/
+gluejob.py``): materialize OLTP tables into a hive-partitioned parquet
+lake, either from CSV drops (initial load, gluejob.py:163-171) or
+incrementally from the source databases since the last watermark
+(gluejob.py:157-161), with MERGE/upsert semantics per partition
+(gluejob.py:190-205) and the t0/advance/commit watermark protocol
+(gluejob.py:616,136-139,623).
+
+Spark-first re-expression:
+- The reference's sequential per-partition driver loop
+  (gluejob.py:183-188) becomes ``write.partitionBy`` — one distributed
+  shuffle-on-write produces every ``company=…/{t}_year=…/{t}_month=…``
+  directory (identical ``k=v`` layout to gluejob.py:187).
+- The read-merge-overwrite of one parquet object per partition
+  (gluejob.py:190-205) becomes: prune the existing lake to the
+  partitions present in the batch (partition-filter pushdown — Spark
+  never opens untouched directories), union with explicit precedence,
+  ``row_number()`` winner per id (deterministic where the reference's
+  ``keep='first'`` is order-dependent), then dynamic partition
+  overwrite — only directories present in the output are replaced.
+- The one-file-per-partition constraint is dropped (it caps write
+  parallelism and forces 100 TB partitions through one task); the
+  directory contract is preserved, which is what downstream readers
+  depend on.
+
+Scale notes (100 TB): the only shuffles are the upsert window on the
+id column and the write's partition split; both are keyed, AQE-sized,
+and skew-split. The touched-partition set is the one driver-side
+collect — a list of (year, month) pairs, bounded by the calendar, not
+the data.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from datetime import datetime
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.normalize import normalize_booleans
+from .operators.relational import semi_join, watermark_filter
+from .operators.temporal import derive_partitions, format_ts_micro, parse_ts
+from .operators.upsert import upsert_dedup
+from .registry import CATALOG, TableSpec, tables_list
+from .sources.files import read_csv_table, read_parquet_table
+from .watermarks import WATERMARK_FORMAT, WatermarkStore
+
+log = logging.getLogger(__name__)
+
+
+def lake_table_root(lake_root: str, table: str) -> str:
+    """``{lake_root}/raw/locaweb/{table}`` — the prefix above the
+    partition directories (gluejob.py:187)."""
+    return f"{lake_root}/raw/locaweb/{table}"
+
+
+def write_partitioned_upsert(
+    spark: SparkSession,
+    batch: DataFrame,
+    spec: TableSpec,
+    lake_root: str,
+    company: str = "Locaweb",
+) -> int:
+    """K1: merge one table batch into its lake partitions.
+
+    Returns the number of rows written (0 = empty batch skipped, the
+    F2 guard at gluejob.py:175-179). Mirrors posting_parquets_in_s3 +
+    s3_parquet_file_put_and_update (gluejob.py:173-205) as one
+    distributed plan.
+    """
+    if batch.limit(1).count() == 0:
+        log.info("skip empty batch for %s", spec.name)
+        return 0
+
+    ycol, mcol = f"{spec.name}_year", f"{spec.name}_month"
+    prepared = (
+        normalize_booleans(batch, spec.boolean_cols)  # O1, gluejob.py:181
+        .transform(lambda d: derive_partitions(d, spec.ts_col, spec.name))
+        .withColumn(spec.ts_col, format_ts_micro(parse_ts(F.col(spec.ts_col))))
+    )
+
+    root = lake_table_root(lake_root, spec.name)
+    existing = read_parquet_table(spark, root)
+    if existing is not None:
+        # Partition-scoped merge (gluejob.py:190-205): only read lake
+        # partitions the batch touches. The collect is metadata-sized.
+        touched = [
+            (r[0], r[1])
+            for r in prepared.select(ycol, mcol).distinct().collect()
+        ]
+        pred = reduce(
+            lambda a, b: a | b,
+            [(F.col(ycol) == y) & (F.col(mcol) == m) for y, m in touched],
+        )
+        existing = (
+            existing.filter(pred)  # pushed down as partition pruning
+            .select(*spec.columns)  # drop partition/company dirs' columns
+            .transform(lambda d: derive_partitions(d, spec.ts_col, spec.name))
+        )
+
+    merged = upsert_dedup(prepared, existing, spec.id_col)  # O6+O7
+    n = merged.count()
+    (
+        merged.withColumn("company", F.lit(company))
+        .write.mode("overwrite")  # dynamic: only partitions in `merged`
+        .partitionBy("company", ycol, mcol)
+        .parquet(root)
+    )
+    log.info("upserted %d rows into %s", n, root)
+    return n
+
+
+class LocalFileSource:
+    """Incremental source over a directory of per-table CSV files —
+    the JDBC seam's file-backed twin, used in tests and anywhere a
+    database isn't reachable.
+
+    Applies the same semantics the reference pushes into source SQL
+    (gluejob.py:521-600): direct tables filter on their own ``wm_col``;
+    chained tables semi-join child→…→anchor against the
+    watermark-filtered anchor. All Spark-side, so Catalyst sees one
+    declarative plan (filters pushed into the scans, small filtered
+    anchors broadcast).
+    """
+
+    def __init__(self, root: str, clock: datetime | None = None):
+        self.root = root
+        self._clock = clock
+
+    def _read(self, spark: SparkSession, spec: TableSpec) -> DataFrame | None:
+        return read_csv_table(spark, f"{self.root}/{spec.name}.csv", spec)
+
+    def read_table(
+        self, spark: SparkSession, spec: TableSpec, watermark: str
+    ) -> DataFrame | None:
+        child = self._read(spark, spec)
+        if child is None:
+            return None
+        if not spec.chain:
+            return watermark_filter(child, spec.wm_col, watermark)
+        # Qualify the anchor, then semi-join the chain back to the child.
+        _, anchor_name, _ = spec.chain[-1]
+        anchor_spec = CATALOG[anchor_name]
+        qualified = self._read(spark, anchor_spec)
+        if qualified is None:
+            return None
+        qualified = watermark_filter(qualified, anchor_spec.wm_col, watermark)
+        # Hop i's parent carries hop i+1's FK; walk anchor→child
+        # narrowing each intermediate table to qualified rows.
+        for i in range(len(spec.chain) - 2, -1, -1):
+            _, parent, _ = spec.chain[i]
+            next_fk, _, next_pk = spec.chain[i + 1]
+            parent_df = self._read(spark, CATALOG[parent])
+            if parent_df is None:
+                return None
+            qualified = semi_join(parent_df, qualified, next_fk, next_pk)
+        first_fk, _, first_pk = spec.chain[0]
+        return semi_join(child, qualified, first_fk, first_pk)
+
+    def clock(self, spark: SparkSession) -> str:
+        """t0 stand-in for S5 (gluejob.py:282-304): injected fixed
+        clock in tests, wall clock otherwise."""
+        now = self._clock or datetime.utcnow()
+        return now.strftime(WATERMARK_FORMAT)
+
+
+@dataclass
+class RunResult:
+    flow: str
+    tables: dict[str, int] = field(default_factory=dict)
+    skipped: list[str] = field(default_factory=list)
+
+
+def initial_load(
+    spark: SparkSession,
+    source_root: str,
+    lake_root: str,
+    tables: list[str],
+    company: str = "Locaweb",
+) -> RunResult:
+    """Entry point 1 (gluejob.py:163-171): per-table CSV → lake.
+    Missing CSV → log + continue (gluejob.py:167-169)."""
+    result = RunResult("initial_load")
+    for t in tables:
+        spec = CATALOG[t]
+        df = read_csv_table(
+            spark, f"{source_root}/{spec.source_db}/{t}.csv", spec
+        )
+        if df is None:
+            log.error("missing source file for %s — skipping", t)
+            result.skipped.append(t)
+            continue
+        result.tables[t] = write_partitioned_upsert(
+            spark, df, spec, lake_root, company
+        )
+    return result
+
+
+def incremental(
+    spark: SparkSession,
+    source,
+    lake_root: str,
+    tables: list[str],
+    store: WatermarkStore,
+    company: str = "Locaweb",
+) -> RunResult:
+    """Entry point 2 (gluejob.py:157-161): per-table changed rows →
+    partition-scoped upsert → in-memory watermark advance to the t0
+    captured BEFORE any extraction (gluejob.py:616,136-139)."""
+    t0 = source.clock(spark)
+    result = RunResult("incremental")
+    for t in tables:
+        spec = CATALOG[t]
+        df = source.read_table(spark, spec, store.get(t))
+        if df is None:
+            log.error("source read failed for %s — skipping", t)
+            result.skipped.append(t)
+            continue
+        result.tables[t] = write_partitioned_upsert(
+            spark, df, spec, lake_root, company
+        )
+        store.advance(t, t0)
+    return result
+
+
+def run(
+    spark: SparkSession,
+    trigger_origin: str,
+    job_mode: str,
+    lake_root: str,
+    store: WatermarkStore,
+    source_root: str | None = None,
+    source=None,
+    company: str = "Locaweb",
+) -> RunResult:
+    """C1 flow dispatch (gluejob.py:144-155): OnDemand → initial load,
+    Scheduled → incremental, anything else → explicit no-op
+    (README.md:17). The watermark commit runs in every path, including
+    the no-op — matching gluejob.py:623."""
+    tables = tables_list(job_mode)  # C2; unknown mode → [] → no-op
+    if trigger_origin == "OnDemand":
+        result = initial_load(spark, source_root, lake_root, tables, company)
+    elif trigger_origin == "Scheduled":
+        result = incremental(spark, source, lake_root, tables, store, company)
+    else:
+        log.info("unmapped JobTriggerOrigin=%r — no-op", trigger_origin)
+        result = RunResult("no-op")
+    store.commit()
+    return result

@@ -29,6 +29,16 @@ class TableSpec:
     source_db: str = "corleone"  # postgres; 'checkout' = sqlserver
     boolean_cols: tuple[str, ...] = ()
     active: bool = True
+    #: Incremental watermark column. Direct tables filter on their own
+    #: wm_col; chained tables filter on the chain anchor's wm_col
+    #: (always retail_subscriptions.updated_at in the reference,
+    #: gluejob.py:521-600).
+    wm_col: str = "updated_at"
+    #: FK→PK hop chain to the watermark anchor, child-outward:
+    #: ((child_fk, parent_table, parent_pk), ...). Empty = direct
+    #: table (filter on own wm_col). Mirrors the reference's 9 JOIN
+    #: templates (gluejob.py:521-600) as data instead of SQL strings.
+    chain: tuple[tuple[str, str, str], ...] = ()
 
     @property
     def spark_schema(self) -> T.StructType:
@@ -66,6 +76,7 @@ _SPECS: tuple[TableSpec, ...] = (
             "created_at", "updated_at", "discount", "price_list_id",
             "readjustment_at", "priced_at",
         ),
+        chain=(("retail_subscription_id", "retail_subscriptions", "id"),),
     ),
     TableSpec(
         "retail_items",
@@ -74,6 +85,10 @@ _SPECS: tuple[TableSpec, ...] = (
             "retail_plan_id", "created_at", "updated_at", "prefix",
             "service_key", "price_list_id", "readjustment_at", "priced_at",
         ),
+        chain=(
+            ("retail_plan_id", "retail_plans", "id"),
+            ("retail_subscription_id", "retail_subscriptions", "id"),
+        ),
     ),
     TableSpec(
         "retail_provisionings",
@@ -81,6 +96,11 @@ _SPECS: tuple[TableSpec, ...] = (
             "id", "parent", "status_code", "retail_item_id", "installed_at",
             "deactivated_at", "reactivated_at", "cancelled_at", "created_at",
             "updated_at", "status",
+        ),
+        chain=(
+            ("retail_item_id", "retail_items", "id"),
+            ("retail_plan_id", "retail_plans", "id"),
+            ("retail_subscription_id", "retail_subscriptions", "id"),
         ),
     ),
     TableSpec(
@@ -91,6 +111,7 @@ _SPECS: tuple[TableSpec, ...] = (
             "updated_at", "external_id", "pre_paid", "main",
         ),
         boolean_cols=("pre_paid", "main"),
+        chain=(("retail_subscription_id", "retail_subscriptions", "id"),),
     ),
     TableSpec(
         "retail_migrations",
@@ -101,6 +122,10 @@ _SPECS: tuple[TableSpec, ...] = (
             "retail_migration_id", "provisioning_status",
             "parent_provisioning_id", "old_quantity",
         ),
+        chain=(
+            ("retail_order_migration_id", "retail_order_migrations", "id"),
+            ("retail_subscription_id", "retail_subscriptions", "id"),
+        ),
     ),
     TableSpec(
         "retail_subscription_readjustments",
@@ -110,6 +135,7 @@ _SPECS: tuple[TableSpec, ...] = (
             "retail_subscription_id", "created_at", "updated_at", "suspended",
         ),
         boolean_cols=("suspended",),
+        chain=(("retail_subscription_id", "retail_subscriptions", "id"),),
     ),
     TableSpec(
         "checkout_orders",
@@ -123,6 +149,7 @@ _SPECS: tuple[TableSpec, ...] = (
         csv_sep=",",
         source_db="checkout",
         active=False,  # disabled in the reference (gluejob.py:315-317)
+        wm_col="DT_UpdatedAt",  # gluejob.py:526
     ),
 )
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 from ..registry import TableSpec
@@ -27,19 +28,30 @@ from ..registry import TableSpec
 def read_csv_table(spark: SparkSession, path: str, spec: TableSpec) -> DataFrame | None:
     """S1: schema-pruned, string-typed CSV scan (gluejob.py:226-242).
 
-    Extra source columns are dropped by the final select; a missing
-    file returns None so the caller can log-and-continue.
+    Columns are selected BY NAME against the file's header, matching
+    the reference's ``usecols`` semantics (gluejob.py:234-236): a
+    source file with reordered or extra columns maps correctly (extras
+    dropped), and a missing schema column raises instead of silently
+    mis-assigning data. (An explicit ``.schema(...)`` on a headered CSV
+    would bind positionally — the hazard this avoids.) All columns stay
+    string-typed: with ``inferSchema`` off this is a single distributed
+    pass, and pruning still reaches the scan via the final select.
+
+    A missing file returns ``None`` so the caller can log-and-continue
+    (gluejob.py:167-169,238-240).
     """
     try:
-        df = (
-            spark.read.options(sep=spec.csv_sep, header=True)
-            .schema(spec.spark_schema)
-            .csv(path)
-        )
-        df.schema  # force resolution so a missing path fails here
+        df = spark.read.options(sep=spec.csv_sep, header=True).csv(path)
+        header = set(df.columns)  # resolution forces a missing path to fail
     except AnalysisException:
         return None
-    return df.select(*spec.columns)
+    missing = [c for c in spec.columns if c not in header]
+    if missing:
+        raise ValueError(
+            f"{path} is missing schema columns {missing} "
+            f"(header: {sorted(header)})"
+        )
+    return df.select(*[F.col(c).cast("string").alias(c) for c in spec.columns])
 
 
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame | None:

@@ -1,0 +1,153 @@
+"""JDBC sources (S3/S4/S5): incremental extraction pushed down to the
+source database, plus the pre-extraction clock capture.
+
+Reference parity (``/root/reference/gluejob.py``):
+- S3 PostgreSQL reader: psycopg2 conn + per-table SQL template +
+  ``fetchall`` into pandas (gluejob.py:244-252, 264-280). Here the
+  same SQL (join chain + watermark predicate) is pushed down via
+  ``spark.read.format('jdbc').option('query', ...)`` so the source DB
+  still does the filtering/joining and only changed child rows cross
+  the wire — but they land as a distributed DataFrame, not driver RAM.
+- S4 SQL Server reader (gluejob.py:254-262): same reader, different
+  URL/driver.
+- S5 scalar clock query ``SELECT NOW()`` / ``SELECT GETDATE()``
+  (gluejob.py:282-304): 1-row JDBC read captured BEFORE extraction —
+  the t0 that becomes the next watermark (gluejob.py:616).
+
+The reference interpolates the watermark into SQL f-strings
+(gluejob.py:521-600) with no validation — an injection-shaped pattern.
+JDBC offers no bind parameters for the ``query`` option, so the seam
+here is ``validate_watermark``: the value must round-trip through
+``datetime.strptime`` before it may appear in SQL text; anything else
+raises. Identifiers come from the static registry, never from input.
+
+Scale notes (100 TB source extraction): a single ``query`` pushdown
+reads on one connection. For big windows, pass ``partition_column`` /
+``num_partitions`` so Spark splits the read into parallel range-bound
+connections (each gets ``WHERE fk-range`` appended by the JDBC source).
+``fetchsize`` keeps the per-connection cursor streaming instead of
+buffering the result set.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import TableSpec
+from ..watermarks import WATERMARK_FORMAT
+
+_CLOCK_SQL = {
+    "psql": "SELECT NOW()",       # gluejob.py:287-292
+    "sqlserver": "SELECT GETDATE()",  # gluejob.py:294-299
+}
+
+
+def validate_watermark(wm: str) -> str:
+    """Reject anything that is not a plain ``YYYY-MM-DD HH:MM:SS``
+    timestamp before it is allowed into SQL text."""
+    try:
+        datetime.strptime(wm, WATERMARK_FORMAT)
+    except ValueError as exc:
+        raise ValueError(f"invalid watermark literal: {wm!r}") from exc
+    return wm
+
+
+def incremental_sql(spec: TableSpec, watermark: str) -> str:
+    """Build the per-table incremental statement the reference keeps as
+    9 hand-written templates (gluejob.py:521-600), from registry data.
+
+    Direct tables filter on their own ``wm_col``; chained tables join
+    child→…→anchor and filter on the anchor's ``wm_col``. Only child
+    columns are projected (the reference's ``child.*``), which with
+    PK right sides makes every join a semi-join in effect.
+    """
+    wm = validate_watermark(watermark)
+    child = spec.name
+    if not spec.chain:
+        return (
+            f"SELECT {child}.* FROM {child} "
+            f"WHERE {child}.{spec.wm_col} >= '{wm}'"
+        )
+    joins = []
+    left = child
+    for fk, parent, pk in spec.chain:
+        joins.append(f"JOIN {parent} ON {parent}.{pk} = {left}.{fk}")
+        left = parent
+    anchor = spec.chain[-1][1]
+    return (
+        f"SELECT {child}.* FROM {child} "
+        + " ".join(joins)
+        + f" WHERE {anchor}.{spec.wm_col} >= '{wm}'"
+    )
+
+
+@dataclass(frozen=True)
+class JdbcConfig:
+    """Connection facts the reference pulls from SSM/SecretsManager
+    (gluejob.py:50-76, 244-262) — host/port/db/user/password — as an
+    explicit config object. ``kind`` picks the clock SQL and URL shape."""
+
+    url: str  # jdbc:postgresql://host:5432/corleone | jdbc:sqlserver://...
+    user: str
+    password: str
+    kind: str = "psql"  # or 'sqlserver'
+    driver: str | None = None
+    fetchsize: int = 10_000
+
+
+class JdbcSource:
+    """Incremental table reader over one source database.
+
+    Implements the pipeline's Source seam: ``read_table(spark, spec,
+    watermark)`` and ``clock(spark)``.
+    """
+
+    def __init__(self, config: JdbcConfig):
+        self.config = config
+
+    def _reader(self, spark: SparkSession, query: str):
+        r = (
+            spark.read.format("jdbc")
+            .option("url", self.config.url)
+            .option("user", self.config.user)
+            .option("password", self.config.password)
+            .option("query", query)
+            .option("fetchsize", str(self.config.fetchsize))
+        )
+        if self.config.driver:
+            r = r.option("driver", self.config.driver)
+        return r
+
+    def read_table(
+        self,
+        spark: SparkSession,
+        spec: TableSpec,
+        watermark: str,
+        partition_column: str | None = None,
+        num_partitions: int = 8,
+    ) -> DataFrame | None:
+        """S3/S4: changed-rows extraction with the join chain and the
+        watermark predicate executed by the source DB."""
+        sql = incremental_sql(spec, watermark)
+        reader = self._reader(spark, sql)
+        if partition_column:
+            # Parallel range extraction: Spark probes min/max then opens
+            # num_partitions range-bounded connections.
+            reader = (
+                reader.option("partitionColumn", partition_column)
+                .option("numPartitions", str(num_partitions))
+            )
+        df = reader.load()
+        # Post-JDBC projection to the registry schema, by NAME
+        # (gluejob.py:273,280) — extra source columns dropped.
+        return df.select(*[c for c in spec.columns if c in df.columns])
+
+    def clock(self, spark: SparkSession) -> str:
+        """S5: source-DB clock, captured before extraction
+        (gluejob.py:282-304, 616)."""
+        sql = _CLOCK_SQL[self.config.kind]
+        row = self._reader(spark, sql).load().collect()[0]
+        return row[0].strftime(WATERMARK_FORMAT)

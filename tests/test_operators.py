@@ -1,0 +1,80 @@
+"""Operator edge semantics the differential oracle can't see
+(SURVEY.md §5.3): O1 passthrough, O7 precedence determinism, the
+short-document shingle guard, O8 coercion."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_ingestor_gluejob_script_spark.operators.normalize import (
+    BOOLEAN_CANON,
+    cast_all_string,
+    dict_map,
+    normalize_booleans,
+)
+from data_ingestor_gluejob_script_spark.operators.upsert import upsert_dedup
+from data_ingestor_gluejob_script_spark.queries.textops import shingles_col
+
+
+def test_dict_map_passthrough_unmapped(spark):
+    # gluejob.py:25-28 — unmapped values pass through unchanged.
+    df = spark.createDataFrame(
+        [("True",), ("f",), ("banana",), (None,)], ["v"]
+    )
+    out = dict(
+        enumerate(
+            r.v for r in df.select(dict_map(F.col("v"), BOOLEAN_CANON).alias("v")).collect()
+        )
+    )
+    assert out == {0: "true", 1: "false", 2: "banana", 3: None}
+
+
+def test_normalize_booleans_only_configured_columns(spark):
+    df = spark.createDataFrame([("t", "t")], ["a", "b"])
+    out = normalize_booleans(df, ("a",)).collect()[0]
+    assert (out.a, out.b) == ("true", "t")
+
+
+def test_upsert_incoming_beats_existing(spark):
+    # gluejob.py:196-198 — concat([new, old]) + keep='first'.
+    incoming = spark.createDataFrame([(1, "new"), (3, "only-new")], ["id", "v"])
+    existing = spark.createDataFrame([(1, "old"), (2, "only-old")], ["id", "v"])
+    got = {
+        r.id: r.v for r in upsert_dedup(incoming, existing, "id").collect()
+    }
+    assert got == {1: "new", 2: "only-old", 3: "only-new"}
+
+
+def test_upsert_deterministic_within_side(spark):
+    # Duplicate ids within one side must resolve to a stable winner
+    # run-to-run (the reference inherits source order; we must not).
+    rows = [(1, f"v{i}") for i in range(50)]
+    incoming = spark.createDataFrame(rows, ["id", "v"]).repartition(7)
+    winners = {
+        upsert_dedup(incoming, None, "id").collect()[0].v for _ in range(3)
+    }
+    assert winners == {"v0"}  # asc_nulls_last over value cols
+
+
+def test_upsert_no_existing(spark):
+    incoming = spark.createDataFrame([(1, "a")], ["id", "v"])
+    assert upsert_dedup(incoming, None, "id").count() == 1
+
+
+def test_shingles_short_docs_empty(spark):
+    # ANSI mode: sequence(0, n-k) with n<k must not be evaluated.
+    df = spark.createDataFrame(
+        [("one two",), ("",), ("a b c d",), (None,)], ["text"]
+    )
+    out = [r.sh for r in df.select(shingles_col(F.col("text")).alias("sh")).collect()]
+    assert out == [[], [], ["a b c", "b c d"], []]
+
+
+def test_cast_all_string(spark):
+    df = spark.createDataFrame([(1, 2.5, True)], ["a", "b", "c"])
+    out = cast_all_string(df)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "string",
+        "string",
+        "string",
+    ]

@@ -1,0 +1,84 @@
+"""Source contract tests: missing CSV → None (gluejob.py:238-240),
+by-name column mapping under reordered/extra columns, missing schema
+column → error, JDBC SQL generation + watermark validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_ingestor_gluejob_script_spark.registry import spec
+from data_ingestor_gluejob_script_spark.sources.files import read_csv_table
+from data_ingestor_gluejob_script_spark.sources.jdbc import (
+    incremental_sql,
+    validate_watermark,
+)
+
+ORDERS = spec("retail_orders")
+
+
+def _write_csv(path, header, rows, sep=";"):
+    with open(path, "w") as f:
+        f.write(sep.join(header) + "\n")
+        for r in rows:
+            f.write(sep.join(r) + "\n")
+
+
+def test_missing_csv_returns_none(spark, tmp_path):
+    assert read_csv_table(spark, str(tmp_path / "nope.csv"), ORDERS) is None
+
+
+def test_reordered_and_extra_columns_map_by_name(spark, tmp_path):
+    # Header order differs from the schema and has an extra column —
+    # values must land under the right names (gluejob.py:234-236
+    # usecols semantics, NOT positional).
+    path = str(tmp_path / "retail_orders.csv")
+    header = ["status", "id", "extra_col"] + [
+        c for c in ORDERS.columns if c not in ("id", "status")
+    ]
+    row = ["ok", "42", "IGNORED"] + [
+        f"v_{c}" for c in ORDERS.columns if c not in ("id", "status")
+    ]
+    _write_csv(path, header, [row])
+    out = read_csv_table(spark, path, ORDERS)
+    assert out.columns == list(ORDERS.columns)
+    got = out.collect()[0]
+    assert got.id == "42" and got.status == "ok"
+    assert "extra_col" not in out.columns
+
+
+def test_missing_schema_column_raises(spark, tmp_path):
+    path = str(tmp_path / "retail_orders.csv")
+    _write_csv(path, ["id", "status"], [["1", "ok"]])
+    with pytest.raises(ValueError, match="missing schema columns"):
+        read_csv_table(spark, path, ORDERS)
+
+
+def test_incremental_sql_direct_table():
+    sql = incremental_sql(spec("retail_orders"), "2024-01-01 00:00:00")
+    assert sql == (
+        "SELECT retail_orders.* FROM retail_orders "
+        "WHERE retail_orders.updated_at >= '2024-01-01 00:00:00'"
+    )
+
+
+def test_incremental_sql_three_hop_chain():
+    # Mirrors retail_provisionings_query (gluejob.py:569-579).
+    sql = incremental_sql(spec("retail_provisionings"), "2024-01-01 00:00:00")
+    assert "JOIN retail_items ON retail_items.id = retail_provisionings.retail_item_id" in sql
+    assert "JOIN retail_plans ON retail_plans.id = retail_items.retail_plan_id" in sql
+    assert (
+        "JOIN retail_subscriptions ON retail_subscriptions.id = retail_plans.retail_subscription_id"
+        in sql
+    )
+    assert sql.endswith(
+        "WHERE retail_subscriptions.updated_at >= '2024-01-01 00:00:00'"
+    )
+    assert sql.startswith("SELECT retail_provisionings.* ")
+
+
+def test_watermark_validation_rejects_injection():
+    with pytest.raises(ValueError):
+        validate_watermark("2024-01-01 00:00:00' OR '1'='1")
+    with pytest.raises(ValueError):
+        validate_watermark("; DROP TABLE retail_orders")
+    assert validate_watermark("2024-01-01 00:00:00") == "2024-01-01 00:00:00"
