@@ -35,6 +35,10 @@ from ._util import load
 EMB_DIM = 64  # testdata embeddings.embedding is array<float>[64]
 TOP_K = 5
 N_HYPERPLANES = 8
+# Near-dup verify threshold. The synthetic embeddings are near-uniform
+# (max in-bucket cosine ~0.46 at sf0.01), so a real-corpus 0.9 would
+# never fire; 0.35 keeps the operator exercised with data at every SF.
+NEARDUP_COSINE = 0.35
 QUERY_VEC_ID = 0
 
 
@@ -130,7 +134,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup taxonomy entry):
     candidate pairs share an LSH bucket (equi-join on signature — the
-    O(n²)-free shape), verified by exact cosine >= 0.9."""
+    O(n²)-free shape), verified by exact cosine >= NEARDUP_COSINE."""
     emb = _load_emb(spark, sf_dir).withColumn("sig", lsh_signature(F.col("emb")))
     a = emb.alias("a")
     b = emb.alias("b")
@@ -147,7 +151,7 @@ def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             sim.alias("cosine_sim"),
         )
-        .filter(F.col("cosine_sim") >= 0.9)
+        .filter(F.col("cosine_sim") >= NEARDUP_COSINE)
     )
 
 
@@ -200,6 +204,6 @@ ORACLES = {
                {_SQL_COS.format(a="a.e", b="b.e")} AS cosine_sim
         FROM sigged a JOIN sigged b
           ON a.sig = b.sig AND a.vec_id < b.vec_id
-        WHERE {_SQL_COS.format(a="a.e", b="b.e")} >= 0.9
+        WHERE {_SQL_COS.format(a="a.e", b="b.e")} >= {NEARDUP_COSINE}
     """,
 }

@@ -30,6 +30,14 @@ N_MINHASH = 8  # 8 slots = 2 bands × 4 rows
 MINHASH_BANDS = ((0, 1, 2, 3), (4, 5, 6, 7))
 JACCARD_THRESHOLD = 0.8
 SHINGLE_K = 3
+# Stop-shingle cap: shingles appearing in more than this many documents
+# are boilerplate and are dropped BEFORE the inverted-index self-join —
+# one viral shingle of document frequency d otherwise contributes O(d²)
+# join rows, the single quadratic hazard in this module. Jaccard is then
+# computed consistently over the filtered shingle universe (sizes too).
+# At sf0.1 the cap bites (max DF 25); at 100 TB it is what keeps the
+# join linear in corpus size.
+MAX_SHINGLE_DF = 20
 
 EN_STOPWORDS = ["the", "a", "of", "and", "to"]
 DE_STOPWORDS = ["der", "und", "das", "die", "ein"]
@@ -228,9 +236,19 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (≥ 0.8) via inverted-index
     join on shingle: |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|.
-    No crossJoin anywhere — fan-out is bounded by shingle document
-    frequency."""
-    toks = _doc_shingles(spark, sf_dir)
+    No crossJoin anywhere; stop-shingles (document frequency >
+    MAX_SHINGLE_DF) are dropped before the self-join so fan-out is
+    bounded by the cap, not by the most viral shingle."""
+    all_toks = _doc_shingles(spark, sf_dir)
+    # Document frequency via a window on the same key the self-join
+    # shuffles on — not a broadcast join against the rare-shingle set,
+    # which is O(distinct shingles) and NOT broadcast-able at scale.
+    df_w = F.count("*").over(Window.partitionBy("w"))
+    toks = (
+        all_toks.withColumn("_df", df_w)
+        .filter(F.col("_df") <= MAX_SHINGLE_DF)
+        .drop("_df")
+    )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -388,10 +406,15 @@ ORACLES = {
     """,
     "q_ngram_jaccard_pairs": f"""
         WITH {_SHINGLES_CTE},
-        sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        ftoks AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, w, count(*) OVER (PARTITION BY w) AS df
+                FROM toks)
+            WHERE df <= {MAX_SHINGLE_DF}),
+        sz AS (SELECT doc_id, count(*) AS n FROM ftoks GROUP BY doc_id),
         shared AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
-            FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+            FROM ftoks a JOIN ftoks b ON a.w = b.w AND a.doc_id < b.doc_id
             GROUP BY 1, 2)
         SELECT doc_a, doc_b,
                round(s / (x.n + y.n - s), 6) AS jaccard
