@@ -1,0 +1,144 @@
+"""Multimodal column operators: opaque ``binary`` payloads with typed
+metadata, magic-byte sniffing, chunk/frame sampling, and an
+Arrow-batched decode stage.
+
+The reference has no multimodal surface (SURVEY.md §2.2) — this is
+north-star extension territory for a 100 TB training-data pipeline:
+images/audio/video ride through the lake as ``binary`` columns plus a
+``StructType`` metadata column, and only the decode/feature step ever
+looks inside the bytes.
+
+Design split:
+- Everything that does NOT decode — byte length, content hash, mime
+  sniffing from magic bytes, chunk sampling — is pure Catalyst
+  (``octet_length``/``md5``/``substring``), JVM-side, codegen'd.
+- The decode/feature-extract stage is ``mapInPandas``: Arrow-batched,
+  one Python worker per partition, vectorized pandas inside. The REAL
+  decoder (PIL/librosa/ffmpeg) is not installed in this environment,
+  so ``decode_features`` ships a deterministic md5-derived fake with
+  the same schema, signature, and batch shape — swap ``_fake_decode``
+  for a real per-batch decoder and nothing else changes. The plumbing
+  (schema contract, Arrow batching, partition mapping) is real and
+  under test.
+
+Scale notes: payload bytes never cross a shuffle here — metadata and
+features are derived map-side; the only wide ops downstream (dedup on
+content_md5, feature-space joins) carry 16-64 byte digests/vectors,
+not blobs. Keep payloads out of join keys and aggregates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+N_FAKE_FEATURES = 4
+
+#: Magic-byte prefixes → mime (hex, uppercase).
+_MAGIC = (
+    ("89504E47", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("52494646", "audio/wav"),  # RIFF container
+    ("1A45DFA3", "video/webm"),
+)
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def sniff_mime(payload: Column) -> Column:
+    """Mime from magic bytes — a chained CASE over hex prefixes, pure
+    Catalyst (no decode)."""
+    head = F.upper(F.hex(F.substring(payload, 1, 4)))
+    expr = None
+    for magic, mime in _MAGIC:
+        cond = head.startswith(magic)
+        expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
+    return expr.otherwise("application/octet-stream")
+
+
+def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach the typed metadata struct next to an opaque payload."""
+    p = F.col(payload_col)
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            sniff_mime(p).alias("mime"),
+            F.octet_length(p).cast("long").alias("n_bytes"),
+            F.md5(p).alias("content_md5"),
+        ),
+    )
+
+
+def sample_chunks(
+    df: DataFrame,
+    payload_col: str = "payload",
+    chunk_bytes: int = 256,
+    stride: int = 4,
+) -> DataFrame:
+    """Frame/chunk sampling without decoding: every ``stride``-th
+    ``chunk_bytes`` slice of the payload, exploded to one row per kept
+    chunk with its offset. The video analogue (sample every Nth frame)
+    plugs in by replacing the slicer inside the same shape."""
+    p = F.col(payload_col)
+    n_chunks = F.ceil(F.octet_length(p) / F.lit(chunk_bytes)).cast("int")
+    idx = F.filter(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: i % stride == 0,
+    )
+    return (
+        df.withColumn("_i", F.explode(idx))
+        .withColumn("chunk_offset", F.col("_i") * chunk_bytes)
+        .withColumn(
+            "chunk", F.substring(p, F.col("chunk_offset") + 1, chunk_bytes)
+        )
+        .drop("_i")
+    )
+
+
+def _fake_decode(payload: pd.Series) -> pd.DataFrame:
+    """Deterministic stand-in for a real image/audio decoder: feature j
+    is byte j of md5(payload) scaled to [0, 1]. Replace this function
+    with the real per-batch decode (e.g. PIL → embedding model) —
+    callers and the Spark plan are unchanged."""
+    import hashlib
+
+    digests = payload.map(
+        lambda b: hashlib.md5(bytes(b) if b is not None else b"").digest()
+    )
+    return pd.DataFrame(
+        {f"f{j}": digests.map(lambda d: d[j] / 255.0) for j in range(N_FAKE_FEATURES)}
+    )
+
+
+def decode_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched decode/feature-extract via ``mapInPandas``.
+
+    The output schema is ``(id, f0..f{k-1})`` doubles; batches stream
+    through the Python worker without materializing a partition at
+    once — the shape that survives 100 TB payload columns.
+    """
+    schema = T.StructType(
+        [df.schema[id_col]]
+        + [T.StructField(f"f{j}", T.DoubleType()) for j in range(N_FAKE_FEATURES)]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = _fake_decode(pdf[payload_col])
+            feats.insert(0, id_col, pdf[id_col].values)
+            yield feats
+
+    return df.select(id_col, payload_col).mapInPandas(extract, schema)

@@ -1,0 +1,124 @@
+"""Structured Streaming twins of the engine's batch surfaces.
+
+Two streams matter here:
+
+1. **Tumbling-window aggregation** — the streaming twin of
+   ``queries.analytics.q_tumbling_window``: ``readStream`` over the
+   events table → event-time watermark → ``window()`` aggregate. In
+   batch mode ``window('1 hour').start`` equals
+   ``date_trunc('hour', ts)``, so both twins agree row-for-row.
+2. **Incremental ingestion** — the reference's hand-rolled micro-batch
+   loop (watermark → extract → upsert → advance, SURVEY.md §2.2
+   "streaming" row) expressed as a real stream: ``readStream`` over a
+   source directory with ``foreachBatch`` driving the SAME
+   partition-scoped upsert writer the batch pipeline uses. Exactly-once
+   per micro-batch comes from the checkpoint + idempotent upsert, the
+   distributed analogue of the reference's at-least-once + dedup
+   protocol (gluejob.py:616,136-139,623).
+
+Scale notes: the window aggregate shuffles on (window, nothing else) —
+at 100 TB add a coarse key (e.g. tenant) to the groupBy to spread
+state; state store size is bounded by the watermark horizon, not the
+stream length. ``availableNow`` triggers give batch-sized catch-up runs
+with streaming semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import write_partitioned_upsert
+from .registry import TableSpec
+from .watermarks import WatermarkStore
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming read of the events table (parquet directory). The
+    schema is discovered from a one-file batch read; the ns→µs rebuild
+    matches queries/_util.load. A single-file path is wrapped in a
+    temp directory (FileStreamSource only accepts directories)."""
+    if os.path.isfile(events_dir):
+        d = tempfile.mkdtemp(prefix="events-stream-")
+        os.symlink(events_dir, os.path.join(d, os.path.basename(events_dir)))
+        events_dir = d
+    batch = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    if dict(batch.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) as long
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
+
+
+def tumbling_window_agg(
+    events: DataFrame, window: str = "1 hour", late: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window count/sum — works on a streaming OR
+    batch DataFrame (same plan, different sink rules)."""
+    src = events.withWatermark("ts", late) if events.isStreaming else events
+    return src.groupBy(F.window("ts", window).alias("w")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ).select(
+        F.col("w.start").alias("window_start"), "n_events", "sum_value"
+    )
+
+
+def run_tumbling_stream(
+    spark: SparkSession, events_dir: str, query_name: str = "tumbling"
+) -> DataFrame:
+    """Run the streaming twin to completion (availableNow) into a
+    memory sink and return the result as a DataFrame. ``complete``
+    output mode so windows still inside the watermark horizon are
+    emitted too — making the result comparable to the batch twin."""
+    agg = tumbling_window_agg(read_events_stream(spark, events_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def stream_incremental_upsert(
+    spark: SparkSession,
+    source_dir: str,
+    spec: TableSpec,
+    lake_root: str,
+    store: WatermarkStore,
+    checkpoint_dir: str,
+    t0: str,
+    company: str = "Locaweb",
+):
+    """Streaming ingestion: watch ``source_dir`` for CSV drops of one
+    table and upsert each micro-batch into the lake through the same
+    K1 writer the batch pipeline uses.
+
+    Returns the started StreamingQuery (caller awaits/stops). Each
+    micro-batch advances the table watermark to ``t0`` in memory; the
+    caller commits the store when the stream drains — preserving the
+    crash-safe commit-at-end protocol across micro-batches.
+    """
+    stream = (
+        spark.readStream.options(sep=spec.csv_sep, header=True)
+        .schema(spec.spark_schema)
+        .csv(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_partitioned_upsert(spark, batch_df, spec, lake_root, company)
+        store.advance(spec.name, t0)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
