@@ -42,10 +42,17 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name, fn in sorted(entry_mod.queries().items()):
-        t0 = time.perf_counter()
+        # Best of 2: this host shows sporadic external CPU contention
+        # (multi-second spikes on sub-second plans); the min measures
+        # the plan rather than the noisy neighbor.
+        best = None
         try:
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            timings[name] = round(best, 3)
         except Exception as ex:  # noqa: BLE001 — record, keep benching
             timings[name] = -1.0
             print(f"bench error {name}: {type(ex).__name__}: {ex}", file=sys.stderr)

@@ -22,6 +22,20 @@ WM = "1997-01-01 00:00:00"
 WM_UPSERT = "1997-07-01 00:00:00"
 
 
+def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a small-file scan across the cluster before
+    CPU-heavy per-row work (hashing, shingling, vector math).
+
+    The documents/embeddings testdata tables are single small parquet
+    files → Spark gives them ONE input partition, serializing every
+    downstream map on one core. The shuffle this inserts is tiny (the
+    raw rows) and buys full parallelism. At 100 TB inputs arrive in
+    many splits and this becomes a no-op-sized rebalance; on a real
+    cluster prefer ``spark.sql.files.maxPartitionBytes`` tuning.
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one testdata table, normalizing events.ts to TimestampType."""
     path = os.path.join(sf_dir, f"{table}.parquet")

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._util import load
+from ._util import load, spread
 
 N_MINHASH = 8  # 8 slots = 2 bands × 4 rows
 MINHASH_BANDS = ((0, 1, 2, 3), (4, 5, 6, 7))
@@ -69,7 +69,7 @@ def shingles_col(text: Column) -> Column:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(spark, load(spark, sf_dir, "documents"))
     return docs.select("doc_id", F.explode(shingles_col(F.col("text"))).alias("w"))
 
 
@@ -161,45 +161,95 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash16_col(text: Column) -> Column:
+    """16-bit SimHash over the distinct-word set, computed entirely
+    with higher-order array functions: per word take 16 bits of md5,
+    vote ±1 per bit via a zip_with fold, then sign → bit.
+
+    Map-only on purpose: the explode → 16-way groupBy → join
+    formulation shuffles every token; this one never leaves the row
+    (7.4s → map-side at sf0.1). Integer vote addition is commutative,
+    so the fold order doesn't affect the result."""
+    words = F.array_distinct(words_col(text))
+
+    def bits(w: Column) -> Column:
+        # shiftright takes a Python int shift, so unroll the 16 bit
+        # positions here instead of a transform over a position array.
+        h = F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long")
+        return F.array(
+            *[
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
+                for j in range(16)
+            ]
+        )
+
+    votes = F.aggregate(
+        words,
+        F.array_repeat(F.lit(0).cast("long"), 16),
+        lambda acc, w: F.zip_with(acc, bits(w), lambda a, b: a + b),
+    )
+    # Single reference to `votes` (it's a large fold — don't let it be
+    # re-evaluated per bit): zip each vote with its bit weight, then
+    # sum the set bits.
+    weights = F.array(*[F.lit(2**j).cast("long") for j in range(16)])
+    bitvals = F.zip_with(
+        votes,
+        weights,
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bitvals, F.lit(0).cast("long"), lambda a, b: a + b)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over whitespace-normalized
     lowercased text (content hash), plus a 16-bit SimHash over the
-    distinct-word set for similarity-preserving fingerprints."""
-    docs = load(spark, sf_dir, "documents")
+    distinct-word set for similarity-preserving fingerprints.
+    One narrow stage — no explode, no aggregation shuffle, no join."""
+    docs = spread(spark, load(spark, sf_dir, "documents"))
     norm = F.lower(F.regexp_replace(F.col("text"), "\\s+", " "))
-    # SimHash: per word take 16 bits of md5, vote +1/-1 per bit, sign.
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(words_col(F.col("text")))).alias("w")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("content_md5"),
+        simhash16_col(F.col("text")).alias("simhash16"),
     )
-    h = F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long")
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"v{j}")
-            for j in range(16)
-        ]
-    )
-    simhash = None
-    for j in range(16):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-        simhash = bit if simhash is None else simhash + bit
-    sim = votes.select("doc_id", simhash.alias("simhash16"))
-    fp = docs.select("doc_id", F.md5(norm).alias("content_md5"))
-    return fp.join(sim, "doc_id", "inner")
 
 
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band_idx, band_hash): MinHash signature over 3-word
     shingles — slot i = min over shingles of md5('{i}:'||shingle) —
     folded into band hashes. Lexicographic min over md5 hex is a valid
-    uniform min-hash family and is engine-portable."""
-    toks = _doc_shingles(spark, sf_dir)
-    sig = toks.groupBy("doc_id").agg(
+    uniform min-hash family and is engine-portable.
+
+    Signature derivation is map-only (array_min over a per-row
+    transform) — the explode → 8-way min groupBy formulation shuffles
+    every shingle; this shuffles nothing until the (band_idx,
+    band_hash) candidate join, whose input is 2 rows per doc."""
+    docs = spread(spark, load(spark, sf_dir, "documents"))
+    # Emptiness test on the cheap word count, NOT on the shingle array:
+    # a filter on shingles_col gets pushed below the repartition and
+    # evaluates the whole shingling expression single-threaded on the
+    # one-partition scan (and then again after the exchange).
+    sh = docs.filter(F.size(words_col(F.col("text"))) >= SHINGLE_K).select(
+        "doc_id", shingles_col(F.col("text")).alias("sh")
+    )
+    # ONE md5 per shingle, split into 8 independent 16-bit chunk
+    # hashes (slot i = hex chars [4i+1, 4i+4]) — the one-strong-hash
+    # MinHash family. 8× less hashing than md5-per-(slot, shingle),
+    # same LSH guarantees. The md5 array is materialized in its own
+    # projection so the 8 slot mins reference it, not recompute it.
+    hashed = sh.select("doc_id", F.transform(F.col("sh"), F.md5).alias("hs"))
+
+    def slot(i: int):
+        # Unary on purpose: a two-arg lambda would receive transform's
+        # (element, index) calling convention and shadow the slot id.
+        return lambda h: F.substring(h, 4 * i + 1, 4)
+
+    sig = hashed.select(
+        "doc_id",
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("w")))).alias(f"s{i}")
+            F.array_min(F.transform(F.col("hs"), slot(i))).alias(f"s{i}")
             for i in range(N_MINHASH)
-        ]
+        ],
     )
     bands = [
         F.struct(
@@ -208,9 +258,20 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for bi, slots in enumerate(MINHASH_BANDS)
     ]
-    return sig.select(
-        "doc_id", F.explode(F.array(*bands)).alias("b")
-    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
+    return (
+        sig.select("doc_id", F.explode(F.array(*bands)).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.band_idx").alias("band_idx"),
+            F.col("b.band_hash").alias("band_hash"),
+        )
+        # Explicit exchange on the join keys: the map-only signature
+        # derivation has no shuffle of its own, so without this the
+        # candidate self-join would recompute the whole derivation on
+        # both sides; with it, both sides read one ReusedExchange and
+        # arrive pre-partitioned for the join.
+        .repartition("band_idx", "band_hash")
+    )
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,7 +377,7 @@ _SHINGLES_CTE = """
 """
 
 _SIG_SLOTS = ", ".join(
-    f"min(md5('{i}:' || w)) AS s{i}" for i in range(N_MINHASH)
+    f"min(substr(md5(w), {4 * i + 1}, 4)) AS s{i}" for i in range(N_MINHASH)
 )
 _BAND1 = " || '|' || ".join(f"s{i}" for i in MINHASH_BANDS[0])
 _BAND2 = " || '|' || ".join(f"s{i}" for i in MINHASH_BANDS[1])
