@@ -18,7 +18,7 @@ table.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -40,6 +40,77 @@ def semi_join(child: DataFrame, anchor: DataFrame, fk: str, pk: str) -> DataFram
     Spark executes without carrying right-side columns through the
     shuffle."""
     return child.join(anchor, child[fk] == anchor[pk], "left_semi")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """As-of join: for each left row, the single right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` within the same ``on`` key
+    (inclusive boundary), or NULLs when no right row precedes it.
+
+    Spark has no ASOF JOIN operator; the naive range-join formulation
+    (join on key + inequality, then pick max per left row) explodes to
+    O(|left| × |right-per-key|) intermediate rows. This is the
+    union + carry-forward shape instead: tag both sides, sort each key
+    group by (ts, side) with right rows first at equal timestamps, and
+    carry the last-seen right values forward with
+    ``last(..., ignorenulls)`` over rows UNBOUNDED PRECEDING..CURRENT.
+    One shuffle on the key, linear in |left|+|right| — survives 100 TB
+    where the range join does not.
+
+    ``right`` must be unique per (on, right_ts); pre-aggregate
+    otherwise (ties would be winner-nondeterministic).
+    """
+    rcols = [c for c in right.columns if c not in (on, right_ts)]
+    overlap = set(left.columns) & {right_ts, *rcols}
+    if overlap:
+        raise ValueError(
+            f"asof_join output would duplicate columns {sorted(overlap)}; "
+            "rename the right side first"
+        )
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias(f"_r_{right_ts}"),
+        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+            for c in left.columns
+        ],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(f"_r_{right_ts}"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in rcols
+        ],
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in [right_ts, *rcols]
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        *[F.col(f"_c_{c}").alias(f"{c}") for c in [right_ts, *rcols]],
+    )
 
 
 def join_chain(base: DataFrame, hops: list[tuple[DataFrame, str, str]]) -> DataFrame:

@@ -76,14 +76,33 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate surface: ROLLUP over (returnflag,
+    linestatus) — subtotals per flag and a grand total in one pass
+    (one shuffle; Spark expands grouping sets map-side)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 QUERIES = {
     "q_agg_pricing": q_agg_pricing,
+    "q_rollup_pricing": q_rollup_pricing,
     "q_topk_customers": q_topk_customers,
     "q_window_rank": q_window_rank,
     "q_tumbling_window": q_tumbling_window,
 }
 
 ORACLES = {
+    "q_rollup_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
     "q_agg_pricing": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

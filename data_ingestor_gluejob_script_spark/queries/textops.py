@@ -336,6 +336,59 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_HAMMING_MAX = 3
+
+
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: candidates share one of the two 8-bit
+    halves of the 16-bit fingerprint (pigeonhole: any pair within
+    Hamming distance ≤ 1 per half is guaranteed a shared band; wider
+    distances trade recall for candidate count — the standard banding
+    compromise), verified by exact Hamming distance ≤ 3 via
+    bit_count(xor).
+
+    Scale shape: candidate generation is an equi-join on (band_idx,
+    band_bits) — identical to the MinHash LSH join, no pair
+    enumeration. The verify is a per-pair popcount, map-side."""
+    docs = spread(spark, load(spark, sf_dir, "documents"))
+    fp = docs.select("doc_id", simhash16_col(F.col("text")).alias("sh16"))
+    lo = (F.col("sh16") % 256).cast("int")
+    hi = (F.col("sh16") / 256).cast("int")
+    banded = fp.select(
+        "doc_id",
+        "sh16",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_idx"), lo.alias("band_bits")),
+                F.struct(F.lit(1).alias("band_idx"), hi.alias("band_bits")),
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id", "sh16", F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_bits").alias("band_bits"),
+    ).repartition("band_idx", "band_bits")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.sh16").bitwiseXOR(F.col("b.sh16")).cast("long")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            "inner",
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .distinct()
+    )
+
+
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal-column plumbing made observable: treat text bytes as
     an opaque payload and compute typed metadata (byte length, content
@@ -360,8 +413,29 @@ QUERIES = {
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_simhash_neardup_pairs": q_simhash_neardup_pairs,
     "q_binary_meta": q_binary_meta,
 }
+
+# Shared SimHash CTE (explode + 16-way bit vote + sign) — the oracle
+# twin of simhash16_col's map-only fold.
+_SIMHASH_CTE = """toks AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+            FROM documents),
+        bits AS (
+            SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) AS h
+            FROM toks),
+        votes AS (
+            SELECT doc_id,
+                   {votes}
+            FROM bits GROUP BY doc_id),
+        sim AS (
+            SELECT doc_id, {simhash} AS simhash16 FROM votes)""".format(
+    votes=", ".join(f"sum(((h >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(16)),
+    simhash=" + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16)
+    ),
+)
 
 _EN = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 _DE = ", ".join(f"'{w}'" for w in DE_STOPWORDS)
@@ -432,31 +506,28 @@ ORACLES = {
                     ELSE 'und' END AS lang_guess
         FROM scored
     """,
-    "q_doc_fingerprint": """
-        WITH toks AS (
-            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-            FROM documents),
-        bits AS (
-            SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) AS h
-            FROM toks),
-        votes AS (
-            SELECT doc_id,
-                   {votes}
-            FROM bits GROUP BY doc_id),
-        sim AS (
-            SELECT doc_id, {simhash} AS simhash16 FROM votes)
+    "q_doc_fingerprint": f"""
+        WITH {{simhash_cte}}
         SELECT d.doc_id,
                md5(lower(regexp_replace(d.text, '\\s+', ' ', 'g'))) AS content_md5,
                sim.simhash16
         FROM documents d JOIN sim ON d.doc_id = sim.doc_id
-    """.format(
-        votes=", ".join(
-            f"sum(((h >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(16)
-        ),
-        simhash=" + ".join(
-            f"(CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16)
-        ),
-    ),
+    """,
+    "q_simhash_neardup_pairs": f"""
+        WITH {{simhash_cte}},
+        banded AS (
+            SELECT doc_id, simhash16, 0 AS band_idx,
+                   simhash16 % 256 AS band_bits FROM sim
+            UNION ALL
+            SELECT doc_id, simhash16, 1 AS band_idx,
+                   simhash16 // 256 AS band_bits FROM sim)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash16, b.simhash16)) AS hamming
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash16, b.simhash16)) <= {SIMHASH_HAMMING_MAX}
+    """,
     "q_minhash_lsh_pairs": f"""
         WITH {_SHINGLES_CTE},
         sig AS (SELECT doc_id, {_SIG_SLOTS} FROM toks GROUP BY doc_id),
@@ -492,3 +563,7 @@ ORACLES = {
         FROM documents
     """,
 }
+
+
+for _n in ("q_doc_fingerprint", "q_simhash_neardup_pairs"):
+    ORACLES[_n] = ORACLES[_n].format(simhash_cte=_SIMHASH_CTE)

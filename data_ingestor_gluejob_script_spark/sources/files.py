@@ -68,3 +68,22 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame | None:
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one driver-provided testdata table (TESTDATA.md)."""
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def read_json_table(spark: SparkSession, path: str, spec: TableSpec) -> DataFrame | None:
+    """JSON-lines scan behind the same contract as the CSV reader:
+    by-name mapping, all-string lake coercion, missing file → None,
+    missing schema column → error. (Not in the reference — source-
+    format completeness for the same ingestion semantics.)"""
+    try:
+        df = spark.read.json(path)
+        header = set(df.columns)
+    except AnalysisException:
+        return None
+    missing = [c for c in spec.columns if c not in header]
+    if missing:
+        raise ValueError(
+            f"{path} is missing schema columns {missing} "
+            f"(fields: {sorted(header)})"
+        )
+    return df.select(*[F.col(c).cast("string").alias(c) for c in spec.columns])
