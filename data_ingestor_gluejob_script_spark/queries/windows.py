@@ -1,0 +1,181 @@
+"""Window-family queries over the ``events`` stream table: sliding
+(hopping) windows, session windows, and ordered analytic windows —
+the batch forms of the streaming surfaces in ``streaming.py``.
+
+Cross-engine notes:
+- Sliding windows: Spark's ``window(ts, '1 hour', '30 minutes')``
+  assigns each event to the 2 hop-aligned windows covering it; the
+  oracle reproduces the assignment arithmetic (start ∈ {floor30(ts),
+  floor30(ts) − 30 min}) with a 2-element unnest.
+- Session windows: Spark's ``session_window(ts, gap)`` is mirrored as
+  the classic gaps-and-islands (lag + cumulative sum of gap breaks).
+  Only the session START is compared — Spark defines session end as
+  ``last event + gap``, an implementation detail, while min(ts) is
+  engine-neutral.
+- Analytic windows (lag / moving average): identical ROWS-frame
+  semantics in both engines; floats rounded before compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import load
+
+SESSION_GAP_MIN = 5
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 1h windows every 30 min: each event lands in 2 windows.
+    One explode (window assignment is map-side) + one hash aggregate."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.window("ts", "1 hour", "30 minutes").alias("w")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ).select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (5-minute inactivity gap): session
+    start + event count + value sum. session_window keeps state
+    bounded by the gap horizon in the streaming twin."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered analytic window: 3-row moving average of value and the
+    gap to the previous event, per user — one shuffle on user_id."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(frame), 4).alias("avg3_value"),
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+        ).alias("secs_since_prev"),
+    )
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate: per user, distinct event types + total
+    events. Spark expands distinct aggs into a two-phase plan."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surface: users who produced clicks but never
+    purchases (EXCEPT) plus users with both (INTERSECT), tagged."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    # Set semantics, not bag: distinct first, then EXCEPT DISTINCT —
+    # exceptAll on the raw multisets would leave (n_clicks −
+    # n_purchases) rows and mislabel users who did both.
+    both = clicks.intersect(purchases).withColumn("segment", F.lit("both"))
+    only_clicks = (
+        clicks.distinct()
+        .subtract(purchases.distinct())
+        .withColumn("segment", F.lit("clicks_only"))
+    )
+    return both.unionByName(only_clicks)
+
+
+QUERIES = {
+    "q_sliding_window": q_sliding_window,
+    "q_session_window": q_session_window,
+    "q_moving_avg": q_moving_avg,
+    "q_distinct_agg": q_distinct_agg,
+    "q_set_ops": q_set_ops,
+}
+
+_GAP_SECS = SESSION_GAP_MIN * 60
+
+ORACLES = {
+    "q_sliding_window": """
+        WITH e AS (SELECT ts::TIMESTAMP AS ts, value FROM events),
+        assigned AS (
+            SELECT unnest([
+                       to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800
+                                         AS BIGINT))::TIMESTAMP,
+                       to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800
+                                         - 1800 AS BIGINT))::TIMESTAMP
+                   ]) AS window_start,
+                   value
+            FROM e)
+        SELECT window_start, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM assigned GROUP BY window_start
+    """,
+    "q_session_window": f"""
+        WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+        flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts)) > {_GAP_SECS}
+                         OR lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM e),
+        islands AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER
+                       (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged)
+        SELECT user_id, min(ts) AS session_start,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM islands GROUP BY user_id, session_id
+    """,
+    "q_moving_avg": """
+        SELECT event_id, user_id,
+               round(avg(value) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                   AS avg3_value,
+               CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT)
+                 - lag(CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT), 1) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS secs_since_prev
+        FROM events
+    """,
+    "q_distinct_agg": """
+        SELECT user_id, count(DISTINCT event_type) AS n_types,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+    """,
+    "q_set_ops": """
+        WITH clicks AS (SELECT DISTINCT user_id FROM events
+                        WHERE event_type = 'click'),
+        purchases AS (SELECT DISTINCT user_id FROM events
+                      WHERE event_type = 'purchase')
+        SELECT user_id, 'both' AS segment
+        FROM (SELECT user_id FROM clicks INTERSECT
+              SELECT user_id FROM purchases)
+        UNION ALL
+        SELECT user_id, 'clicks_only' AS segment
+        FROM (SELECT user_id FROM clicks EXCEPT
+              SELECT user_id FROM purchases)
+    """,
+}
