@@ -1,0 +1,86 @@
+"""Physical-plan regression guards: the optimizations that matter at
+100 TB, asserted against .explain output so they can't silently rot.
+
+Each check encodes a property argued in PLANS.md: filters reach the
+parquet scan, projections prune the read schema, dimensions broadcast,
+top-k avoids global sorts, keyed ops shuffle exactly once.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = entry_mod.queries()
+
+    def plan_of(name: str) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs[name](spark, SF).explain("formatted")
+        return buf.getvalue()
+
+    return plan_of
+
+
+def test_projection_prunes_read_schema(plans):
+    p = plans("q_scan_project")
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity" in p
+
+
+def test_watermark_filter_pushed_to_scan(plans):
+    assert "GreaterThanOrEqual(o_orderdate" in plans("q_filter_watermark")
+
+
+def test_join_chain_pushes_dim_filter_and_broadcasts(plans):
+    p = plans("q_join_3hop")
+    assert "EqualTo(n_name,NATION_7)" in p  # dim filter reaches the scan
+    assert p.count("BroadcastHashJoin") >= 2  # filtered dims broadcast
+
+
+def test_topk_compiles_to_take_ordered(plans):
+    # orderBy().limit() must not be a global sort.
+    assert "TakeOrderedAndProject" in plans("q_topk_customers")
+
+
+def test_semi_join_is_left_semi(plans):
+    assert "LeftSemi" in plans("q_semi_join_1hop")
+
+
+def test_upsert_dedup_shuffles_once_on_key(plans):
+    assert plans("q_upsert_dedup").count("hashpartitioning(o_orderkey") == 1
+
+
+def test_exact_dedup_joins_on_digest(plans):
+    assert "LeftSemi" in plans("q_exact_dedup_docs")
+
+
+def test_similarity_broadcasts_query_vector(plans):
+    p = plans("q_similarity_topk")
+    assert "BroadcastNestedLoopJoin" in p  # 1-row broadcast, map-side score
+    assert "TakeOrderedAndProject" in p
+
+
+def test_agg_pricing_partial_agg_and_pushdown(plans):
+    p = plans("q_agg_pricing")
+    assert "partial" in p  # map-side combine before the shuffle
+    assert "LessThanOrEqual(l_shipdate" in p
+
+
+def test_moving_avg_single_shuffle(plans):
+    assert plans("q_moving_avg").count("hashpartitioning(user_id") == 1
+
+
+def test_no_cartesian_products_anywhere(plans):
+    # CartesianProduct = unbounded pair enumeration. The only allowed
+    # nested-loop join is the broadcast of a 1-row query vector.
+    for name in entry_mod.queries():
+        assert "CartesianProduct" not in plans(name), name
