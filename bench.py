@@ -42,12 +42,12 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name, fn in sorted(entry_mod.queries().items()):
-        # Best of 2: this host shows sporadic external CPU contention
+        # Best of 3: this host shows sporadic external CPU contention
         # (multi-second spikes on sub-second plans); the min measures
         # the plan rather than the noisy neighbor.
         best = None
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 dt = time.perf_counter() - t0

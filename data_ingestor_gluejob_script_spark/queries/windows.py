@@ -102,7 +102,40 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only_clicks)
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar-function surface: extract props.k per event and
+    aggregate it per event_type — get_json_object stays JVM-side (no
+    Python JSON parsing in the hot path)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) of value per
+    event_type — deterministic in both engines, unlike approx
+    sketches (approx_percentile vs DuckDB's t-digest would never
+    hash-match)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+    )
+
+
 QUERIES = {
+    "q_json_extract": q_json_extract,
+    "q_percentiles": q_percentiles,
     "q_sliding_window": q_sliding_window,
     "q_session_window": q_session_window,
     "q_moving_avg": q_moving_avg,
@@ -113,6 +146,20 @@ QUERIES = {
 _GAP_SECS = SESSION_GAP_MIN * 60
 
 ORACLES = {
+    "q_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(avg(value), 4) AS mean_value
+        FROM events GROUP BY event_type
+    """,
+    "q_json_extract": """
+        SELECT event_type, count(*) AS n_events,
+               sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+               min(json_extract(props, '$.k')::BIGINT) AS min_k,
+               max(json_extract(props, '$.k')::BIGINT) AS max_k
+        FROM events GROUP BY event_type
+    """,
     "q_sliding_window": """
         WITH e AS (SELECT ts::TIMESTAMP AS ts, value FROM events),
         assigned AS (
