@@ -28,8 +28,10 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .pipeline import write_partitioned_upsert
 from .registry import TableSpec
@@ -80,6 +82,70 @@ def run_tumbling_stream(
         agg.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (n_events, sum_value) maintained in state-store
+    state across micro-batches, emitting the updated totals each batch.
+
+    This is the escape hatch for stateful logic Spark's built-in
+    windowed aggregates can't express (per-key accumulators, custom
+    eviction, model state). State is partitioned by the group key, so
+    it scales with distinct users per executor, not stream length;
+    Arrow batches keep the Python boundary vectorized.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_totals(
+    spark: SparkSession, events_dir: str, query_name: str = "user_totals"
+) -> DataFrame:
+    """Drive the stateful operator over the events table with an
+    availableNow trigger into a memory sink; returns the final emitted
+    totals (one row per user per batch — last emission wins)."""
+    agg = stateful_user_totals(read_events_stream(spark, events_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )

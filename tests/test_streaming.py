@@ -79,3 +79,26 @@ def test_stream_incremental_upsert(spark, tmp_path):
     df2 = spark.read.parquet(f"{lake}/raw/locaweb/{spec.name}")
     got = {r.id: r.status for r in df2.select("id", "status").collect()}
     assert got == {"s1": "cancelled", "s2": "active"}
+
+
+def test_stateful_user_totals_matches_batch(spark):
+    from pyspark.sql import functions as F
+    from data_ingestor_gluejob_script_spark.queries._util import load
+
+    got = streaming.run_stateful_totals(
+        spark, os.path.join(SF_DIR, "events.parquet"), "t_user_totals_test"
+    )
+    # Last emission per user (single availableNow batch → one row each).
+    stream_rows = {
+        r.user_id: (r.n_events, round(r.sum_value, 4)) for r in got.collect()
+    }
+    batch = (
+        load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s"))
+    )
+    batch_rows = {r.user_id: (r.n, r.s) for r in batch.collect()}
+    assert set(stream_rows) == set(batch_rows)
+    for u, (n, s) in batch_rows.items():
+        assert stream_rows[u][0] == n
+        assert abs(stream_rows[u][1] - s) < 1e-6
