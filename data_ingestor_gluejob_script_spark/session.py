@@ -49,6 +49,9 @@ def get_spark(
         # (no-op for non-nanos files), instead of mutating conf mid-query.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # Only effective when THIS call launches the JVM — getOrCreate
+        # against an already-running session keeps its original heap.
+        # For spark-submit deployments set it on the submit command.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():

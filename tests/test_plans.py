@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -77,6 +78,16 @@ def test_agg_pricing_partial_agg_and_pushdown(plans):
 
 def test_moving_avg_single_shuffle(plans):
     assert plans("q_moving_avg").count("hashpartitioning(user_id") == 1
+
+
+def test_asof_join_single_key_shuffle(plans):
+    # union + carry-forward: exactly one window shuffle on the bare
+    # key (the other user_id exchange is the purchases pre-dedup on
+    # (user_id, ts)); never a key+inequality range join.
+    key_only = re.findall(
+        r"hashpartitioning\(user_id#\d+L?, \d+\)", plans("q_asof_purchase")
+    )
+    assert len(key_only) == 1
 
 
 def test_no_cartesian_products_anywhere(plans):
