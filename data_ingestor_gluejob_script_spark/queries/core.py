@@ -133,7 +133,77 @@ def q_count_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join: local-supplier revenue per nation
+    within one region and a one-year order window. Exercises the full
+    star schema (region/nation/customer/orders/lineitem/supplier).
+    Plan: region→nation filtered first (broadcast), the fact-fact
+    lineitem⋈orders join shuffles once, suppliers broadcast with the
+    nation co-membership predicate applied at the join."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation").join(
+        region, F.col("n_regionkey") == F.col("r_regionkey"), "inner"
+    )
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    lineitem = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI surface: customers with no orders in the watermark
+    window — the negation of the semi-join incremental pattern, same
+    single-shuffle shape."""
+    customer = load(spark, sf_dir, "customer")
+    orders = watermark_filter(
+        load(spark, sf_dir, "orders"), "o_orderdate", WM_UPSERT
+    )
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER surface: per-nation customer count including empty
+    nations (NULL-preserving aggregation over the outer side)."""
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        nation.join(
+            customer, nation["n_nationkey"] == customer["c_nationkey"], "left"
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
 QUERIES = {
+    "q_revenue_by_nation": q_revenue_by_nation,
+    "q_anti_join": q_anti_join,
+    "q_outer_join": q_outer_join,
     "q_scan_project": q_scan_project,
     "q_filter_watermark": q_filter_watermark,
     "q_semi_join_1hop": q_semi_join_1hop,
@@ -154,6 +224,34 @@ _LI_COLS = (
 )
 
 ORACLES = {
+    "q_revenue_by_nation": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    "q_anti_join": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '{WM}')
+    """.format(WM=WM_UPSERT),
+    "q_outer_join": """
+        SELECT n_name, count(c_custkey) AS n_customers,
+               round(sum(c_acctbal), 2) AS sum_acctbal
+        FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        GROUP BY n_name
+    """,
     "q_scan_project": (
         "SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice FROM lineitem"
     ),
@@ -231,3 +329,4 @@ ORACLES = {
         f"WHERE l_shipdate >= TIMESTAMP '{WM}'"
     ),
 }
+
