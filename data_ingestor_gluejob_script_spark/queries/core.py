@@ -200,7 +200,30 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: revenue share of promo-type parts per brand in
+    one ship-month. lineitem⋈part is fact-dim: the filtered part side
+    broadcasts; conditional aggregation is map-side."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"), "inner")
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.round(F.sum(promo), 2).alias("promo_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 QUERIES = {
+    "q_promo_revenue": q_promo_revenue,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_anti_join": q_anti_join,
     "q_outer_join": q_outer_join,
@@ -224,6 +247,18 @@ _LI_COLS = (
 )
 
 ORACLES = {
+    "q_promo_revenue": """
+        SELECT p_brand,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END), 2) AS promo_revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY p_brand
+    """,
     "q_revenue_by_nation": """
         SELECT n_name,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
