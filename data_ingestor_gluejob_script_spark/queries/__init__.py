@@ -13,13 +13,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics, asof, core, multimodal, similarity, textops, windows
+from . import analytics, asof, core, multimodal, similarity, textops, traindata, windows
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (core, analytics, textops, similarity, multimodal, asof, windows):
+for mod in (core, analytics, textops, similarity, multimodal, asof, windows, traindata):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
