@@ -66,6 +66,7 @@ def write_partitioned_upsert(
     spec: TableSpec,
     lake_root: str,
     company: str = "Locaweb",
+    max_records_per_file: int | None = None,
 ) -> int:
     """K1: merge one table batch into its lake partitions.
 
@@ -106,9 +107,15 @@ def write_partitioned_upsert(
 
     merged = upsert_dedup(prepared, existing, spec.id_col)  # O6+O7
     n = merged.count()
+    writer = merged.withColumn("company", F.lit(company)).write
+    if max_records_per_file:
+        # The reference writes ONE object per partition (gluejob.py:
+        # 187,201-203) — a single-task bottleneck at 100 TB. We keep
+        # the directory contract and bound file size instead: Spark
+        # rolls to a new file within the partition every N records.
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     (
-        merged.withColumn("company", F.lit(company))
-        .write.mode("overwrite")  # dynamic: only partitions in `merged`
+        writer.mode("overwrite")  # dynamic: only partitions in `merged`
         .partitionBy("company", ycol, mcol)
         .parquet(root)
     )

@@ -237,3 +237,32 @@ def test_unknown_job_mode_is_noop():
     assert tables_list("nonsense") == []
     assert tables_list("retail_plans") == ["retail_plans"]
     assert "checkout_orders" not in tables_list("allTables")
+
+
+def test_max_records_per_file_bounds_file_size(spark, tmp_path, lake):
+    import glob
+
+    from data_ingestor_gluejob_script_spark.pipeline import (
+        write_partitioned_upsert,
+    )
+
+    spec = CATALOG["retail_subscriptions"]
+    rows = [
+        _sub(f"s{i}", "2024-01-10 10:00:00", "2024-01-10 10:00:00")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        [[r[c] for c in spec.columns] for r in rows], list(spec.columns)
+    )
+    n = write_partitioned_upsert(
+        spark, df, spec, lake, max_records_per_file=10
+    )
+    assert n == 100
+    files = glob.glob(
+        f"{lake}/raw/locaweb/{spec.name}/company=Locaweb/*/*/*.parquet"
+    )
+    assert len(files) >= 10  # 100 rows / 10 per file
+    total = sum(
+        spark.read.parquet(f).count() for f in files
+    )
+    assert total == 100
