@@ -133,8 +133,62 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_JOIN_SECS = 60
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: for each error event, count the same
+    user's click events within ±60 s.
+
+    Scale shape: NOT a key+inequality join (which degenerates to a
+    per-user cross product). Both sides are bucketed into 60 s time
+    bands; errors probe their own band ±1 (a 3-element explode — the
+    interval can only overlap adjacent bands), the join is a pure
+    equi-join on (user_id, band), and the exact |Δt| ≤ 60 predicate
+    filters band-edge false positives. Fan-out is bounded by events
+    per band, not events per user."""
+    ev = load(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("long")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id"),
+        epoch.alias("e_sec"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        epoch.alias("c_sec"),
+        F.floor(epoch / RANGE_JOIN_SECS).alias("band"),
+    )
+    probe = errors.withColumn(
+        "band",
+        F.explode(
+            F.array(
+                F.floor(F.col("e_sec") / RANGE_JOIN_SECS) - 1,
+                F.floor(F.col("e_sec") / RANGE_JOIN_SECS),
+                F.floor(F.col("e_sec") / RANGE_JOIN_SECS) + 1,
+            )
+        ),
+    )
+    joined = probe.join(clicks, ["user_id", "band"], "inner").filter(
+        F.abs(F.col("c_sec") - F.col("e_sec")) <= RANGE_JOIN_SECS
+    )
+    counts = joined.groupBy("error_id").agg(
+        F.count("*").alias("n_nearby_clicks")
+    )
+    return (
+        errors.select("error_id", "user_id")
+        .join(counts, "error_id", "left")
+        .select(
+            "error_id",
+            "user_id",
+            F.coalesce("n_nearby_clicks", F.lit(0)).alias("n_nearby_clicks"),
+        )
+    )
+
+
 QUERIES = {
     "q_json_extract": q_json_extract,
+    "q_range_join": q_range_join,
     "q_percentiles": q_percentiles,
     "q_sliding_window": q_sliding_window,
     "q_session_window": q_session_window,
@@ -146,6 +200,19 @@ QUERIES = {
 _GAP_SECS = SESSION_GAP_MIN * 60
 
 ORACLES = {
+    "q_range_join": """
+        WITH e AS (SELECT event_id, user_id,
+                          CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS sec,
+                          event_type
+                   FROM events)
+        SELECT err.event_id AS error_id, err.user_id,
+               count(c.sec) AS n_nearby_clicks
+        FROM e err LEFT JOIN e c
+          ON c.user_id = err.user_id AND c.event_type = 'click'
+         AND abs(c.sec - err.sec) <= 60
+        WHERE err.event_type = 'error'
+        GROUP BY err.event_id, err.user_id
+    """,
     "q_percentiles": """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 4) AS p50,
