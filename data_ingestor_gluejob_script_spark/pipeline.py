@@ -123,6 +123,32 @@ def write_partitioned_upsert(
     return n
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a DataFrame as a bucketed (and optionally sorted)
+    parquet table in the session catalog.
+
+    Bucketing pre-shuffles ONCE at write time: two tables bucketed on
+    their join key co-locate, so every subsequent join between them
+    runs with NO exchange (and with sortBy, no sort either) — the
+    amortization that matters for a fact table joined daily at 100 TB.
+    Verified by plan assertion in tests/test_bucketing.py.
+    """
+    writer = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
 class LocalFileSource:
     """Incremental source over a directory of per-table CSV files —
     the JDBC seam's file-backed twin, used in tests and anywhere a
