@@ -57,12 +57,17 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
 
 
 def tumbling_window_agg(
-    events: DataFrame, window: str = "1 hour", late: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    late: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window count/sum — works on a streaming OR
-    batch DataFrame (same plan, different sink rules)."""
+    """Watermarked tumbling (or, with ``slide``, hopping) window
+    count/sum — works on a streaming OR batch DataFrame (same plan,
+    different sink rules)."""
     src = events.withWatermark("ts", late) if events.isStreaming else events
-    return src.groupBy(F.window("ts", window).alias("w")).agg(
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return src.groupBy(win.alias("w")).agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     ).select(
@@ -71,13 +76,16 @@ def tumbling_window_agg(
 
 
 def run_tumbling_stream(
-    spark: SparkSession, events_dir: str, query_name: str = "tumbling"
+    spark: SparkSession,
+    events_dir: str,
+    query_name: str = "tumbling",
+    slide: str | None = None,
 ) -> DataFrame:
     """Run the streaming twin to completion (availableNow) into a
     memory sink and return the result as a DataFrame. ``complete``
     output mode so windows still inside the watermark horizon are
     emitted too — making the result comparable to the batch twin."""
-    agg = tumbling_window_agg(read_events_stream(spark, events_dir))
+    agg = tumbling_window_agg(read_events_stream(spark, events_dir), slide=slide)
     q = (
         agg.writeStream.format("memory")
         .queryName(query_name)

@@ -102,3 +102,24 @@ def test_stateful_user_totals_matches_batch(spark):
     for u, (n, s) in batch_rows.items():
         assert stream_rows[u][0] == n
         assert abs(stream_rows[u][1] - s) < 1e-6
+
+
+def test_stream_sliding_matches_batch(spark):
+    from data_ingestor_gluejob_script_spark.queries.windows import (
+        q_sliding_window,
+    )
+
+    got = streaming.run_tumbling_stream(
+        spark,
+        os.path.join(SF_DIR, "events.parquet"),
+        "t_sliding_test",
+        slide="30 minutes",
+    )
+    stream_rows = {
+        (r.window_start, r.n_events, r.sum_value) for r in got.collect()
+    }
+    batch_rows = {
+        (r.window_start, r.n_events, r.sum_value)
+        for r in q_sliding_window(spark, SF_DIR).collect()
+    }
+    assert stream_rows == batch_rows
