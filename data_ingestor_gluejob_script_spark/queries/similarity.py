@@ -135,7 +135,14 @@ def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup taxonomy entry):
     candidate pairs share an LSH bucket (equi-join on signature — the
     O(n²)-free shape), verified by exact cosine >= NEARDUP_COSINE."""
-    emb = _load_emb(spark, sf_dir).withColumn("sig", lsh_signature(F.col("emb")))
+    emb = (
+        _load_emb(spark, sf_dir)
+        .withColumn("sig", lsh_signature(F.col("emb")))
+        # Exchange on the join key: without it both self-join sides
+        # recompute the 8 hyperplane projections; with it they read
+        # one ReusedExchange, already partitioned for the join.
+        .repartition("sig")
+    )
     a = emb.alias("a")
     b = emb.alias("b")
     sim = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6)
