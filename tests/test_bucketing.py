@@ -5,12 +5,20 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
+import shutil
 
 from data_ingestor_gluejob_script_spark.pipeline import write_bucketed
 
 
 def test_bucketed_join_has_no_exchange(spark):
     sf = "/root/testdata/sf0.001"
+    # The warehouse dir outlives the session catalog: drop any table
+    # registration AND remove orphan directories from prior runs.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_li_bucketed", "t_ord_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf}/orders.parquet")
     write_bucketed(
