@@ -125,13 +125,53 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_PCT = 20
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: ~20% of documents PER LANGUAGE
+    stratum, selected by key hash (md5 of "lang:doc_id" mod 100) — not
+    rand(), so the sample is identical on any engine, run, and
+    partitioning. Map-only; the count-per-stratum output makes the
+    stratification observable."""
+    docs = load(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("lang"), F.col("doc_id"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    return (
+        docs.filter(h < SAMPLE_PCT)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
 QUERIES = {
     "q_split_assign": q_split_assign,
+    "q_stratified_sample": q_stratified_sample,
     "q_text_normalize": q_text_normalize,
     "q_seq_pack": q_seq_pack,
 }
 
 ORACLES = {
+    "q_stratified_sample": f"""
+        SELECT lang, count(*) AS n_sampled,
+               min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        FROM documents
+        WHERE ('0x' || substr(md5(lang || ':' || doc_id::VARCHAR), 1, 4))::INT
+              % 100 < {SAMPLE_PCT}
+        GROUP BY lang
+    """,
     "q_split_assign": f"""
         WITH b AS (
             SELECT doc_id,

@@ -97,6 +97,46 @@ def run_tumbling_stream(
     return spark.table(query_name)
 
 
+def session_window_agg(
+    events: DataFrame, gap: str = "5 minutes", late: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (inactivity gap) — streaming or batch.
+    In streaming mode, session state is bounded by the watermark
+    horizon: a session older than ``late`` can never be re-opened, so
+    the store evicts it."""
+    src = events.withWatermark("ts", late) if events.isStreaming else events
+    return (
+        src.groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_session_stream(
+    spark: SparkSession, events_dir: str, query_name: str = "sessions"
+) -> DataFrame:
+    """Drive the session-window twin to completion (availableNow,
+    complete mode) into a memory sink."""
+    agg = session_window_agg(read_events_stream(spark, events_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user running (n_events, sum_value) maintained in state-store

@@ -123,3 +123,23 @@ def test_stream_sliding_matches_batch(spark):
         for r in q_sliding_window(spark, SF_DIR).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_stream_sessions_match_batch(spark):
+    from data_ingestor_gluejob_script_spark.queries.windows import (
+        q_session_window,
+    )
+
+    got = streaming.run_session_stream(
+        spark, os.path.join(SF_DIR, "events.parquet"), "t_sessions_test"
+    )
+    stream_rows = {
+        (r.user_id, r.session_start, r.n_events, r.sum_value)
+        for r in got.collect()
+    }
+    batch_rows = {
+        (r.user_id, r.session_start, r.n_events, r.sum_value)
+        for r in q_session_window(spark, SF_DIR).collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
