@@ -123,6 +123,54 @@ def write_partitioned_upsert(
     return n
 
 
+def compact_partitions(
+    spark: SparkSession,
+    table_root: str,
+    target_files_per_partition: int = 1,
+) -> int:
+    """Small-file compaction: rewrite every partition of a lake table
+    into ``target_files_per_partition`` files, preserving content and
+    the directory contract.
+
+    Incremental upserts accumulate files per partition (each batch's
+    tasks write their own); scan cost grows with file count, not data.
+    Compaction is a read → repartition-within-partition → dynamic
+    partition overwrite. Run it out-of-band (the reference has no
+    analogue — its one-file-per-partition writes WERE the compaction,
+    at the cost of single-task writes).
+
+    Returns the number of rows rewritten.
+    """
+    df = spark.read.parquet(table_root)
+    part_cols = [c for c in df.columns if _is_partition_col(df, table_root, c)]
+    n = df.count()
+    (
+        df.repartition(target_files_per_partition, *part_cols)
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(table_root)
+    )
+    return n
+
+
+def _is_partition_col(df, table_root: str, col: str) -> bool:
+    """Partition columns are the ones materialized as k=v directories."""
+    import glob
+
+    return bool(glob.glob(f"{table_root}/{col}=*") + glob.glob(
+        f"{table_root}/*/{col}=*"
+    ) + glob.glob(f"{table_root}/*/*/{col}=*"))
+
+
+def lake_partition_stats(spark: SparkSession, table_root: str) -> DataFrame:
+    """Per-partition row counts for a lake table — the observability
+    query behind compaction/skew decisions. Partition pruning makes
+    this a metadata-plus-counts scan, not a full-column read."""
+    df = spark.read.parquet(table_root)
+    part_cols = [c for c in df.columns if _is_partition_col(df, table_root, c)]
+    return df.groupBy(*part_cols).count().withColumnRenamed("count", "n_rows")
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

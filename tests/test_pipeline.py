@@ -266,3 +266,42 @@ def test_max_records_per_file_bounds_file_size(spark, tmp_path, lake):
         spark.read.parquet(f).count() for f in files
     )
     assert total == 100
+
+
+def test_compaction_and_stats(spark, tmp_path, lake):
+    import glob
+
+    from data_ingestor_gluejob_script_spark.pipeline import (
+        compact_partitions,
+        lake_partition_stats,
+        write_partitioned_upsert,
+    )
+
+    spec = CATALOG["retail_subscriptions"]
+    rows = [
+        _sub(f"s{i}", "2024-01-10 10:00:00", "2024-01-10 10:00:00")
+        for i in range(60)
+    ] + [
+        _sub(f"t{i}", "2024-02-10 10:00:00", "2024-02-10 10:00:00")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [[r[c] for c in spec.columns] for r in rows], list(spec.columns)
+    )
+    write_partitioned_upsert(spark, df, spec, lake, max_records_per_file=10)
+    root = f"{lake}/raw/locaweb/{spec.name}"
+    frag = glob.glob(f"{root}/company=Locaweb/*/*/*.parquet")
+    assert len(frag) >= 10  # fragmented on purpose
+
+    before = sorted(r.id for r in spark.read.parquet(root).collect())
+    n = compact_partitions(spark, root)
+    assert n == 100
+    compacted = glob.glob(f"{root}/company=Locaweb/*/*/*.parquet")
+    assert len(compacted) == 2  # one file per (year, month) partition
+    assert sorted(r.id for r in spark.read.parquet(root).collect()) == before
+
+    stats = {
+        (r[f"{spec.name}_year"], r[f"{spec.name}_month"]): r.n_rows
+        for r in lake_partition_stats(spark, root).collect()
+    }
+    assert stats == {(2024, 1): 60, (2024, 2): 40}
