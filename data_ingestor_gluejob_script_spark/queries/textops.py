@@ -337,19 +337,41 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_HAMMING_MAX = 3
+# Hot-bucket cap for the near-miss pair join: a band bucket larger
+# than this is dominated by identical-fingerprint clones, which the
+# LINEAR grouping operator (q_simhash_dedup_groups) already handles —
+# enumerating their pairs would be O(bucket²) for information the
+# group representative carries in O(bucket).
+MAX_SIMHASH_BUCKET = 100
+
+
+def q_simhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash exact-fingerprint clustering: every document mapped to
+    the minimum doc_id sharing its 16-bit fingerprint. LINEAR in the
+    corpus (one shuffle on the fingerprint) no matter how concentrated
+    the fingerprint distribution — on this templated corpus one
+    fingerprint covers ~10% of all docs, so any pairwise formulation
+    of the same information is inherently quadratic."""
+    docs = spread(spark, load(spark, sf_dir, "documents"))
+    fp = docs.select(
+        "doc_id", simhash16_col(F.col("text")).alias("simhash16")
+    )
+    rep = F.min("doc_id").over(Window.partitionBy("simhash16"))
+    return fp.select("doc_id", "simhash16", rep.alias("rep_doc_id"))
 
 
 def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: candidates share one of the two 8-bit
-    halves of the 16-bit fingerprint (pigeonhole: any pair within
-    Hamming distance ≤ 1 per half is guaranteed a shared band; wider
-    distances trade recall for candidate count — the standard banding
-    compromise), verified by exact Hamming distance ≤ 3 via
-    bit_count(xor).
+    """SimHash near-MISS pairs: Hamming distance in [1, 3] — distance
+    0 (identical fingerprints) is deliberately excluded; that mass is
+    the linear q_simhash_dedup_groups' job, and including it makes the
+    output itself quadratic on clone-heavy corpora.
 
-    Scale shape: candidate generation is an equi-join on (band_idx,
-    band_bits) — identical to the MinHash LSH join, no pair
-    enumeration. The verify is a per-pair popcount, map-side."""
+    Candidates share one 8-bit half of the fingerprint (pigeonhole:
+    d ≤ 1 per half guarantees a shared band; wider distances trade
+    recall — the standard banding compromise). Buckets larger than
+    MAX_SIMHASH_BUCKET are dropped before the self-join: they are
+    identical-fingerprint pileups whose pairs are d=0, not near-misses.
+    The verify is a per-pair popcount, map-side."""
     docs = spread(spark, load(spark, sf_dir, "documents"))
     fp = docs.select("doc_id", simhash16_col(F.col("text")).alias("sh16"))
     lo = (F.col("sh16") % 256).cast("int")
@@ -367,6 +389,10 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "sh16", F.col("b.band_idx").alias("band_idx"),
         F.col("b.band_bits").alias("band_bits"),
     ).repartition("band_idx", "band_bits")
+    occ = F.count("*").over(Window.partitionBy("band_idx", "band_bits"))
+    banded = banded.withColumn("_occ", occ).filter(
+        F.col("_occ") <= MAX_SIMHASH_BUCKET
+    ).drop("_occ")
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(
         F.col("a.sh16").bitwiseXOR(F.col("b.sh16")).cast("long")
@@ -384,7 +410,7 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
-        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .filter(F.col("hamming").between(1, SIMHASH_HAMMING_MAX))
         .distinct()
     )
 
@@ -413,6 +439,7 @@ QUERIES = {
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_simhash_dedup_groups": q_simhash_dedup_groups,
     "q_simhash_neardup_pairs": q_simhash_neardup_pairs,
     "q_binary_meta": q_binary_meta,
 }
@@ -513,20 +540,33 @@ ORACLES = {
                sim.simhash16
         FROM documents d JOIN sim ON d.doc_id = sim.doc_id
     """,
+    "q_simhash_dedup_groups": """
+        WITH {simhash_cte}
+        SELECT doc_id, simhash16,
+               min(doc_id) OVER (PARTITION BY simhash16) AS rep_doc_id
+        FROM sim
+    """,
     "q_simhash_neardup_pairs": f"""
         WITH {{simhash_cte}},
-        banded AS (
+        banded0 AS (
             SELECT doc_id, simhash16, 0 AS band_idx,
                    simhash16 % 256 AS band_bits FROM sim
             UNION ALL
             SELECT doc_id, simhash16, 1 AS band_idx,
-                   simhash16 // 256 AS band_bits FROM sim)
+                   simhash16 // 256 AS band_bits FROM sim),
+        banded AS (
+            SELECT * FROM (
+                SELECT *, count(*) OVER
+                    (PARTITION BY band_idx, band_bits) AS occ
+                FROM banded0)
+            WHERE occ <= {MAX_SIMHASH_BUCKET})
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                bit_count(xor(a.simhash16, b.simhash16)) AS hamming
         FROM banded a JOIN banded b
           ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
          AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash16, b.simhash16)) <= {SIMHASH_HAMMING_MAX}
+        WHERE bit_count(xor(a.simhash16, b.simhash16))
+              BETWEEN 1 AND {SIMHASH_HAMMING_MAX}
     """,
     "q_minhash_lsh_pairs": f"""
         WITH {_SHINGLES_CTE},
@@ -565,5 +605,5 @@ ORACLES = {
 }
 
 
-for _n in ("q_doc_fingerprint", "q_simhash_neardup_pairs"):
+for _n in ("q_doc_fingerprint", "q_simhash_dedup_groups", "q_simhash_neardup_pairs"):
     ORACLES[_n] = ORACLES[_n].format(simhash_cte=_SIMHASH_CTE)
