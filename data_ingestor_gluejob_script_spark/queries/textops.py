@@ -274,11 +274,26 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_MINHASH_BUCKET = 200
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidates: pairs sharing ≥1 of 2
     bands (4 rows each). Candidate generation is an equi-join on
-    (band_idx, band_hash) — the O(n²)-free scale path."""
-    bands = _minhash_bands(spark, sf_dir)
+    (band_idx, band_hash) — the O(n²)-free scale path.
+
+    Hot-bucket hygiene (same as the SimHash pair join): a band bucket
+    larger than MAX_MINHASH_BUCKET is an exact/near-clone pileup whose
+    pairs are exact-dedup's job; dropping it bounds the join to
+    O(cap · corpus) instead of O(max-cluster²). No bucket reaches the
+    cap on the testdata, so results are unchanged — the guard exists
+    for the clone-heavy corpora where it is the difference between a
+    linear and a quadratic job."""
+    bands0 = _minhash_bands(spark, sf_dir)
+    occ = F.count("*").over(Window.partitionBy("band_idx", "band_hash"))
+    bands = bands0.withColumn("_occ", occ).filter(
+        F.col("_occ") <= MAX_MINHASH_BUCKET
+    ).drop("_occ")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -571,10 +586,21 @@ ORACLES = {
     "q_minhash_lsh_pairs": f"""
         WITH {_SHINGLES_CTE},
         sig AS (SELECT doc_id, {_SIG_SLOTS} FROM toks GROUP BY doc_id),
-        bands AS (SELECT doc_id, md5({_BAND1}) AS b1, md5({_BAND2}) AS b2 FROM sig)
+        bands0 AS (SELECT doc_id, md5({_BAND1}) AS b1, md5({_BAND2}) AS b2 FROM sig),
+        occ1 AS (SELECT b1, count(*) AS c FROM bands0 GROUP BY b1),
+        occ2 AS (SELECT b2, count(*) AS c FROM bands0 GROUP BY b2),
+        bands AS (
+            SELECT d.doc_id,
+                   CASE WHEN o1.c <= {MAX_MINHASH_BUCKET} THEN d.b1 END AS b1,
+                   CASE WHEN o2.c <= {MAX_MINHASH_BUCKET} THEN d.b2 END AS b2
+            FROM bands0 d
+            JOIN occ1 o1 ON d.b1 = o1.b1
+            JOIN occ2 o2 ON d.b2 = o2.b2)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
-          ON a.doc_id < b.doc_id AND (a.b1 = b.b1 OR a.b2 = b.b2)
+          ON a.doc_id < b.doc_id
+         AND ((a.b1 IS NOT NULL AND a.b1 = b.b1)
+           OR (a.b2 IS NOT NULL AND a.b2 = b.b2))
     """,
     "q_ngram_jaccard_pairs": f"""
         WITH {_SHINGLES_CTE},
