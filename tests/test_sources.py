@@ -82,3 +82,34 @@ def test_watermark_validation_rejects_injection():
     with pytest.raises(ValueError):
         validate_watermark("; DROP TABLE retail_orders")
     assert validate_watermark("2024-01-01 00:00:00") == "2024-01-01 00:00:00"
+
+
+def test_json_reader_contract(spark, tmp_path):
+    import json as _json
+
+    from data_ingestor_gluejob_script_spark.sources.files import (
+        read_json_table,
+    )
+
+    # Missing file → None.
+    assert read_json_table(spark, str(tmp_path / "nope.json"), ORDERS) is None
+
+    # Extra fields dropped, values land by name, all-string coercion.
+    path = str(tmp_path / "retail_orders.json")
+    rec = {c: f"v_{c}" for c in ORDERS.columns} | {
+        "id": 7, "extra": "IGNORED"
+    }
+    with open(path, "w") as f:
+        f.write(_json.dumps(rec) + "\n")
+    out = read_json_table(spark, path, ORDERS)
+    assert out.columns == list(ORDERS.columns)
+    row = out.collect()[0]
+    assert row.id == "7"  # int coerced to lake string
+    assert row.status == "v_status"
+
+    # Missing schema column → error.
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        f.write(_json.dumps({"id": "1"}) + "\n")
+    with pytest.raises(ValueError, match="missing schema columns"):
+        read_json_table(spark, bad, ORDERS)
