@@ -92,10 +92,16 @@ def sample_chunks(
     plugs in by replacing the slicer inside the same shape."""
     p = F.col(payload_col)
     n_chunks = F.ceil(F.octet_length(p) / F.lit(chunk_bytes)).cast("int")
-    idx = F.filter(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: i % stride == 0,
-    )
+    # Zero-length payloads must yield zero chunk rows: sequence(0, -1)
+    # is the DESCENDING sequence [0, -1], which would leak a spurious
+    # offset-0 empty chunk through the explode.
+    idx = F.when(
+        n_chunks > 0,
+        F.filter(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: i % stride == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     return (
         df.withColumn("_i", F.explode(idx))
         .withColumn("chunk_offset", F.col("_i") * chunk_bytes)

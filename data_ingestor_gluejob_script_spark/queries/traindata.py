@@ -156,11 +156,14 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q_seq_pack deliberately first: the driver's gate records at most 50
+# queries in dict-insertion order, and q_seq_pack sat unverified at
+# position 51 for two rounds (CORRECTNESS_r02/r03).
 QUERIES = {
+    "q_seq_pack": q_seq_pack,
     "q_split_assign": q_split_assign,
     "q_stratified_sample": q_stratified_sample,
     "q_text_normalize": q_text_normalize,
-    "q_seq_pack": q_seq_pack,
 }
 
 ORACLES = {

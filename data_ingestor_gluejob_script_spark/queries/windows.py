@@ -222,7 +222,7 @@ ORACLES = {
     """,
     "q_json_extract": """
         SELECT event_type, count(*) AS n_events,
-               sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+               sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
                min(json_extract(props, '$.k')::BIGINT) AS min_k,
                max(json_extract(props, '$.k')::BIGINT) AS max_k
         FROM events GROUP BY event_type

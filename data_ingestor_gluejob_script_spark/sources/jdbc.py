@@ -23,10 +23,13 @@ raises. Identifiers come from the static registry, never from input.
 
 Scale notes (100 TB source extraction): a single ``query`` pushdown
 reads on one connection. For big windows, pass ``partition_column`` /
-``num_partitions`` so Spark splits the read into parallel range-bound
-connections (each gets ``WHERE fk-range`` appended by the JDBC source).
-``fetchsize`` keeps the per-connection cursor streaming instead of
-buffering the result set.
+``num_partitions``: the pushdown statement is wrapped as a ``dbtable``
+subquery alias and all four of partitionColumn/lowerBound/upperBound/
+numPartitions are set (Spark requires the full quartet, and forbids
+``partitionColumn`` with ``query``), so Spark opens num_partitions
+range-bounded connections. Bounds come from the caller or a 1-row
+min/max probe over the same subquery. ``fetchsize`` keeps each
+connection's cursor streaming instead of buffering the result set.
 """
 
 from __future__ import annotations
@@ -98,6 +101,41 @@ class JdbcConfig:
     fetchsize: int = 10_000
 
 
+def partition_options(
+    sql: str,
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int,
+) -> dict[str, str]:
+    """Option dict for a parallel range-bound JDBC read.
+
+    Spark's JDBC source forbids ``partitionColumn`` with the ``query``
+    option and requires all four of partitionColumn / lowerBound /
+    upperBound / numPartitions together — so the pushdown statement is
+    wrapped as a ``dbtable`` subquery alias and every bound is set.
+    Kept as a pure function so tests can assert the exact dict without
+    a live database.
+    """
+    return {
+        "dbtable": f"({sql}) AS sub",
+        "partitionColumn": partition_column,
+        "lowerBound": str(lower_bound),
+        "upperBound": str(upper_bound),
+        "numPartitions": str(num_partitions),
+    }
+
+
+def bounds_probe_sql(sql: str, partition_column: str) -> str:
+    """1-row min/max statement used to derive the range bounds when the
+    caller doesn't supply them — runs on the same pushdown subquery, so
+    the bounds reflect exactly the rows the parallel read will fetch."""
+    return (
+        f"SELECT MIN({partition_column}) AS lo, MAX({partition_column}) AS hi "
+        f"FROM ({sql}) AS sub"
+    )
+
+
 class JdbcSource:
     """Incremental table reader over one source database.
 
@@ -108,18 +146,28 @@ class JdbcSource:
     def __init__(self, config: JdbcConfig):
         self.config = config
 
-    def _reader(self, spark: SparkSession, query: str):
+    def _reader(self, spark: SparkSession, options: dict[str, str]):
         r = (
             spark.read.format("jdbc")
             .option("url", self.config.url)
             .option("user", self.config.user)
             .option("password", self.config.password)
-            .option("query", query)
             .option("fetchsize", str(self.config.fetchsize))
         )
         if self.config.driver:
             r = r.option("driver", self.config.driver)
-        return r
+        return r.options(**options)
+
+    def _probe_bounds(
+        self, spark: SparkSession, sql: str, partition_column: str
+    ) -> tuple[int, int]:
+        """Min/max probe over the pushdown subquery (one connection,
+        one row)."""
+        probe = bounds_probe_sql(sql, partition_column)
+        row = self._reader(spark, {"query": probe}).load().collect()[0]
+        if row[0] is None:
+            return (0, 1)  # empty window: any valid range; read yields 0 rows
+        return (int(row[0]), int(row[1]) + 1)
 
     def read_table(
         self,
@@ -128,19 +176,23 @@ class JdbcSource:
         watermark: str,
         partition_column: str | None = None,
         num_partitions: int = 8,
+        bounds: tuple[int, int] | None = None,
     ) -> DataFrame | None:
         """S3/S4: changed-rows extraction with the join chain and the
-        watermark predicate executed by the source DB."""
+        watermark predicate executed by the source DB.
+
+        With ``partition_column`` the read is split into
+        ``num_partitions`` range-bounded parallel connections (the
+        100 TB extraction path); bounds come from ``bounds`` or a
+        min/max probe on the same pushdown subquery.
+        """
         sql = incremental_sql(spec, watermark)
-        reader = self._reader(spark, sql)
         if partition_column:
-            # Parallel range extraction: Spark probes min/max then opens
-            # num_partitions range-bounded connections.
-            reader = (
-                reader.option("partitionColumn", partition_column)
-                .option("numPartitions", str(num_partitions))
-            )
-        df = reader.load()
+            lo, hi = bounds or self._probe_bounds(spark, sql, partition_column)
+            opts = partition_options(sql, partition_column, lo, hi, num_partitions)
+        else:
+            opts = {"query": sql}
+        df = self._reader(spark, opts).load()
         # Post-JDBC projection to the registry schema, by NAME
         # (gluejob.py:273,280) — extra source columns dropped.
         return df.select(*[c for c in spec.columns if c in df.columns])
@@ -149,5 +201,5 @@ class JdbcSource:
         """S5: source-DB clock, captured before extraction
         (gluejob.py:282-304, 616)."""
         sql = _CLOCK_SQL[self.config.kind]
-        row = self._reader(spark, sql).load().collect()[0]
+        row = self._reader(spark, {"query": sql}).load().collect()[0]
         return row[0].strftime(WATERMARK_FORMAT)

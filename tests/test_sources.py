@@ -9,7 +9,9 @@ import pytest
 from data_ingestor_gluejob_script_spark.registry import spec
 from data_ingestor_gluejob_script_spark.sources.files import read_csv_table
 from data_ingestor_gluejob_script_spark.sources.jdbc import (
+    bounds_probe_sql,
     incremental_sql,
+    partition_options,
     validate_watermark,
 )
 
@@ -74,6 +76,29 @@ def test_incremental_sql_three_hop_chain():
         "WHERE retail_subscriptions.updated_at >= '2024-01-01 00:00:00'"
     )
     assert sql.startswith("SELECT retail_provisionings.* ")
+
+
+def test_partition_options_full_quartet_as_dbtable_subquery():
+    # Spark's JDBC source forbids partitionColumn alongside `query` and
+    # requires all four range options together — assert the exact dict.
+    sql = incremental_sql(spec("retail_orders"), "2024-01-01 00:00:00")
+    opts = partition_options(sql, "id", 100, 5000, 8)
+    assert opts == {
+        "dbtable": f"({sql}) AS sub",
+        "partitionColumn": "id",
+        "lowerBound": "100",
+        "upperBound": "5000",
+        "numPartitions": "8",
+    }
+    assert "query" not in opts
+
+
+def test_bounds_probe_sql_wraps_pushdown_subquery():
+    sql = incremental_sql(spec("retail_orders"), "2024-01-01 00:00:00")
+    probe = bounds_probe_sql(sql, "id")
+    assert probe == (
+        f"SELECT MIN(id) AS lo, MAX(id) AS hi FROM ({sql}) AS sub"
+    )
 
 
 def test_watermark_validation_rejects_injection():
