@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass, field
-from datetime import datetime
+from datetime import datetime, timezone
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,6 +67,7 @@ def write_partitioned_upsert(
     lake_root: str,
     company: str = "Locaweb",
     max_records_per_file: int | None = None,
+    single_object_compat: bool = False,
 ) -> int:
     """K1: merge one table batch into its lake partitions.
 
@@ -74,6 +75,14 @@ def write_partitioned_upsert(
     F2 guard at gluejob.py:175-179). Mirrors posting_parquets_in_s3 +
     s3_parquet_file_put_and_update (gluejob.py:173-205) as one
     distributed plan.
+
+    ``single_object_compat=True`` reproduces the reference's exact
+    on-disk contract — ONE parquet object named ``{table}.parquet``
+    per partition directory (gluejob.py:187,201-203) — for downstream
+    readers that GET that key instead of listing the directory. It
+    routes each partition through a single task (a deliberate
+    parallelism cap), so leave it off at scale and run the default
+    multi-file layout + ``compact_partitions`` instead.
     """
     if batch.limit(1).count() == 0:
         log.info("skip empty batch for %s", spec.name)
@@ -107,8 +116,14 @@ def write_partitioned_upsert(
 
     merged = upsert_dedup(prepared, existing, spec.id_col)  # O6+O7
     n = merged.count()
-    writer = merged.withColumn("company", F.lit(company)).write
-    if max_records_per_file:
+    out = merged.withColumn("company", F.lit(company))
+    if single_object_compat:
+        # Hash-partition on the partition columns so each (company,
+        # year, month) combination lands in exactly one task → exactly
+        # one file per partition directory, renamed below.
+        out = out.repartition("company", ycol, mcol)
+    writer = out.write
+    if max_records_per_file and not single_object_compat:
         # The reference writes ONE object per partition (gluejob.py:
         # 187,201-203) — a single-task bottleneck at 100 TB. We keep
         # the directory contract and bound file size instead: Spark
@@ -119,8 +134,34 @@ def write_partitioned_upsert(
         .partitionBy("company", ycol, mcol)
         .parquet(root)
     )
+    if single_object_compat:
+        _rename_to_single_objects(spark, root, spec.name)
     log.info("upserted %d rows into %s", n, root)
     return n
+
+
+def _rename_to_single_objects(spark: SparkSession, root: str, table: str) -> None:
+    """Rename each partition's lone ``part-*.parquet`` to the
+    reference's object name ``{table}.parquet`` (gluejob.py:187).
+
+    Goes through the Hadoop FileSystem API so the same code works on
+    any path scheme (local, HDFS, s3a) — object stores implement
+    rename as copy+delete, one more reason this mode is compat-only.
+    """
+    jvm = spark._jvm
+    pattern = jvm.org.apache.hadoop.fs.Path(
+        f"{root}/company=*/{table}_year=*/{table}_month=*/part-*.parquet"
+    )
+    fs = pattern.getFileSystem(spark._jsc.hadoopConfiguration())
+    for status in fs.globStatus(pattern) or []:
+        src = status.getPath()
+        dst = jvm.org.apache.hadoop.fs.Path(
+            src.getParent(), f"{table}.parquet"
+        )
+        if fs.exists(dst):  # re-upsert into an already-compat partition
+            fs.delete(dst, False)
+        if not fs.rename(src, dst):
+            raise IOError(f"compat rename failed: {src} -> {dst}")
 
 
 def compact_partitions(
@@ -247,7 +288,7 @@ class LocalFileSource:
     def clock(self, spark: SparkSession) -> str:
         """t0 stand-in for S5 (gluejob.py:282-304): injected fixed
         clock in tests, wall clock otherwise."""
-        now = self._clock or datetime.utcnow()
+        now = self._clock or datetime.now(timezone.utc)
         return now.strftime(WATERMARK_FORMAT)
 
 

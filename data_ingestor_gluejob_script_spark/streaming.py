@@ -25,7 +25,9 @@ with streaming semantics.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 import pandas as pd
@@ -45,6 +47,9 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     temp directory (FileStreamSource only accepts directories)."""
     if os.path.isfile(events_dir):
         d = tempfile.mkdtemp(prefix="events-stream-")
+        # The stream reads this lazily, so the wrapper can only be
+        # reclaimed at interpreter exit, not here.
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
         os.symlink(events_dir, os.path.join(d, os.path.basename(events_dir)))
         events_dir = d
     batch = spark.read.parquet(events_dir)

@@ -25,14 +25,14 @@ from __future__ import annotations
 
 import json
 import os
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 
 WATERMARK_FORMAT = "%Y-%m-%d %H:%M:%S"  # second precision (gluejob.py:81,87)
 
 
 def default_watermark(now: datetime | None = None) -> str:
     """Yesterday midnight, second precision (gluejob.py:78-87)."""
-    now = now or datetime.utcnow()
+    now = now or datetime.now(timezone.utc)
     midnight = now.replace(hour=0, minute=0, second=0, microsecond=0)
     return (midnight - timedelta(days=1)).strftime(WATERMARK_FORMAT)
 

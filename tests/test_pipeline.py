@@ -305,3 +305,58 @@ def test_compaction_and_stats(spark, tmp_path, lake):
         for r in lake_partition_stats(spark, root).collect()
     }
     assert stats == {(2024, 1): 60, (2024, 2): 40}
+
+
+def test_single_object_compat_layout(spark, tmp_path, lake):
+    """Reference on-disk contract (gluejob.py:187,201-203): exactly one
+    object named {table}.parquet per partition directory, stable across
+    a re-upsert into the same partitions."""
+    import glob
+
+    from data_ingestor_gluejob_script_spark.pipeline import (
+        write_partitioned_upsert,
+    )
+
+    spec = CATALOG["retail_subscriptions"]
+    rows = [
+        _sub(f"s{i}", "2024-01-10 10:00:00", "2024-01-10 10:00:00")
+        for i in range(30)
+    ] + [
+        _sub(f"t{i}", "2024-02-10 10:00:00", "2024-02-10 10:00:00")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        [[r[c] for c in spec.columns] for r in rows], list(spec.columns)
+    )
+    n = write_partitioned_upsert(
+        spark, df, spec, lake, single_object_compat=True
+    )
+    assert n == 50
+    root = f"{lake}/raw/locaweb/{spec.name}"
+    expected = {
+        f"{root}/company=Locaweb/{spec.name}_year=2024/"
+        f"{spec.name}_month={m}/{spec.name}.parquet"
+        for m in (1, 2)
+    }
+    got = set(glob.glob(f"{root}/company=Locaweb/*/*/*.parquet"))
+    assert got == expected  # exact object names, no part-* files
+
+    # Re-upsert into the same partitions (update + insert): the compat
+    # naming must survive the dynamic partition overwrite.
+    rows2 = [
+        _sub("s0", "2024-01-10 10:00:00", "2024-03-01 00:00:00", status="x"),
+        _sub("u1", "2024-01-20 10:00:00", "2024-01-20 10:00:00"),
+    ]
+    df2 = spark.createDataFrame(
+        [[r[c] for c in spec.columns] for r in rows2], list(spec.columns)
+    )
+    write_partitioned_upsert(
+        spark, df2, spec, lake, single_object_compat=True
+    )
+    got2 = set(glob.glob(f"{root}/company=Locaweb/*/*/*.parquet"))
+    assert got2 == expected
+    out = spark.read.parquet(root)
+    assert out.count() == 51  # 50 + u1; s0 replaced in place
+    assert (
+        out.filter(out.id == "s0").select("status").collect()[0][0] == "x"
+    )
