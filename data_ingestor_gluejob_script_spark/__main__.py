@@ -22,6 +22,7 @@ import argparse
 import json
 import sys
 
+from .config import ConfigError, EnvConfigProvider, JsonFileConfigProvider
 from .pipeline import LocalFileSource, run
 from .registry import CATALOG
 from .session import get_spark
@@ -35,14 +36,47 @@ def main(argv: list[str] | None = None) -> int:
                         "anything else = no-op")
     p.add_argument("--job-mode", default="allTables",
                    help="allTables | one table name; anything else = no-op")
-    p.add_argument("--source-root", required=True,
+    p.add_argument("--environment", default=None,
+                   help="deployment stage (the reference's Environment "
+                        "job parameter, gluejob.py:603); selects the "
+                        "config namespace. Path flags override config "
+                        "values; without it all path flags are required")
+    p.add_argument("--config-root", default=None,
+                   help="directory of {environment}/parameters.json + "
+                        "credentials.json; omit to read config from "
+                        "INGESTOR_{ENV}_PARAMETERS / _CREDENTIALS env vars")
+    p.add_argument("--source-root",
                    help="initial load: root of {database}/{table}.csv; "
                         "incremental: directory of {table}.csv drops")
-    p.add_argument("--lake-root", required=True)
-    p.add_argument("--watermark-path", required=True)
-    p.add_argument("--company", default="Locaweb")
+    p.add_argument("--lake-root")
+    p.add_argument("--watermark-path")
+    p.add_argument("--company", default=None)
     p.add_argument("--app-name", default="data-ingestor-spark")
     args = p.parse_args(argv)
+
+    # Resolve paths: explicit flag > environment config > error.
+    params: dict = {}
+    if args.environment:
+        provider = (
+            JsonFileConfigProvider(args.config_root, args.environment)
+            if args.config_root
+            else EnvConfigProvider(args.environment)
+        )
+        try:
+            params = provider.parameters()
+        except ConfigError as e:
+            print(f"config error: {e}", file=sys.stderr)
+            return 2
+    for name in ("source_root", "lake_root", "watermark_path"):
+        if getattr(args, name) is None:
+            if name not in params:
+                p.error(
+                    f"--{name.replace('_', '-')} is required "
+                    "(flag or environment config)"
+                )
+            setattr(args, name, params[name])
+    if args.company is None:
+        args.company = params.get("company", "Locaweb")
 
     spark = get_spark(args.app_name)
     store = WatermarkStore(args.watermark_path, list(CATALOG))
