@@ -38,6 +38,7 @@ from dataclasses import dataclass
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import TableSpec
 from ..watermarks import WATERMARK_FORMAT
@@ -194,8 +195,18 @@ class JdbcSource:
             opts = {"query": sql}
         df = self._reader(spark, opts).load()
         # Post-JDBC projection to the registry schema, by NAME
-        # (gluejob.py:273,280) — extra source columns dropped.
-        return df.select(*[c for c in spec.columns if c in df.columns])
+        # (gluejob.py:273,280) — extra source columns dropped. Matched
+        # case-insensitively: databases fold unquoted identifiers
+        # (PostgreSQL → lower, Derby/Oracle → UPPER), so the result-set
+        # casing need not equal the registry's.
+        by_fold = {c.lower(): c for c in df.columns}
+        return df.select(
+            *[
+                F.col(by_fold[c.lower()]).alias(c)
+                for c in spec.columns
+                if c.lower() in by_fold
+            ]
+        )
 
     def clock(self, spark: SparkSession) -> str:
         """S5: source-DB clock, captured before extraction
