@@ -198,20 +198,24 @@ ORACLES = {
                length(text) AS raw_len, length(norm) AS norm_len
         FROM n
     """,
+    # DuckDB sum(BIGINT) widens to HUGEINT, which hash-mismatches the
+    # Spark BIGINT column even when values are identical (same artifact
+    # class that bit q_json_extract in r2/r3) — cast the running sum and
+    # everything derived from it back to BIGINT.
     "q_seq_pack": f"""
         WITH t AS (
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
             FROM documents),
         c AS (
             SELECT doc_id, n_tokens,
-                   COALESCE(sum(n_tokens) OVER (
+                   CAST(COALESCE(sum(n_tokens) OVER (
                        ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                       0) AS tokens_before
+                       0) AS BIGINT) AS tokens_before
             FROM t)
         SELECT doc_id, n_tokens, tokens_before,
                CAST(floor(tokens_before / {PACK_TOKENS}) AS BIGINT) AS pack_id,
-               tokens_before % {PACK_TOKENS} AS pack_offset
+               CAST(tokens_before % {PACK_TOKENS} AS BIGINT) AS pack_offset
         FROM c
     """,
 }
