@@ -2,11 +2,13 @@
 
 The testdata ``events`` table stores its ``ts`` column as parquet
 TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright
-(PARQUET_TYPE_ILLEGAL). We read it with
-``spark.sql.legacy.parquet.nanosAsLong`` and truncate ns → µs with
-integer division (``div 1000`` — floating-point division would round
-instead, diverging from DuckDB's cast-truncation semantics for
-TIMESTAMP_NS → TIMESTAMP and corrupting the microsecond digit).
+(PARQUET_TYPE_ILLEGAL). We read it under an explicit user schema that
+types ``ts`` as LongType (legal for NANOS columns regardless of the
+``nanosAsLong`` legacy conf — no session-conf mutation needed) and
+truncate ns → µs with integer division (``div 1000`` — floating-point
+division would round instead, diverging from DuckDB's cast-truncation
+semantics for TIMESTAMP_NS → TIMESTAMP and corrupting the microsecond
+digit).
 """
 
 from __future__ import annotations
@@ -15,6 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Fixed watermark literals (FIXTURES.md §A) — deterministic stand-ins for
 # the reference's runtime watermark dict (gluejob.py:89-118).
@@ -36,15 +39,27 @@ def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
+# Pinned events schema (TESTDATA.md): ts declared LongType so the
+# vectorized reader accepts the TIMESTAMP(NANOS) column under ANY
+# session conf — works identically with or without the legacy
+# ``nanosAsLong`` flag, so the driver's vanilla session needs no
+# conf mutation. Catalyst still prunes unused columns from the scan.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one testdata table, normalizing events.ts to TimestampType."""
     path = os.path.join(sf_dir, f"{table}.parquet")
     if table == "events":
-        # The engine's own session factory sets this globally; set it
-        # here too because the driver supplies its own SparkSession.
-        # Safe to leave enabled: it only affects TIMESTAMP(NANOS)
-        # parquet columns, which exist solely in the events table.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = spark.read.schema(EVENTS_SCHEMA).parquet(path)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(path)
