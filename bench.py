@@ -12,11 +12,22 @@ covers the full distributed plan (scan → shuffle → result) without
 driver-side collect serialization; that matches how a query would be
 consumed at 100 TB (written to a sink, not collected).
 
-Protocol hardening (round-4): the harness waits for the host's
-1-minute load to drop below half the CPU count before timing (up to
-2 minutes), runs best-of-``$SPARK_GRAFT_BENCH_REPS`` (default 5) per
-query, and records the load at start/end in the JSON so a noisy run
-is visible in the artifact instead of masquerading as a regression.
+Protocol hardening:
+- The harness waits for the host's 1-minute load to drop below half
+  the CPU count before timing (up to 2 minutes) and records the load
+  at start/end so a noisy run is visible in the artifact.
+- Best-of-``$SPARK_GRAFT_BENCH_REPS`` (default 5) per query;
+  contention on a shared host is one-sided (a noisy neighbor only
+  ADDS time), so the min estimates the plan's own cost.
+- Queries run in batches of ``$SPARK_GRAFT_BENCH_BATCH`` (default 10),
+  EACH BATCH IN A FRESH SUBPROCESS (its own JVM). Round-4's artifact
+  recorded 4.77 s for a query that measures 0.83 s in isolation — one
+  long-lived JVM accumulates session/GC/codegen state over ~250
+  actions and the tail of the alphabet pays for the head. A new JVM
+  per batch bounds that accumulation; batch startup cost is NOT part
+  of any query's timing.
+- Per-rep times are recorded in ``reps_detail`` so a degraded tail
+  (reps trending upward) is visible in the artifact, not just the min.
 """
 
 from __future__ import annotations
@@ -24,13 +35,12 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-import __spark_entry__ as entry_mod  # noqa: E402
-from data_ingestor_gluejob_script_spark.session import get_spark  # noqa: E402
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 
 def sf_of(sf_dir: str) -> float:
@@ -60,34 +70,81 @@ def wait_for_quiet_host(max_load: float, timeout_sec: float = 120.0) -> float:
     return load
 
 
+def run_batch(names: list[str], sf_dir: str, reps: int) -> dict:
+    """Worker: time the named queries in THIS process's fresh JVM.
+
+    Returns {"reps_detail": {name: [sec, ...]}}; -1.0 entries mark a
+    failed rep (error text goes to stderr, kept out of the JSON line).
+    """
+    import __spark_entry__ as entry_mod
+    from data_ingestor_gluejob_script_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footer caches so per-query numbers measure
+    # the plan, not first-touch JIT/IO (same treatment for every batch).
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).count()
+
+    queries = entry_mod.queries()
+    detail: dict[str, list[float]] = {}
+    for name in names:
+        fn = queries[name]
+        rep_times: list[float] = []
+        for _ in range(reps):
+            try:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                rep_times.append(round(time.perf_counter() - t0, 3))
+            except Exception as ex:  # noqa: BLE001 — record, keep benching
+                rep_times.append(-1.0)
+                print(
+                    f"bench error {name}: {type(ex).__name__}: {ex}",
+                    file=sys.stderr,
+                )
+        detail[name] = rep_times
+    spark.stop()
+    return {"reps_detail": detail}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    batch_size = int(os.environ.get("SPARK_GRAFT_BENCH_BATCH", "10"))
     ncpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32)))
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--batch":
+        print(json.dumps(run_batch(sys.argv[2].split(","), sf_dir, reps)))
+        return 0
+
+    import __spark_entry__ as entry_mod  # listing only; no JVM in the parent
+
+    names = sorted(entry_mod.queries())
     start_load = wait_for_quiet_host(max_load=0.5 * ncpus)
-    spark = get_spark("bench")
 
-    # Warm the JVM + parquet footer caches so per-query numbers measure
-    # the plan, not first-touch JIT/IO (same treatment for every query).
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).count()
-
-    timings: dict[str, float] = {}
-    for name, fn in sorted(entry_mod.queries().items()):
-        # Best of N (default 5): contention is one-sided — a noisy
-        # neighbor only ever ADDS time — so the min is the cleanest
-        # estimator of the plan's own cost on a shared host.
-        best = None
+    reps_detail: dict[str, list[float]] = {}
+    for i in range(0, len(names), batch_size):
+        batch = names[i : i + batch_size]
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--batch", ",".join(batch)],
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=sys.stderr,
+            text=True,
+        )
         try:
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None or dt < best else best
-            timings[name] = round(best, 3)
-        except Exception as ex:  # noqa: BLE001 — record, keep benching
-            timings[name] = -1.0
-            print(f"bench error {name}: {type(ex).__name__}: {ex}", file=sys.stderr)
+            lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+            reps_detail.update(json.loads(lines[-1])["reps_detail"])
+        except (IndexError, ValueError, KeyError):
+            print(
+                f"bench batch failed (rc={proc.returncode}): {batch}",
+                file=sys.stderr,
+            )
+            for name in batch:
+                reps_detail[name] = [-1.0]
 
+    timings = {
+        name: (min(ok) if (ok := [t for t in rep_times if t >= 0]) else -1.0)
+        for name, rep_times in reps_detail.items()
+    }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -98,6 +155,8 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf_of(sf_dir),
                 "reps": reps,
+                "batch_size": batch_size,
+                "reps_detail": reps_detail,
                 "load_at_start": start_load,
                 "load_at_end": loadavg_1m(),
             }
