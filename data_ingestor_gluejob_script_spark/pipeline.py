@@ -97,13 +97,18 @@ def write_partitioned_upsert(
 
     root = lake_table_root(lake_root, spec.name)
     existing = read_parquet_table(spark, root)
-    if existing is not None:
-        # Partition-scoped merge (gluejob.py:190-205): only read lake
-        # partitions the batch touches. The collect is metadata-sized.
+    # The (year, month) set this batch touches — drives both the lake
+    # pruning predicate and the compat rename scope. The collect is
+    # metadata-sized (bounded by the calendar, not the data).
+    touched: list[tuple] = []
+    if existing is not None or single_object_compat:
         touched = [
             (r[0], r[1])
             for r in prepared.select(ycol, mcol).distinct().collect()
         ]
+    if existing is not None:
+        # Partition-scoped merge (gluejob.py:190-205): only read lake
+        # partitions the batch touches.
         pred = reduce(
             lambda a, b: a | b,
             [(F.col(ycol) == y) & (F.col(mcol) == m) for y, m in touched],
@@ -135,33 +140,65 @@ def write_partitioned_upsert(
         .parquet(root)
     )
     if single_object_compat:
-        _rename_to_single_objects(spark, root, spec.name)
+        _rename_to_single_objects(spark, root, spec.name, company, touched)
     log.info("upserted %d rows into %s", n, root)
     return n
 
 
-def _rename_to_single_objects(spark: SparkSession, root: str, table: str) -> None:
-    """Rename each partition's lone ``part-*.parquet`` to the
+def _part_dir_value(v) -> str:
+    """Directory-name form of a partition value (Hive convention for
+    null partitions)."""
+    return "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+
+
+def _rename_to_single_objects(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    company: str,
+    touched: list[tuple],
+) -> None:
+    """Rename each TOUCHED partition's lone ``part-*.parquet`` to the
     reference's object name ``{table}.parquet`` (gluejob.py:187).
+
+    Scoped to the (year, month) partitions this batch actually wrote:
+    a table-root-wide glob would also sweep untouched partitions, and
+    an untouched partition holding several ``part-*`` files (written in
+    the default multi-file mode, or compacted with
+    ``target_files_per_partition > 1``) would lose all but one of them
+    to the rename-over-delete. A touched partition with more than one
+    ``part-*`` file raises instead of guessing — it means the
+    single-task-per-partition invariant of the compat write was broken.
 
     Goes through the Hadoop FileSystem API so the same code works on
     any path scheme (local, HDFS, s3a) — object stores implement
     rename as copy+delete, one more reason this mode is compat-only.
     """
     jvm = spark._jvm
-    pattern = jvm.org.apache.hadoop.fs.Path(
-        f"{root}/company=*/{table}_year=*/{table}_month=*/part-*.parquet"
-    )
-    fs = pattern.getFileSystem(spark._jsc.hadoopConfiguration())
-    for status in fs.globStatus(pattern) or []:
-        src = status.getPath()
-        dst = jvm.org.apache.hadoop.fs.Path(
-            src.getParent(), f"{table}.parquet"
+    fs = None
+    for y, m in touched:
+        part_dir = (
+            f"{root}/company={company}/{table}_year={_part_dir_value(y)}"
+            f"/{table}_month={_part_dir_value(m)}"
         )
-        if fs.exists(dst):  # re-upsert into an already-compat partition
-            fs.delete(dst, False)
-        if not fs.rename(src, dst):
-            raise IOError(f"compat rename failed: {src} -> {dst}")
+        pattern = jvm.org.apache.hadoop.fs.Path(f"{part_dir}/part-*.parquet")
+        if fs is None:
+            fs = pattern.getFileSystem(spark._jsc.hadoopConfiguration())
+        matches = list(fs.globStatus(pattern) or [])
+        if len(matches) > 1:
+            raise IOError(
+                f"compat rename expects one part file in {part_dir}, "
+                f"found {len(matches)} — refusing to delete data"
+            )
+        for status in matches:
+            src = status.getPath()
+            dst = jvm.org.apache.hadoop.fs.Path(
+                src.getParent(), f"{table}.parquet"
+            )
+            if fs.exists(dst):  # re-upsert into an already-compat partition
+                fs.delete(dst, False)
+            if not fs.rename(src, dst):
+                raise IOError(f"compat rename failed: {src} -> {dst}")
 
 
 def compact_partitions(
@@ -183,7 +220,7 @@ def compact_partitions(
     Returns the number of rows rewritten.
     """
     df = spark.read.parquet(table_root)
-    part_cols = [c for c in df.columns if _is_partition_col(df, table_root, c)]
+    part_cols = _partition_cols(spark, df, table_root)
     n = df.count()
     (
         df.repartition(target_files_per_partition, *part_cols)
@@ -194,13 +231,30 @@ def compact_partitions(
     return n
 
 
-def _is_partition_col(df, table_root: str, col: str) -> bool:
-    """Partition columns are the ones materialized as k=v directories."""
-    import glob
+def _partition_cols(spark: SparkSession, df, table_root: str) -> list[str]:
+    """Columns materialized as ``k=v`` directories under the table
+    root, in ``df.columns`` (i.e. hierarchy) order.
 
-    return bool(glob.glob(f"{table_root}/{col}=*") + glob.glob(
-        f"{table_root}/*/{col}=*"
-    ) + glob.glob(f"{table_root}/*/*/{col}=*"))
+    Uses the Hadoop FileSystem glob — NOT Python's ``glob`` — so
+    detection works for any path scheme (local, HDFS, s3a). A local
+    glob silently returns nothing for object-store URIs, which would
+    make compaction ``partitionBy()`` nothing and flatten the lake's
+    partition layout.
+    """
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(table_root).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    found = []
+    for col in df.columns:
+        for depth in ("", "*/", "*/*/"):
+            pattern = jvm.org.apache.hadoop.fs.Path(
+                f"{table_root}/{depth}{col}=*"
+            )
+            if fs.globStatus(pattern):
+                found.append(col)
+                break
+    return found
 
 
 def lake_partition_stats(spark: SparkSession, table_root: str) -> DataFrame:
@@ -208,7 +262,7 @@ def lake_partition_stats(spark: SparkSession, table_root: str) -> DataFrame:
     query behind compaction/skew decisions. Partition pruning makes
     this a metadata-plus-counts scan, not a full-column read."""
     df = spark.read.parquet(table_root)
-    part_cols = [c for c in df.columns if _is_partition_col(df, table_root, c)]
+    part_cols = _partition_cols(spark, df, table_root)
     return df.groupBy(*part_cols).count().withColumnRenamed("count", "n_rows")
 
 

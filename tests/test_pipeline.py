@@ -360,3 +360,120 @@ def test_single_object_compat_layout(spark, tmp_path, lake):
     assert (
         out.filter(out.id == "s0").select("status").collect()[0][0] == "x"
     )
+
+
+def _df_60jan_40feb(spark, spec):
+    rows = [
+        _sub(f"s{i}", "2024-01-10 10:00:00", "2024-01-10 10:00:00")
+        for i in range(60)
+    ] + [
+        _sub(f"t{i}", "2024-02-10 10:00:00", "2024-02-10 10:00:00")
+        for i in range(40)
+    ]
+    return spark.createDataFrame(
+        [[r[c] for c in spec.columns] for r in rows], list(spec.columns)
+    )
+
+
+def test_compat_rename_spares_untouched_multifile_partitions(
+    spark, tmp_path, lake
+):
+    """Regression: the compat rename used to glob part-* under EVERY
+    partition of the table root, so a compat upsert touching January
+    would sweep February's multi-file layout down to one file (silent
+    data loss). The rename is now scoped to the batch's touched
+    partitions."""
+    import glob
+
+    from data_ingestor_gluejob_script_spark.pipeline import (
+        write_partitioned_upsert,
+    )
+
+    spec = CATALOG["retail_subscriptions"]
+    write_partitioned_upsert(
+        spark, _df_60jan_40feb(spark, spec), spec, lake,
+        max_records_per_file=10,
+    )
+    root = f"{lake}/raw/locaweb/{spec.name}"
+    feb_dir = (
+        f"{root}/company=Locaweb/{spec.name}_year=2024/{spec.name}_month=2"
+    )
+    feb_before = sorted(glob.glob(f"{feb_dir}/part-*.parquet"))
+    assert len(feb_before) >= 4  # 40 rows / 10 per file — multi-file
+
+    # Compat upsert touching ONLY January.
+    rows2 = [
+        _sub("s0", "2024-01-10 10:00:00", "2024-03-01 00:00:00", status="x")
+    ]
+    df2 = spark.createDataFrame(
+        [[r[c] for c in spec.columns] for r in rows2], list(spec.columns)
+    )
+    write_partitioned_upsert(
+        spark, df2, spec, lake, single_object_compat=True
+    )
+
+    # February's files are byte-for-byte untouched; January is compat.
+    assert sorted(glob.glob(f"{feb_dir}/part-*.parquet")) == feb_before
+    jan_dir = (
+        f"{root}/company=Locaweb/{spec.name}_year=2024/{spec.name}_month=1"
+    )
+    assert glob.glob(f"{jan_dir}/*.parquet") == [
+        f"{jan_dir}/{spec.name}.parquet"
+    ]
+    out = spark.read.parquet(root)
+    assert out.filter(out[f"{spec.name}_month"] == 2).count() == 40
+    assert out.filter(out[f"{spec.name}_month"] == 1).count() == 60
+    assert out.filter(out.id == "s0").select("status").collect()[0][0] == "x"
+
+
+def test_compat_rename_refuses_multifile_touched_partition(spark, tmp_path):
+    """A touched partition holding >1 part file means the single-task
+    invariant broke — the rename must raise, never delete data."""
+    from data_ingestor_gluejob_script_spark.pipeline import (
+        _rename_to_single_objects,
+    )
+
+    root = str(tmp_path / "t")
+    d = f"{root}/company=Locaweb/tbl_year=2024/tbl_month=1"
+    os.makedirs(d)
+    for i in range(2):
+        with open(f"{d}/part-0000{i}.parquet", "w") as f:
+            f.write("x")
+    with pytest.raises(IOError, match="refusing"):
+        _rename_to_single_objects(spark, root, "tbl", "Locaweb", [(2024, 1)])
+
+
+def test_compaction_via_hadoop_scheme_path(spark, tmp_path, lake):
+    """Partition-column detection must go through the Hadoop FS, not
+    Python glob: for a scheme'd URI (file:, s3a:, hdfs:) a local glob
+    sees nothing, compaction would partitionBy() nothing, and the lake
+    layout would silently flatten."""
+    import glob
+
+    from data_ingestor_gluejob_script_spark.pipeline import (
+        compact_partitions,
+        lake_partition_stats,
+        write_partitioned_upsert,
+    )
+
+    spec = CATALOG["retail_subscriptions"]
+    write_partitioned_upsert(
+        spark, _df_60jan_40feb(spark, spec), spec, lake,
+        max_records_per_file=10,
+    )
+    root_local = f"{lake}/raw/locaweb/{spec.name}"
+    root_uri = f"file:{root_local}"  # Python glob returns [] for this
+
+    n = compact_partitions(spark, root_uri)
+    assert n == 100
+    for m in (1, 2):
+        assert os.path.isdir(
+            f"{root_local}/company=Locaweb/{spec.name}_year=2024/"
+            f"{spec.name}_month={m}"
+        )
+    assert len(glob.glob(f"{root_local}/company=Locaweb/*/*/*.parquet")) == 2
+    stats = {
+        (r[f"{spec.name}_year"], r[f"{spec.name}_month"]): r.n_rows
+        for r in lake_partition_stats(spark, root_uri).collect()
+    }
+    assert stats == {(2024, 1): 60, (2024, 2): 40}
