@@ -168,6 +168,18 @@ class JdbcSource:
         row = self._reader(spark, {"query": probe}).load().collect()[0]
         if row[0] is None:
             return (0, 1)  # empty window: any valid range; read yields 0 rows
+        if not isinstance(row[0], int) or isinstance(row[0], bool):
+            # Spark's JDBC source also accepts date/timestamp partition
+            # columns, but this probe's +1-exclusive arithmetic is
+            # integral — fail with the column named rather than an
+            # opaque int() traceback; callers with temporal columns
+            # should pass explicit ``bounds``.
+            raise TypeError(
+                f"partition_column {partition_column!r} probed as "
+                f"{type(row[0]).__name__} ({row[0]!r}); automatic bounds "
+                "probing supports integral columns only — pass explicit "
+                "bounds=(lower, upper) for date/timestamp/decimal columns"
+            )
         return (int(row[0]), int(row[1]) + 1)
 
     def read_table(
@@ -198,14 +210,19 @@ class JdbcSource:
         # (gluejob.py:273,280) — extra source columns dropped. Matched
         # case-insensitively: databases fold unquoted identifiers
         # (PostgreSQL → lower, Derby/Oracle → UPPER), so the result-set
-        # casing need not equal the registry's.
+        # casing need not equal the registry's. A registry column absent
+        # from the result set raises — same contract as the CSV/JSON
+        # readers (files.py) — instead of silently narrowing the lake
+        # schema.
         by_fold = {c.lower(): c for c in df.columns}
+        missing = [c for c in spec.columns if c.lower() not in by_fold]
+        if missing:
+            raise ValueError(
+                f"JDBC result for {spec.name} is missing schema columns "
+                f"{missing} (result set: {sorted(df.columns)})"
+            )
         return df.select(
-            *[
-                F.col(by_fold[c.lower()]).alias(c)
-                for c in spec.columns
-                if c.lower() in by_fold
-            ]
+            *[F.col(by_fold[c.lower()]).alias(c) for c in spec.columns]
         )
 
     def clock(self, spark: SparkSession) -> str:

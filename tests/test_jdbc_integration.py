@@ -11,13 +11,20 @@ from __future__ import annotations
 
 import pytest
 
-from data_ingestor_gluejob_script_spark.registry import spec
+from data_ingestor_gluejob_script_spark.registry import TableSpec, spec
 from data_ingestor_gluejob_script_spark.sources.jdbc import (
     JdbcConfig,
     JdbcSource,
 )
 
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+# The Derby fixture table carries a 4-column subset of the registry
+# schema; reads use this narrowed spec (same table name → same pushdown
+# SQL). The FULL registry spec is used by the missing-column raise test.
+NARROW_SPEC = TableSpec(
+    "retail_subscriptions", ("id", "status", "created_at", "updated_at")
+)
 
 
 @pytest.fixture(scope="module")
@@ -31,8 +38,9 @@ def derby(spark, tmp_path_factory):
     jvm.java.lang.Class.forName(DERBY_DRIVER)
     conn = jvm.java.sql.DriverManager.getConnection(f"{url};create=true")
     st = conn.createStatement()
-    # Only a subset of the registry columns: read_table projects by
-    # NAME intersection, mirroring the reference's desired_columns.
+    # Only a subset of the registry columns — reads in this module use
+    # NARROW_SPEC; the full registry spec triggers the missing-column
+    # contract (see test_missing_registry_column_raises).
     st.executeUpdate(
         "CREATE TABLE retail_subscriptions ("
         "id INT PRIMARY KEY, status VARCHAR(20), "
@@ -65,7 +73,7 @@ WM = "2024-01-15 00:00:00"
 
 
 def test_single_connection_pushdown_read(spark, source):
-    df = source.read_table(spark, spec("retail_subscriptions"), WM)
+    df = source.read_table(spark, NARROW_SPEC, WM)
     # Whole-statement pushdown: only the 20 post-watermark rows arrive.
     assert df.count() == 20
     assert set(df.columns) == {"id", "status", "created_at", "updated_at"}
@@ -75,7 +83,7 @@ def test_single_connection_pushdown_read(spark, source):
 def test_parallel_read_with_explicit_bounds(spark, source):
     df = source.read_table(
         spark,
-        spec("retail_subscriptions"),
+        NARROW_SPEC,
         WM,
         partition_column="id",
         num_partitions=4,
@@ -89,7 +97,7 @@ def test_parallel_read_with_explicit_bounds(spark, source):
 def test_parallel_read_probes_bounds_when_absent(spark, source):
     df = source.read_table(
         spark,
-        spec("retail_subscriptions"),
+        NARROW_SPEC,
         WM,
         partition_column="id",
         num_partitions=3,
@@ -103,9 +111,32 @@ def test_parallel_read_empty_window(spark, source):
     and must still produce a loadable (empty) parallel read."""
     df = source.read_table(
         spark,
-        spec("retail_subscriptions"),
+        NARROW_SPEC,
         "2030-01-01 00:00:00",
         partition_column="id",
         num_partitions=3,
     )
     assert df.count() == 0
+
+
+def test_missing_registry_column_raises(spark, source):
+    """Same contract as the CSV/JSON readers: a registry column absent
+    from the JDBC result set raises instead of silently narrowing the
+    lake schema (the full retail_subscriptions spec has 20 columns,
+    the fixture table 4)."""
+    with pytest.raises(ValueError, match="missing schema columns"):
+        source.read_table(spark, spec("retail_subscriptions"), WM)
+
+
+def test_non_integral_partition_column_raises(spark, source):
+    """Automatic bounds probing is integral-only: a VARCHAR partition
+    column must fail with the column named and a pointer to explicit
+    bounds, not an opaque int() cast traceback."""
+    with pytest.raises(TypeError, match="updated_at"):
+        source.read_table(
+            spark,
+            NARROW_SPEC,
+            WM,
+            partition_column="updated_at",
+            num_partitions=2,
+        )
