@@ -54,6 +54,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--app-name", default="data-ingestor-spark")
     args = p.parse_args(argv)
 
+    if args.config_root and not args.environment:
+        # Without an environment the provider branch is never entered —
+        # fail loudly rather than silently ignoring the user's config
+        # and then demanding path flags they expected to come from it.
+        p.error("--config-root requires --environment (it selects the "
+                "config namespace under that root)")
+
     # Resolve paths: explicit flag > environment config > error.
     params: dict = {}
     if args.environment:

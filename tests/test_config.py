@@ -133,3 +133,18 @@ def test_cli_missing_environment_config_fails(tmp_path, capsys):
     ])
     assert rc == 2
     assert "config error" in capsys.readouterr().err
+
+
+def test_cli_config_root_without_environment_errors(tmp_path, capsys):
+    """--config-root alone used to be silently ignored (the provider
+    branch only runs under --environment), leaving the user with
+    'required' errors for path flags they expected the config to
+    supply. It must fail loudly instead."""
+    import pytest
+
+    from data_ingestor_gluejob_script_spark.__main__ import main
+
+    with pytest.raises(SystemExit) as exc:
+        main(["--config-root", str(tmp_path)])
+    assert exc.value.code == 2
+    assert "requires --environment" in capsys.readouterr().err
