@@ -458,7 +458,8 @@ QUERIES = {
     "q_simhash_neardup_pairs": q_simhash_neardup_pairs,
 }
 
-# q_binary_meta stays implemented + pytest-covered but is NOT registered
+# q_binary_meta stays implemented + differentially tested (tests/
+# test_inventory.py::test_binary_meta_differential) but is NOT registered
 # with the driver: its surface (byte length / md5 / chunk count over
 # text-as-binary) is a strict subset of q_media_metadata + q_media_chunks
 # over real binary payloads, and the driver's correctness gate records at
@@ -631,8 +632,9 @@ ORACLES = {
     """,
 }
 
-# Oracle twin for the unregistered q_binary_meta (used by pytest's local
-# differential check, not the driver gate — see the QUERIES note above).
+# Oracle twin for the unregistered q_binary_meta — exercised by
+# tests/test_inventory.py::test_binary_meta_differential, not the driver
+# gate (see the QUERIES note above).
 BINARY_META_ORACLE = """
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,
