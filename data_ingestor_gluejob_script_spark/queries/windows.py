@@ -14,6 +14,14 @@ Cross-engine notes:
   engine-neutral.
 - Analytic windows (lag / moving average): identical ROWS-frame
   semantics in both engines; floats rounded before compare.
+
+Scale note (100 TB): ``q_percentiles`` uses EXACT ``F.percentile`` —
+required for the oracle hash-match, but sort-based per group. The
+operator of record at scale is ``q_percentiles_approx`` (mergeable
+Greenwald-Khanna sketch, map-side combinable, bounded memory); it is
+pytest-verified against the exact form within relative-error bounds
+(tests/test_operators.py) and kept out of the driver registry only
+because a sketch can't hash-match DuckDB's t-digest.
 """
 
 from __future__ import annotations
@@ -129,6 +137,30 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+    )
+
+
+def q_percentiles_approx(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10_000
+) -> DataFrame:
+    """Scale-path twin of ``q_percentiles``: ``percentile_approx``'s
+    Greenwald-Khanna sketch replaces the exact sort-based percentile.
+
+    Exact ``F.percentile`` materializes and sorts every group's values
+    — fine at test scale, a per-group sort of the full 100 TB column at
+    scale. The sketch is fixed-size, mergeable, and map-side
+    combinable: each partition summarizes locally and only sketches
+    cross the shuffle. Rank error is bounded by ``n / accuracy``.
+
+    Not driver-registered (a sketch can't hash-match DuckDB's t-digest
+    — see q_percentiles); verified against the exact form within
+    relative-error bounds in tests/test_operators.py.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(accuracy)).alias("p50"),
+        F.percentile_approx("value", F.lit(0.9), F.lit(accuracy)).alias("p90"),
         F.round(F.avg("value"), 4).alias("mean_value"),
     )
 

@@ -78,3 +78,28 @@ def test_cast_all_string(spark):
         "string",
         "string",
     ]
+
+
+def test_percentiles_approx_tracks_exact_within_rel_error(spark):
+    """The scale-path sketch (q_percentiles_approx) must track the
+    exact operator (q_percentiles) per group within tight relative
+    error at sf0.1 — the evidence that swapping it in at 100 TB trades
+    bounded accuracy, not correctness."""
+    from data_ingestor_gluejob_script_spark.queries.windows import (
+        q_percentiles,
+        q_percentiles_approx,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    exact = {
+        r.event_type: (r.p50, r.p90) for r in q_percentiles(spark, sf_dir).collect()
+    }
+    approx = {
+        r.event_type: (r.p50, r.p90)
+        for r in q_percentiles_approx(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for et, (e50, e90) in exact.items():
+        a50, a90 = approx[et]
+        assert abs(a50 - e50) / max(abs(e50), 1e-9) < 0.02, (et, a50, e50)
+        assert abs(a90 - e90) / max(abs(e90), 1e-9) < 0.02, (et, a90, e90)
