@@ -25,7 +25,16 @@ Protocol hardening:
   long-lived JVM accumulates session/GC/codegen state over ~250
   actions and the tail of the alphabet pays for the head. A new JVM
   per batch bounds that accumulation; batch startup cost is NOT part
-  of any query's timing.
+  of any query's timing. The load gate re-runs before every batch
+  (short timeout) so a contention wave hitting mid-suite delays the
+  next batch instead of polluting it.
+- Within a batch, reps run ROUND-ROBIN (pass 1 of every query, then
+  pass 2, ...) rather than query-at-a-time. This host's contention
+  arrives in multi-minute waves; query-at-a-time puts ALL of one
+  query's reps inside a wave (inflating even the min — observed 5-50×
+  on byte-identical code), while round-robin spreads a wave across
+  the batch so each query keeps clean reps outside it. Pass 1 also
+  acts as the JVM warm-up for everything in the batch.
 - Per-rep times are recorded in ``reps_detail`` so a degraded tail
   (reps trending upward) is visible in the artifact, not just the min.
 """
@@ -85,24 +94,28 @@ def run_batch(names: list[str], sf_dir: str, reps: int) -> dict:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).count()
 
     queries = entry_mod.queries()
-    detail: dict[str, list[float]] = {}
-    for name in names:
-        fn = queries[name]
-        rep_times: list[float] = []
-        for _ in range(reps):
+    detail: dict[str, list[float]] = {name: [] for name in names}
+    failed: set[str] = set()
+    load0 = loadavg_1m()
+    for _ in range(reps):  # round-robin: pass k of every query
+        for name in names:
+            if name in failed:
+                continue
             try:
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                rep_times.append(round(time.perf_counter() - t0, 3))
+                queries[name](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                detail[name].append(round(time.perf_counter() - t0, 3))
             except Exception as ex:  # noqa: BLE001 — record, keep benching
-                rep_times.append(-1.0)
+                detail[name].append(-1.0)
+                failed.add(name)
                 print(
                     f"bench error {name}: {type(ex).__name__}: {ex}",
                     file=sys.stderr,
                 )
-        detail[name] = rep_times
     spark.stop()
-    return {"reps_detail": detail}
+    return {"reps_detail": detail, "load": [load0, loadavg_1m()]}
 
 
 def main() -> int:
@@ -121,8 +134,11 @@ def main() -> int:
     start_load = wait_for_quiet_host(max_load=0.5 * ncpus)
 
     reps_detail: dict[str, list[float]] = {}
+    batch_loads: list[list[float]] = []
     for i in range(0, len(names), batch_size):
         batch = names[i : i + batch_size]
+        if i:  # re-gate between batches; a short wait beats a noisy batch
+            wait_for_quiet_host(max_load=0.5 * ncpus, timeout_sec=60.0)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--batch", ",".join(batch)],
             cwd=REPO,
@@ -132,7 +148,9 @@ def main() -> int:
         )
         try:
             lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
-            reps_detail.update(json.loads(lines[-1])["reps_detail"])
+            out = json.loads(lines[-1])
+            reps_detail.update(out["reps_detail"])
+            batch_loads.append(out.get("load", []))
         except (IndexError, ValueError, KeyError):
             print(
                 f"bench batch failed (rc={proc.returncode}): {batch}",
@@ -140,6 +158,7 @@ def main() -> int:
             )
             for name in batch:
                 reps_detail[name] = [-1.0]
+            batch_loads.append([])
 
     timings = {
         name: (min(ok) if (ok := [t for t in rep_times if t >= 0]) else -1.0)
@@ -157,6 +176,7 @@ def main() -> int:
                 "reps": reps,
                 "batch_size": batch_size,
                 "reps_detail": reps_detail,
+                "batch_loads": batch_loads,
                 "load_at_start": start_load,
                 "load_at_end": loadavg_1m(),
             }
