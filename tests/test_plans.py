@@ -95,3 +95,20 @@ def test_no_cartesian_products_anywhere(plans):
     # nested-loop join is the broadcast of a 1-row query vector.
     for name in entry_mod.queries():
         assert "CartesianProduct" not in plans(name), name
+
+
+def test_seq_pack_prefix_sum_shape(plans):
+    """The distributed prefix sum's contract: the ONLY global-order
+    (single-partition) exchange carries the per-block offsets (#blocks
+    rows), the per-doc window is partitioned by block, and the offsets
+    come back via broadcast — never a global window over every doc."""
+    p = plans("q_seq_pack")
+    assert p.count("SinglePartition") == 1
+    assert p.count("hashpartitioning(_blk") >= 1
+    assert "BroadcastHashJoin" in p
+
+
+def test_revenue_star_join_pushes_region_filter_and_broadcasts(plans):
+    p = plans("q_revenue_by_nation")
+    assert "EqualTo(r_name,ASIA)" in p  # region filter reaches the scan
+    assert p.count("BroadcastHashJoin") >= 3  # dims broadcast, facts shuffle
