@@ -206,6 +206,57 @@ def run_stateful_totals(
     return spark.table(query_name)
 
 
+def stream_exact_dedup(
+    events: DataFrame, keys: list[str] | None = None, late: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of the exact-dedup operator
+    (``queries.textops.q_exact_dedup_docs`` / the K1 upsert's keyed
+    dedup): drop re-deliveries of the same key as they arrive.
+
+    Streaming mode uses ``dropDuplicatesWithinWatermark`` — dedup
+    state for a key is held only until the event-time watermark passes
+    its first sighting + ``late``, so the state store is bounded by the
+    duplicate-arrival horizon, not the stream length (the property that
+    makes this safe on an unbounded 100 TB/day feed; plain streaming
+    ``dropDuplicates`` would grow state forever). Batch mode is plain
+    ``dropDuplicates`` on the same keys, so the two twins agree on any
+    replayable input whose duplicates arrive within the horizon.
+    """
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", late).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    events_dir: str,
+    query_name: str = "dedup",
+    keys: list[str] | None = None,
+    late: str = "2 hours",
+) -> DataFrame:
+    """Drive the streaming dedup to completion (availableNow, append
+    mode — dedup emits each surviving row exactly once) into a memory
+    sink. ``late`` must cover the event-time span a replayed batch can
+    straddle: rows older than (max seen ts - late) are late data and
+    dropped, so catch-up runs over historical files need a horizon at
+    least as wide as the backlog."""
+    deduped = stream_exact_dedup(
+        read_events_stream(spark, events_dir), keys=keys, late=late
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def stream_incremental_upsert(
     spark: SparkSession,
     source_dir: str,

@@ -143,3 +143,37 @@ def test_stream_sessions_match_batch(spark):
     }
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    """Duplicate every event across two files; the streaming dedup must
+    emit each event_id exactly once and agree with the batch twin."""
+    from pyspark.sql import functions as F
+    from data_ingestor_gluejob_script_spark.queries._util import load
+
+    src = str(tmp_path / "dup_events")
+    events = load(spark, SF_DIR, "events")
+    n = events.count()
+    events.write.parquet(src)  # file 1: originals
+    events.sample(0.5, seed=7).write.mode("append").parquet(src)  # dups
+    assert spark.read.parquet(src).count() > n  # dups really landed
+
+    # The two files are replayed history spanning the whole table's
+    # time range, so the duplicate horizon must cover that span —
+    # otherwise the second micro-batch's rows are (correctly) dropped
+    # as late data once the first batch advances the watermark.
+    got = streaming.run_dedup_stream(spark, src, "t_dedup_test", late="365 days")
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+
+    batch = streaming.stream_exact_dedup(spark.read.parquet(src))
+    assert batch.count() == n
+    stream_vals = {
+        (r.event_id, r.user_id, r.value)
+        for r in got.select("event_id", "user_id", "value").collect()
+    }
+    batch_vals = {
+        (r.event_id, r.user_id, r.value)
+        for r in batch.select("event_id", "user_id", "value").collect()
+    }
+    assert stream_vals == batch_vals
