@@ -138,6 +138,12 @@ def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         _load_emb(spark, sf_dir)
         .withColumn("sig", lsh_signature(F.col("emb")))
+        # Norm once per VECTOR, not per candidate pair: inside the
+        # self-join each pair would otherwise re-fold both 64-dim
+        # self-dot-products — 2/3 of the pair-verify arithmetic.
+        # sqrt(dot(v,v)) here is the exact value cosine() would
+        # compute, so results are bit-identical to the oracle.
+        .withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
         # Exchange on the join key: without it both self-join sides
         # recompute the 8 hyperplane projections; with it they read
         # one ReusedExchange, already partitioned for the join.
@@ -145,7 +151,11 @@ def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = emb.alias("a")
     b = emb.alias("b")
-    sim = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6)
+    sim = F.round(
+        dot(F.col("a.emb"), F.col("b.emb"))
+        / (F.col("a.norm") * F.col("b.norm")),
+        6,
+    )
     return (
         a.join(
             b,
