@@ -66,6 +66,10 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Definitional cosine similarity. The query plans below inline
+    this with one or both norms precomputed (per vector / in the
+    broadcast row) — same expression tree, same doubles; this form is
+    the contract they must equal."""
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
@@ -81,15 +85,16 @@ def lsh_signature(vec: Column) -> Column:
 def _scored(emb: DataFrame) -> DataFrame:
     """(vec_id, cosine_sim vs QUERY_VEC_ID) for every other vector."""
     qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("emb").alias("q_emb")
+        F.col("emb").alias("q_emb"),
+        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("q_norm"),
+    )
+    sim = dot(F.col("emb"), F.col("q_emb")) / (
+        F.sqrt(dot(F.col("emb"), F.col("emb"))) * F.col("q_norm")
     )
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(qv))
-        .select(
-            "vec_id",
-            F.round(cosine(F.col("emb"), F.col("q_emb")), 6).alias("cosine_sim"),
-        )
+        .select("vec_id", F.round(sim, 6).alias("cosine_sim"))
     )
 
 
@@ -115,17 +120,22 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm — approximation error is part of the contract, not a
     mismatch."""
     emb = _load_emb(spark, sf_dir).withColumn("sig", lsh_signature(F.col("emb")))
+    # The query's norm rides in the 1-row broadcast so the per-row
+    # score folds dot(e,q) and dot(e,e) but not dot(q,q) — identical
+    # value, one fewer 64-dim fold per corpus row.
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("emb").alias("q_emb"), F.col("sig").alias("q_sig")
+        F.col("emb").alias("q_emb"),
+        F.col("sig").alias("q_sig"),
+        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("q_norm"),
+    )
+    sim = dot(F.col("emb"), F.col("q_emb")) / (
+        F.sqrt(dot(F.col("emb"), F.col("emb"))) * F.col("q_norm")
     )
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
         .filter(F.col("sig") == F.col("q_sig"))
-        .select(
-            "vec_id",
-            F.round(cosine(F.col("emb"), F.col("q_emb")), 6).alias("cosine_sim"),
-        )
+        .select("vec_id", F.round(sim, 6).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
         .limit(TOP_K)
     )
