@@ -48,16 +48,23 @@ def words_col(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def shingles_col(text: Column) -> Column:
-    """Distinct k-word shingles (k=3): transform over an index sequence,
-    concat_ws of consecutive words — all JVM-side array functions.
+def shingles_from_words(ws: Column) -> Column:
+    """Distinct k-word shingles (k=3) from a PRE-PROJECTED words array:
+    transform over an index sequence, concat_ws of consecutive words —
+    all JVM-side array functions.
+
+    ``ws`` should be a materialized column (``select(split(...).alias)``
+    first), not an inline ``split(...)``: higher-order functions break
+    whole-stage codegen and run interpreted WITHOUT common-subexpression
+    elimination, so an inline split is re-evaluated on every lambda
+    element access — three splits per shingle, O(words²) work per
+    document. Binding the array first makes each access an O(1) read.
 
     Docs with fewer than k words yield an EMPTY shingle set: without
     the guard, ``sequence(0, n-k)`` has a negative stop and generates a
     descending index sequence, which under ANSI mode throws
     INVALID_ARRAY_INDEX — and diverges from the oracle's empty list.
     """
-    ws = words_col(text)
     n = F.size(ws)
     idx = F.sequence(F.lit(0), n - F.lit(SHINGLE_K))
     sh = F.transform(
@@ -68,9 +75,35 @@ def shingles_col(text: Column) -> Column:
     )
 
 
+def shingles_col(text: Column) -> Column:
+    """Convenience form over raw text (tests / one-off use). Hot paths
+    project ``words_col`` first and call ``shingles_from_words`` — see
+    its docstring for why."""
+    return shingles_from_words(words_col(text))
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w) inverted-index rows, one per distinct shingle, with
+    ``w = xxhash64(shingle)`` — the join/shuffle key is 8 bytes instead
+    of a ~20-byte 3-word string (fewer shuffle bytes, long-typed sort
+    and join comparisons). Internal key only, never compared against
+    the oracle: a 64-bit collision merges two shingles with probability
+    ~n²/2⁶⁵ — negligible at any corpus this runs on (the module's
+    md5-for-oracle-visible-hashes discipline is about output values,
+    not internal keys).
+
+    The explicit not-null filters are no-ops data-wise but keep every
+    consumer's plan subtree canonically identical, so the self-join's
+    inferred ``isnotnull`` constraints don't break exchange reuse."""
     docs = spread(spark, load(spark, sf_dir, "documents"))
-    return docs.select("doc_id", F.explode(shingles_col(F.col("text"))).alias("w"))
+    return (
+        docs.select("doc_id", words_col(F.col("text")).alias("_ws"))
+        .select(
+            "doc_id", F.explode(shingles_from_words(F.col("_ws"))).alias("_s")
+        )
+        .select("doc_id", F.xxhash64("_s").alias("w"))
+        .filter(F.col("w").isNotNull() & F.col("doc_id").isNotNull())
+    )
 
 
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,11 +259,16 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_hash) candidate join, whose input is 2 rows per doc."""
     docs = spread(spark, load(spark, sf_dir, "documents"))
     # Emptiness test on the cheap word count, NOT on the shingle array:
-    # a filter on shingles_col gets pushed below the repartition and
-    # evaluates the whole shingling expression single-threaded on the
-    # one-partition scan (and then again after the exchange).
-    sh = docs.filter(F.size(words_col(F.col("text"))) >= SHINGLE_K).select(
-        "doc_id", shingles_col(F.col("text")).alias("sh")
+    # a filter on the shingle expression gets pushed below the
+    # repartition and evaluates the whole shingling single-threaded on
+    # the one-partition scan (and then again after the exchange). The
+    # words array is projected before shingling so the interpreted
+    # lambda binds an attribute, not a per-access re-split
+    # (shingles_from_words docstring).
+    sh = (
+        docs.select("doc_id", words_col(F.col("text")).alias("_ws"))
+        .filter(F.size(F.col("_ws")) >= SHINGLE_K)
+        .select("doc_id", shingles_from_words(F.col("_ws")).alias("sh"))
     )
     # ONE md5 per shingle, split into 8 independent 16-bit chunk
     # hashes (slot i = hex chars [4i+1, 4i+4]) — the one-strong-hash
@@ -324,6 +362,12 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         all_toks.withColumn("_df", df_w)
         .filter(F.col("_df") <= MAX_SHINGLE_DF)
         .drop("_df")
+        # Exchange ABOVE the DF-filtered index: its three consumers
+        # (both self-join sides and the per-doc sizes) read one
+        # ReusedExchange instead of each re-running the shingling +
+        # window pipeline — without this the plan computes the
+        # derivation four times (2 join sides + 2 size branches).
+        .repartition("w")
     )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = toks.alias("a")
