@@ -27,7 +27,7 @@ Reference parity note: the reference has no similarity operator at all
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._util import load
@@ -182,6 +182,123 @@ def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_IVF_CELLS = 16
+IVF_NPROBE = 2
+
+
+def _ivf_centroid_row(emb: DataFrame) -> DataFrame:
+    """One-row DataFrame carrying the IVF codebook: the K seed
+    centroids as ``array<struct<cid,c,cn>>`` sorted by cid.
+
+    Seeds are the K lowest-vec_id vectors — a deterministic
+    k-means-style init both engines compute identically (no RNG, no
+    stored model). A Lloyd refinement would be an iterative batch job —
+    alternating assign (this module's ``ivf_cell``) and per-cell mean
+    (one groupBy shuffle) steps — layered on exactly this codebook
+    shape; the seed codebook keeps the query single-pass and the
+    bucketing behavior identical in kind.
+
+    The orderBy().limit(K) compiles to a take-ordered (top-K by
+    vec_id), not a global sort; ``sort_array`` over the structs orders
+    by the leading cid field, making the array deterministic regardless
+    of collect_list's arrival order."""
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(N_IVF_CELLS)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
+            F.col("emb").alias("c"),
+            F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("cn"),
+        )
+    )
+    return cents.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "c", "cn"))).alias("cents")
+    )
+
+
+def _cell_scores(e: Column, cents: Column) -> Column:
+    """array<struct<s,cid>>: centroid affinity ``dot(e,c)/|c|`` for one
+    vector. |e| is constant across centroids, so this ranks cells
+    exactly like full cosine at a third of the arithmetic. Division
+    (not multiply-by-inverse) for bit-parity with the oracle's
+    ``/ cn``."""
+    return F.transform(
+        cents,
+        lambda ct: F.struct(
+            (dot(e, ct["c"]) / ct["cn"]).alias("s"), ct["cid"].alias("cid")
+        ),
+    )
+
+
+def ivf_cell(e: Column, cents: Column) -> Column:
+    """Nearest-centroid id: left fold keeping the strictly better
+    score, so ties resolve to the lowest cid — matching the oracle's
+    ``ORDER BY s DESC, cid``. Map-only: assignment never shuffles."""
+    best = F.aggregate(
+        _cell_scores(e, cents),
+        F.struct(
+            F.lit(float("-inf")).alias("s"), F.lit(-1).alias("cid")
+        ),
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+    )
+    return best["cid"]
+
+
+def ivf_probe_cells(e: Column, cents: Column, nprobe: int) -> Column:
+    """Top-``nprobe`` cell ids for a query vector: comparator sort
+    (s DESC, cid ASC) then slice — array-native, no explode."""
+    ranked = F.array_sort(
+        _cell_scores(e, cents),
+        lambda left, right: F.when(left["s"] > right["s"], F.lit(-1))
+        .when(left["s"] < right["s"], F.lit(1))
+        .when(left["cid"] < right["cid"], F.lit(-1))
+        .otherwise(F.lit(1)),
+    )
+    return F.transform(F.slice(ranked, 1, nprobe), lambda x: x["cid"])
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-5: the centroid-bucketed ANN
+    scale path beside the hyperplane-LSH variant. Vectors are assigned
+    to their nearest of K seed centroids (map-only fold over the
+    broadcast codebook); the query probes its IVF_NPROBE nearest cells
+    and exact-rescores only those vectors.
+
+    At 100 TB: the codebook is a K×dim broadcast; assignment is a map;
+    persisting the corpus ``partitionBy("cell")`` turns every probe
+    into a partition-pruned scan of nprobe/K of the data; multi-query
+    batches become an equi-join on cell. Deterministic by construction,
+    so approximation error is part of the contract, not noise.
+
+    NOT driver-registered (the 50-entry gate is full — see
+    tests/test_inventory.py); differentially verified against
+    IVF_TOPK_ORACLE in tests/test_similarity_ivf.py instead.
+    """
+    emb = _load_emb(spark, sf_dir)
+    with_cents = emb.crossJoin(F.broadcast(_ivf_centroid_row(emb)))
+    assigned = with_cents.select(
+        "vec_id", "emb", ivf_cell(F.col("emb"), F.col("cents")).alias("cell")
+    )
+    q = with_cents.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("q_emb"),
+        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("q_norm"),
+        ivf_probe_cells(
+            F.col("emb"), F.col("cents"), IVF_NPROBE
+        ).alias("probe"),
+    )
+    sim = dot(F.col("emb"), F.col("q_emb")) / (
+        F.sqrt(dot(F.col("emb"), F.col("emb"))) * F.col("q_norm")
+    )
+    return (
+        assigned.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .filter(F.array_contains(F.col("probe"), F.col("cell")))
+        .select("vec_id", F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 QUERIES = {
     "q_similarity_topk": q_similarity_topk,
     "q_ann_lsh_topk": q_ann_lsh_topk,
@@ -234,3 +351,39 @@ ORACLES = {
         WHERE {_SQL_COS.format(a="a.e", b="b.e")} >= {NEARDUP_COSINE}
     """,
 }
+
+# DuckDB twin of q_ivf_topk — kept OUT of ORACLES (not driver-
+# registered; the gate is pinned at 50). tests/test_similarity_ivf.py
+# runs the differential locally. Scoring, tie-breaks (s DESC, cid ASC;
+# final cosine_sim DESC, vec_id ASC) and fold order mirror the Spark
+# expressions term for term.
+IVF_TOPK_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+               e AS cv, sqrt(list_dot_product(e, e)) AS cn
+        FROM v ORDER BY vec_id LIMIT {N_IVF_CELLS}),
+    assign AS (
+        SELECT vec_id, e, cell FROM (
+            SELECT v.vec_id, v.e, c.cid AS cell,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.e, c.cv) / c.cn DESC,
+                                c.cid) AS rn
+            FROM v CROSS JOIN c) WHERE rn = 1),
+    q AS (SELECT e AS qe, sqrt(list_dot_product(e, e)) AS qn
+          FROM v WHERE vec_id = {QUERY_VEC_ID}),
+    probe AS (
+        SELECT cell FROM (
+            SELECT c.cid AS cell,
+                   row_number() OVER (
+                       ORDER BY list_dot_product(q.qe, c.cv) / c.cn DESC,
+                                c.cid) AS rn
+            FROM c CROSS JOIN q) WHERE rn <= {IVF_NPROBE})
+    SELECT a.vec_id,
+           round(list_dot_product(a.e, q.qe)
+                 / (sqrt(list_dot_product(a.e, a.e)) * q.qn), 6) AS cosine_sim
+    FROM assign a CROSS JOIN q
+    WHERE a.vec_id <> {QUERY_VEC_ID} AND a.cell IN (SELECT cell FROM probe)
+    ORDER BY cosine_sim DESC, a.vec_id LIMIT {TOP_K}
+"""

@@ -1,0 +1,108 @@
+"""IVF ANN operator: local differential check vs the DuckDB twin, a
+bucketing invariant, and the plan shape that makes it the scale path.
+
+q_ivf_topk is implemented but NOT driver-registered (the gate is
+pinned at 50 — tests/test_inventory.py), so its oracle verification
+lives here, mirroring the q_binary_meta precedent.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from data_ingestor_gluejob_script_spark.queries.similarity import (  # noqa: E402
+    IVF_NPROBE,
+    IVF_TOPK_ORACLE,
+    N_IVF_CELLS,
+    TOP_K,
+    _ivf_centroid_row,
+    _load_emb,
+    ivf_cell,
+    ivf_probe_cells,
+    q_ivf_topk,
+)
+
+import pyspark.sql.functions as F  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ivf_topk_differential(spark):
+    """Spark q_ivf_topk vs IVF_TOPK_ORACLE on the same parquet —
+    row-for-row, value-for-value (both engines fold doubles in the
+    same order, so the comparison is exact, not tolerance-based)."""
+    got = q_ivf_topk(spark, SF_DIR)
+    cols = got.columns
+    spark_rows = sorted(
+        tuple(str(r[c]) for c in sorted(cols)) for r in got.collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    cur = con.execute(IVF_TOPK_ORACLE)
+    o_cols = [d[0] for d in cur.description]
+    assert sorted(o_cols) == sorted(cols)
+    order = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+    oracle_rows = sorted(
+        tuple(str(row[i]) for i in order) for row in cur.fetchall()
+    )
+    assert spark_rows == oracle_rows
+    assert len(spark_rows) == TOP_K
+
+
+def test_ivf_assignment_covers_corpus(spark):
+    """Every vector lands in exactly one valid cell, and the probe set
+    has exactly IVF_NPROBE distinct cells — the invariants that make
+    cell a partitionBy() column at scale."""
+    emb = _load_emb(spark, SF_DIR)
+    with_cents = emb.crossJoin(F.broadcast(_ivf_centroid_row(emb)))
+    assigned = with_cents.select(
+        "vec_id", ivf_cell(F.col("emb"), F.col("cents")).alias("cell")
+    )
+    stats = assigned.agg(
+        F.count("*").alias("n"),
+        F.min("cell").alias("lo"),
+        F.max("cell").alias("hi"),
+        F.countDistinct("cell").alias("ncells"),
+    ).collect()[0]
+    assert stats.n == emb.count()
+    assert 0 <= stats.lo and stats.hi < N_IVF_CELLS
+    # Seeds are corpus vectors, so every cell holds at least its seed.
+    assert stats.ncells == N_IVF_CELLS
+
+    probe = with_cents.filter(F.col("vec_id") == 0).select(
+        ivf_probe_cells(F.col("emb"), F.col("cents"), IVF_NPROBE).alias("p")
+    ).collect()[0].p
+    assert len(probe) == IVF_NPROBE == len(set(probe))
+    # vec_id 0 is itself a seed centroid -> its own cell must rank
+    # first (affinity to its own centroid is maximal: cos = 1 * |e|).
+    assert (
+        assigned.filter(F.col("vec_id") == 0).collect()[0].cell == probe[0]
+    )
+
+
+def test_ivf_plan_is_broadcast_map_side(spark):
+    """The scale contract: no pairwise enumeration, no shuffle of the
+    corpus. The only joins are broadcasts (codebook + 1-row query);
+    top-k compiles to TakeOrderedAndProject, not a global sort."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q_ivf_topk(spark, SF_DIR).explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "TakeOrderedAndProject" in p
+    # The corpus side is never hash-repartitioned: the only exchanges
+    # are broadcasts and the codebook's single-partition collect.
+    assert "hashpartitioning" not in p
