@@ -299,6 +299,105 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_assign(emb: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, emb, cell): corpus with nearest-centroid cell ids — the
+    map-only assignment stage shared by search and refinement. The
+    codebook is a one-row broadcast; nothing shuffles."""
+    return emb.crossJoin(F.broadcast(codebook)).select(
+        "vec_id", "emb", ivf_cell(F.col("emb"), F.col("cents")).alias("cell")
+    )
+
+
+def ivf_refine(emb: DataFrame, iters: int = 1) -> DataFrame:
+    """Lloyd refinement of the seed codebook: ``iters`` alternating
+    assign / per-cell-mean rounds — the standard distributed k-means
+    step (one broadcast-join map + one groupBy(cell) shuffle per
+    round). Returns the refined one-row codebook, drop-in for
+    ``ivf_assign``/``ivf_search_join``.
+
+    Because cell affinity is ``dot(e,c)/|c|`` (scale-invariant in c),
+    the arithmetic per-cell mean scores identically to the normalized
+    spherical-k-means mean, so each round's mean corpus affinity is
+    non-decreasing (asserted in tests). Cells that capture no vectors
+    keep their previous centroid (the classic empty-cell degeneracy).
+
+    The per-cell mean is 64 JVM-side ``avg`` aggregates (map-side
+    partial, one shuffle on K keys). Each round extends the lineage by
+    one join+agg; a production run with many rounds would checkpoint
+    the K-row codebook between rounds — it is metadata-sized."""
+    codebook = _ivf_centroid_row(emb)
+    for _ in range(iters):
+        assigned = ivf_assign(emb, codebook)
+        means = assigned.groupBy("cell").agg(
+            F.array(*[F.avg(F.col("emb")[i]) for i in range(EMB_DIM)]).alias(
+                "m"
+            )
+        )
+        prior = codebook.select(F.explode("cents").alias("ct")).select(
+            F.col("ct.cid").alias("cid"), F.col("ct.c").alias("prev_c")
+        )
+        merged = prior.join(
+            means, prior["cid"] == means["cell"], "left"
+        ).select(
+            "cid",
+            F.coalesce(F.col("m"), F.col("prev_c")).alias("c"),
+        )
+        merged = merged.withColumn(
+            "cn", F.sqrt(dot(F.col("c"), F.col("c")))
+        )
+        codebook = merged.agg(
+            F.sort_array(
+                F.collect_list(F.struct("cid", "c", "cn"))
+            ).alias("cents")
+        )
+    return codebook
+
+
+def ivf_search_join(
+    emb: DataFrame, queries: DataFrame, codebook: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Batch ANN: cosine top-k per query row — the multi-query shape
+    q_ivf_topk's docstring promises. ``queries`` is (query_id, emb).
+
+    Scale shape: the corpus NEVER shuffles. The cell key has only
+    N_IVF_CELLS distinct values, so an equi-join shuffling the corpus
+    on cell would funnel 100 TB through K reducers — instead the query
+    batch (bounded) is exploded to one row per probed cell and
+    BROADCAST, making candidate scoring a map over the assigned corpus.
+    The only shuffle is the per-query top-k window, over candidates
+    already cut to the probed cells. (With the corpus persisted
+    ``partitionBy("cell")``, the same join also partition-prunes the
+    scan.)"""
+    corpus = ivf_assign(emb, codebook)
+    qx = (
+        queries.crossJoin(F.broadcast(codebook))
+        .select(
+            "query_id",
+            F.col("emb").alias("q_emb"),
+            F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("q_norm"),
+            F.explode(
+                ivf_probe_cells(F.col("emb"), F.col("cents"), IVF_NPROBE)
+            ).alias("cell"),
+        )
+    )
+    sim = dot(F.col("emb"), F.col("q_emb")) / (
+        F.sqrt(dot(F.col("emb"), F.col("emb"))) * F.col("q_norm")
+    )
+    scored = corpus.join(F.broadcast(qx), "cell").select(
+        "query_id", "vec_id", F.round(sim, 6).alias("cosine_sim")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col("vec_id")
+        )
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )
+
+
 QUERIES = {
     "q_similarity_topk": q_similarity_topk,
     "q_ann_lsh_topk": q_ann_lsh_topk,

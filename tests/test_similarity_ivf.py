@@ -22,10 +22,15 @@ from data_ingestor_gluejob_script_spark.queries.similarity import (  # noqa: E40
     IVF_TOPK_ORACLE,
     N_IVF_CELLS,
     TOP_K,
+    _cell_scores,
     _ivf_centroid_row,
     _load_emb,
+    dot,
+    ivf_assign,
     ivf_cell,
     ivf_probe_cells,
+    ivf_refine,
+    ivf_search_join,
     q_ivf_topk,
 )
 
@@ -91,6 +96,74 @@ def test_ivf_assignment_covers_corpus(spark):
     )
 
 
+def test_ivf_search_join_matches_single_query(spark):
+    """Batch form vs the differentially-verified single-query form:
+    querying with corpus vector 0 must rank itself first (cosine 1.0)
+    and then reproduce q_ivf_topk's leading neighbors exactly."""
+    emb = _load_emb(spark, SF_DIR)
+    codebook = _ivf_centroid_row(emb)
+    queries = emb.filter(F.col("vec_id").isin(0, 7, 42)).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    got = ivf_search_join(emb, queries, codebook, k=TOP_K).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 7, 42}
+    for qid, rows in by_q.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+            range(1, TOP_K + 1)
+        )
+        top = min(rows, key=lambda r: r.rank)
+        assert top.vec_id == qid and top.cosine_sim == 1.0
+
+    single = q_ivf_topk(spark, SF_DIR).collect()  # excludes vec_id 0
+    batch_rest = [
+        (r.vec_id, r.cosine_sim)
+        for r in sorted(by_q[0], key=lambda r: r.rank)[1:]
+    ]
+    expected = [(r.vec_id, r.cosine_sim) for r in single[: TOP_K - 1]]
+    assert batch_rest == expected
+
+
+def test_ivf_refine_is_monotone_and_well_formed(spark):
+    """Lloyd rounds never decrease the k-means objective
+    J = mean over vectors of best dot(e, c/|c|): the assignment step
+    maximizes each term over cells, and the per-cell arithmetic mean
+    has exactly the direction maximizing the cell's summed dot — so J
+    is monotone even with empty-cell carry-over."""
+    emb = _load_emb(spark, SF_DIR)
+
+    def objective(codebook) -> float:
+        best = F.aggregate(
+            _cell_scores(F.col("emb"), F.col("cents")),
+            F.lit(float("-inf")),
+            lambda acc, x: F.greatest(acc, x["s"]),
+        )
+        return (
+            emb.crossJoin(F.broadcast(codebook))
+            .agg(F.avg(best))
+            .collect()[0][0]
+        )
+
+    j0 = objective(_ivf_centroid_row(emb))
+    r1 = ivf_refine(emb, iters=1)
+    j1 = objective(r1)
+    j2 = objective(ivf_refine(emb, iters=2))
+    assert j1 >= j0 - 1e-9
+    assert j2 >= j1 - 1e-9
+    assert j1 > j0  # seeds are raw corpus vectors; one round must help
+
+    cents = r1.collect()[0].cents
+    assert [c.cid for c in cents] == list(range(N_IVF_CELLS))
+    # refined codebook still assigns every vector to a valid cell
+    cells = ivf_assign(emb, r1).agg(
+        F.min("cell"), F.max("cell"), F.count("*")
+    ).collect()[0]
+    assert cells[0] >= 0 and cells[1] < N_IVF_CELLS
+    assert cells[2] == emb.count()
+
+
 def test_ivf_plan_is_broadcast_map_side(spark):
     """The scale contract: no pairwise enumeration, no shuffle of the
     corpus. The only joins are broadcasts (codebook + 1-row query);
@@ -106,3 +179,21 @@ def test_ivf_plan_is_broadcast_map_side(spark):
     # The corpus side is never hash-repartitioned: the only exchanges
     # are broadcasts and the codebook's single-partition collect.
     assert "hashpartitioning" not in p
+
+
+def test_ivf_search_join_never_shuffles_corpus_on_cell(spark):
+    """The batch join's scale contract: cell has only K distinct
+    values, so the corpus must NOT shuffle on it (100 TB through K
+    reducers) — the query batch broadcasts instead, and the only hash
+    exchange is the per-query top-k window on query_id."""
+    emb = _load_emb(spark, SF_DIR)
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "emb")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ivf_search_join(emb, queries, _ivf_centroid_row(emb)).explain(
+            "formatted"
+        )
+    p = buf.getvalue()
+    assert "hashpartitioning(cell" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("hashpartitioning(query_id") == 1
