@@ -142,6 +142,87 @@ def run_session_stream(
     return spark.table(query_name)
 
 
+ATTRIBUTION_WINDOW = "1 hour"
+
+
+def click_attribution_join(
+    purchases: DataFrame, clicks: DataFrame, late: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: every (purchase, click) pair for
+    the same user where the click precedes the purchase by at most
+    ATTRIBUTION_WINDOW — the classic attribution shape, and the one
+    core Structured Streaming operator class the other twins don't
+    exercise.
+
+    Works on streaming OR batch inputs (same plan). In streaming mode
+    both sides carry event-time watermarks and the join condition is a
+    bounded time interval, so each side's state store holds only rows
+    inside ``late + ATTRIBUTION_WINDOW`` of the other side's watermark
+    — state is bounded by the time horizon, not the stream length.
+    INNER join on purpose: inner stream-stream joins emit matches as
+    they occur (the watermark only drives state eviction), so an
+    availableNow run produces exactly the batch twin's rows; an outer
+    variant would hold unmatched rows until the watermark passes.
+    """
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", late)
+        c = c.withWatermark("click_ts", late)
+    cond = (
+        (p["user_id"] == c["click_user"])
+        & (
+            c["click_ts"]
+            >= p["purchase_ts"] - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")
+        )
+        & (c["click_ts"] <= p["purchase_ts"])
+    )
+    return (
+        p.join(c, cond, "inner")
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            "purchase_ts",
+            "click_ts",
+            (
+                F.unix_timestamp("purchase_ts")
+                - F.unix_timestamp("click_ts")
+            ).alias("lag_seconds"),
+        )
+    )
+
+
+def run_attribution_stream(
+    spark: SparkSession, events_dir: str, query_name: str = "attribution"
+) -> DataFrame:
+    """Drive the attribution join to completion (availableNow, append —
+    the only mode stream-stream joins support) into a memory sink."""
+    events = read_events_stream(spark, events_dir)
+    out = click_attribution_join(
+        events.filter(F.col("event_type") == "purchase"),
+        events.filter(F.col("event_type") == "click"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user running (n_events, sum_value) maintained in state-store

@@ -177,3 +177,32 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
         for r in batch.select("event_id", "user_id", "value").collect()
     }
     assert stream_vals == batch_vals
+
+
+def test_stream_attribution_join_matches_batch(spark):
+    """Stream-stream interval join vs the identical batch join: inner
+    joins emit eagerly, so the availableNow run must reproduce the
+    batch pair set exactly."""
+    from data_ingestor_gluejob_script_spark.queries._util import load
+
+    got = streaming.run_attribution_stream(
+        spark, os.path.join(SF_DIR, "events.parquet"), "t_attribution_test"
+    )
+    stream_rows = {
+        (r.user_id, r.purchase_id, r.click_id, r.lag_seconds)
+        for r in got.collect()
+    }
+
+    ev = load(spark, SF_DIR, "events")
+    batch = streaming.click_attribution_join(
+        ev.filter(ev.event_type == "purchase"),
+        ev.filter(ev.event_type == "click"),
+    )
+    batch_rows = {
+        (r.user_id, r.purchase_id, r.click_id, r.lag_seconds)
+        for r in batch.collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+    # the interval bound actually bites: every pair lags within 1 hour
+    assert all(0 <= lag <= 3600 for *_, lag in stream_rows)
