@@ -192,11 +192,10 @@ def _ivf_centroid_row(emb: DataFrame) -> DataFrame:
 
     Seeds are the K lowest-vec_id vectors — a deterministic
     k-means-style init both engines compute identically (no RNG, no
-    stored model). A Lloyd refinement would be an iterative batch job —
-    alternating assign (this module's ``ivf_cell``) and per-cell mean
-    (one groupBy shuffle) steps — layered on exactly this codebook
-    shape; the seed codebook keeps the query single-pass and the
-    bucketing behavior identical in kind.
+    stored model); ``ivf_refine`` layers Lloyd rounds on this same
+    codebook shape when a tighter partition is worth the extra passes.
+    The seed codebook keeps the single-query path one-pass and exactly
+    oracle-reproducible.
 
     The orderBy().limit(K) compiles to a take-ordered (top-K by
     vec_id), not a global sort; ``sort_array`` over the structs orders

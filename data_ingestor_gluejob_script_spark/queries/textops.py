@@ -489,6 +489,98 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAMINATION_THRESHOLD = 0.1
+
+
+def contamination_report(docs: DataFrame, benchmark: DataFrame) -> DataFrame:
+    """Benchmark decontamination report: per-document 3-gram shingle
+    overlap with a benchmark corpus — the training-data stage that
+    keeps eval sets out of the training mix. Returns
+    (doc_id, n_shingles, n_overlap, overlap_ratio, contaminated).
+
+    Scale shape: the benchmark side is small relative to the corpus
+    (eval suites, not web crawls), so its DISTINCT shingle-hash set
+    broadcasts; the corpus side is a map (shingle + hash) plus ONE
+    groupBy(doc_id) shuffle carrying 8-byte hashes. ``explode_outer``
+    keeps shingle-less (<3-word) documents in the report as trivially
+    clean rows instead of silently dropping them. Hashes are internal
+    join keys only (collision odds ~n²/2⁶⁵), never oracle-compared —
+    the test oracle overlaps raw shingle strings.
+
+    Not driver-registered (gate pinned at 50); differential-tested
+    against CONTAMINATION_ORACLE in tests/test_scrub.py."""
+    d = docs.select("doc_id", words_col(F.col("text")).alias("_ws")).select(
+        "doc_id",
+        F.explode_outer(
+            F.transform(
+                shingles_from_words(F.col("_ws")), lambda s: F.xxhash64(s)
+            )
+        ).alias("h"),
+    )
+    bench = (
+        benchmark.select(words_col(F.col("text")).alias("_ws"))
+        .select(
+            F.explode(
+                F.transform(
+                    shingles_from_words(F.col("_ws")), lambda s: F.xxhash64(s)
+                )
+            ).alias("h")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = d.join(F.broadcast(bench), "h", "left")
+    out = joined.groupBy("doc_id").agg(
+        F.count("h").alias("n_shingles"),
+        F.count("_hit").alias("n_overlap"),
+    )
+    ratio = F.when(
+        F.col("n_shingles") > 0,
+        F.round(F.col("n_overlap") / F.col("n_shingles"), 6),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        ratio.alias("overlap_ratio"),
+        (ratio >= CONTAMINATION_THRESHOLD).alias("contaminated"),
+    )
+
+
+# PII patterns deliberately restricted to syntax RE2 (DuckDB) and Java
+# (Spark) regex dialects treat identically: character classes, bounded
+# repetition, \d, \b — no backreferences, no lookaround.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b", "[PHONE]"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub pass: emails, IPv4 addresses, and phone-shaped number
+    runs replaced by typed placeholders, with per-category match counts
+    (counted BEFORE replacement) for audit. Map-only — pure Catalyst
+    regexp expressions, one narrow stage, no shuffle.
+
+    Patterns apply in PII_PATTERNS order (email first: an address can
+    contain digit runs a later pattern would otherwise mangle).
+    Idempotent: placeholders match none of the patterns.
+
+    Not driver-registered; differential-tested against REDACT_ORACLE
+    in tests/test_scrub.py."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select(
+        "doc_id", *counts, red.alias(f"{text_col}_redacted")
+    )
+
+
 QUERIES = {
     "q_exact_dedup_docs": q_exact_dedup_docs,
     "q_token_count": q_token_count,
@@ -686,6 +778,52 @@ BINARY_META_ORACLE = """
            CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks
     FROM documents
 """
+
+# Oracle twin for contamination_report (unregistered; tests/
+# test_scrub.py). Expects views `documents` (the corpus) and
+# `benchmark` (the eval set), both (doc_id, text). Overlaps RAW shingle
+# strings — the Spark side's xxhash64 keys are internal-only.
+CONTAMINATION_ORACLE = f"""
+    WITH dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    dsh AS (SELECT doc_id,
+                   list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                  for i in range(1, len(ws) - 1)]) AS sh
+            FROM dw),
+    bw AS (SELECT string_split(text, ' ') AS ws FROM benchmark),
+    bsh AS (SELECT DISTINCT
+                   unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           for i in range(1, len(ws) - 1)]) AS w
+            FROM bw),
+    blist AS (SELECT list(w) AS bl FROM bsh),
+    agg AS (
+        SELECT doc_id, len(sh) AS n_shingles,
+               len(list_intersect(sh, bl)) AS n_overlap
+        FROM dsh CROSS JOIN blist)
+    SELECT doc_id, n_shingles, n_overlap,
+           CASE WHEN n_shingles > 0
+                THEN round(n_overlap / n_shingles, 6) ELSE 0.0
+           END AS overlap_ratio,
+           (CASE WHEN n_shingles > 0
+                 THEN round(n_overlap / n_shingles, 6) ELSE 0.0
+            END) >= {CONTAMINATION_THRESHOLD} AS contaminated
+    FROM agg
+"""
+
+# Oracle twin for redact_pii (unregistered; tests/test_scrub.py) —
+# built from the same PII_PATTERNS tuples so the two sides cannot
+# drift. Counts are taken before replacement, replacements apply in
+# tuple order, exactly like the Spark expressions.
+_REDACTED_SQL = "text"
+for _name, _pat, _repl in PII_PATTERNS:
+    _REDACTED_SQL = f"regexp_replace({_REDACTED_SQL}, '{_pat}', '{_repl}', 'g')"
+REDACT_ORACLE = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    + f", {_REDACTED_SQL} AS text_redacted FROM documents"
+)
 
 
 for _n in ("q_doc_fingerprint", "q_simhash_dedup_groups", "q_simhash_neardup_pairs"):

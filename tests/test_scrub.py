@@ -1,0 +1,135 @@
+"""Training-data scrub operators: benchmark decontamination and PII
+redaction — DuckDB differentials plus the invariants that matter
+(benchmark members flag 1.0, redaction idempotent, plan map-only).
+
+Both operators are implemented but NOT driver-registered (the gate is
+pinned at 50 — tests/test_inventory.py), so their oracle verification
+lives here, mirroring the q_binary_meta / IVF precedents.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pyspark.sql.functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from data_ingestor_gluejob_script_spark.queries._util import load  # noqa: E402
+from data_ingestor_gluejob_script_spark.queries.textops import (  # noqa: E402
+    CONTAMINATION_ORACLE,
+    REDACT_ORACLE,
+    contamination_report,
+    redact_pii,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+BENCH_PRED_SQL = "doc_id % 100 = 0"
+
+
+def _multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(str(r[i]) for i in order) for r in rows)
+
+
+def test_contamination_differential(spark):
+    docs = load(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    got = contamination_report(docs, bench)
+    s_cols = got.columns
+    s_rows = [tuple(r) for r in got.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW benchmark AS "
+        f"SELECT * FROM documents WHERE {BENCH_PRED_SQL}"
+    )
+    cur = con.execute(CONTAMINATION_ORACLE)
+    o_cols = [d[0] for d in cur.description]
+    o_rows = cur.fetchall()
+    assert sorted(o_cols) == sorted(s_cols)
+    assert _multiset(s_cols, s_rows) == _multiset(o_cols, o_rows)
+
+    # Benchmark members overlap themselves completely; the report
+    # covers the whole corpus (shingle-less docs included as clean).
+    by_id = {r[0]: r for r in s_rows}
+    assert len(by_id) == docs.count()
+    for r in s_rows:
+        doc_id, n_sh, n_ov, ratio, flag = r
+        if doc_id % 100 == 0:
+            assert ratio == 1.0 and flag
+        assert 0 <= n_ov <= n_sh
+
+
+def _pii_frame():
+    return pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "contact alice@example.com or bob.smith+tag@mail.co.uk now",
+                "server 10.0.0.1 and 192.168.1.255 responded",
+                "call 555-123-4567 or 555 1234 5678 today",
+                "clean text with no identifiers at all",
+                "mail admin@host.org from 8.8.8.8 tel 555-000-1111",
+            ],
+        }
+    )
+
+
+def test_redact_differential(spark):
+    pdf = _pii_frame()
+    docs = spark.createDataFrame(pdf)
+    got = redact_pii(docs)
+    s_cols = got.columns
+    s_rows = got.collect()
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    cur = con.execute(REDACT_ORACLE)
+    o_cols = [d[0] for d in cur.description]
+    assert sorted(o_cols) == sorted(s_cols)
+    assert _multiset(s_cols, [tuple(r) for r in s_rows]) == _multiset(
+        o_cols, cur.fetchall()
+    )
+
+    by_id = {r.doc_id: r for r in s_rows}
+    assert by_id[0].n_email == 2 and "[EMAIL]" in by_id[0].text_redacted
+    assert by_id[1].n_ipv4 == 2 and "[IP]" in by_id[1].text_redacted
+    assert by_id[2].n_phone == 2 and "[PHONE]" in by_id[2].text_redacted
+    assert by_id[3].text_redacted == pdf.text[3]  # clean doc untouched
+    assert by_id[4].n_email == by_id[4].n_ipv4 == by_id[4].n_phone == 1
+    for r in s_rows:
+        assert "@" not in r.text_redacted
+
+
+def test_redact_idempotent(spark):
+    docs = spark.createDataFrame(_pii_frame())
+    once = redact_pii(docs).select(
+        "doc_id", F.col("text_redacted").alias("text")
+    )
+    twice = redact_pii(once)
+    for r in twice.collect():
+        assert r.n_email == r.n_ipv4 == r.n_phone == 0
+
+
+def test_contamination_plan_shape(spark):
+    """Scale contract: benchmark shingles broadcast; the corpus's only
+    hash exchange is the per-doc aggregation."""
+    docs = load(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        contamination_report(docs, bench).explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count("hashpartitioning(doc_id") == 1
