@@ -106,14 +106,19 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def exact_dedup_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup on text, keep lowest doc_id. Implemented as a
     min-per-group + semi-join on md5(text) so the shuffle carries
     32-byte digests instead of full documents."""
-    docs = load(spark, sf_dir, "documents")
-    hashed = docs.withColumn("_h", F.md5("text"))
+    hashed = docs.withColumn("_h", F.md5(text_col))
     keep = hashed.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
     return hashed.join(keep, ["_h", "doc_id"], "left_semi").drop("_h")
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of ``exact_dedup_frame`` over the documents
+    table (same expressions, same plan)."""
+    return exact_dedup_frame(load(spark, sf_dir, "documents"))
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,31 +145,53 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality scoring: 4 integer criteria summed to 0-4.
+def quality_flags(text: Column, n_chars: Column) -> dict[str, Column]:
+    """The four 0/1 quality criteria as named column expressions —
+    shared by the scoring query and the composed corpus pipeline.
     Integer/boolean arithmetic only — no float comparisons to diverge
     across engines."""
-    docs = load(spark, sf_dir, "documents")
-    ws = words_col(F.col("text"))
-    len_ok = F.col("n_chars").between(100, 5000).cast("int")
-    tok_ok = F.size(ws).between(20, 1000).cast("int")
-    stop_ok = (
-        F.size(
-            F.array_intersect(
-                F.array_distinct(ws), F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    ws = words_col(text)
+    return {
+        "len_ok": n_chars.between(100, 5000).cast("int"),
+        "tok_ok": F.size(ws).between(20, 1000).cast("int"),
+        "stop_ok": (
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(ws),
+                    F.array(*[F.lit(w) for w in EN_STOPWORDS]),
+                )
             )
-        )
-        >= 2
-    ).cast("int")
-    alpha_ok = (F.regexp_replace(F.col("text"), "[a-z ]", "") == "").cast("int")
+            >= 2
+        ).cast("int"),
+        "alpha_ok": (F.regexp_replace(text, "[a-z ]", "") == "").cast("int"),
+    }
+
+
+def quality_score_col(text: Column, n_chars: Column) -> Column:
+    """0-4 quality score as one expression (sum of the flags)."""
+    flags = list(quality_flags(text, n_chars).values())
+    total = flags[0]
+    for f in flags[1:]:
+        total = total + f
+    return total
+
+
+def quality_score_frame(docs: DataFrame) -> DataFrame:
+    """Per-doc quality flags + score. Expects (doc_id, text, n_chars)."""
+    flags = quality_flags(F.col("text"), F.col("n_chars"))
     return docs.select(
         "doc_id",
-        len_ok.alias("len_ok"),
-        tok_ok.alias("tok_ok"),
-        stop_ok.alias("stop_ok"),
-        alpha_ok.alias("alpha_ok"),
-        (len_ok + tok_ok + stop_ok + alpha_ok).alias("quality_score"),
+        *[c.alias(name) for name, c in flags.items()],
+        quality_score_col(F.col("text"), F.col("n_chars")).alias(
+            "quality_score"
+        ),
     )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of ``quality_score_frame`` over the documents
+    table (same expressions, same plan)."""
+    return quality_score_frame(load(spark, sf_dir, "documents"))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,6 +584,15 @@ PII_PATTERNS = (
 )
 
 
+def redacted_text_col(text: Column) -> Column:
+    """The PII_PATTERNS replacement chain as one expression — shared
+    by the audit query and the composed corpus pipeline."""
+    red = text
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return red
+
+
 def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """PII scrub pass: emails, IPv4 addresses, and phone-shaped number
     runs replaced by typed placeholders, with per-category match counts
@@ -573,11 +609,10 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
     ]
-    red = F.col(text_col)
-    for _, pat, repl in PII_PATTERNS:
-        red = F.regexp_replace(red, pat, repl)
     return docs.select(
-        "doc_id", *counts, red.alias(f"{text_col}_redacted")
+        "doc_id",
+        *counts,
+        redacted_text_col(F.col(text_col)).alias(f"{text_col}_redacted"),
     )
 
 

@@ -30,23 +30,37 @@ VAL_BUCKET = 8
 TEST_BUCKET = 9
 
 
-def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test assignment: bucket = first md5
-    byte of the doc id, mod 10 → 80/10/10. Map-only."""
-    docs = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+def split_bucket_col(doc_id) -> "F.Column":
+    """Deterministic split bucket: first md5 byte of the doc id,
+    mod SPLIT_BUCKETS — identical on every engine, run, partitioning."""
+    return (
+        F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 2), 16, 10)
         .cast("int")
         % SPLIT_BUCKETS
     )
-    split = (
+
+
+def split_name_col(bucket) -> "F.Column":
+    return (
         F.when(bucket == VAL_BUCKET, "val")
         .when(bucket == TEST_BUCKET, "test")
         .otherwise("train")
     )
+
+
+def split_assign_frame(docs: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment: 80/10/10 by key hash.
+    Map-only."""
+    bucket = split_bucket_col(F.col("doc_id"))
     return docs.select(
-        "doc_id", bucket.alias("bucket"), split.alias("split")
+        "doc_id", bucket.alias("bucket"), split_name_col(bucket).alias("split")
     )
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of ``split_assign_frame`` over the documents
+    table (same expressions, same plan)."""
+    return split_assign_frame(load(spark, sf_dir, "documents"))
 
 
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,7 +86,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_BLOCK = 1000  # docs per prefix-sum block
 
 
-def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def seq_pack_frame(docs: DataFrame) -> DataFrame:
     """Sequence packing: documents assigned to 2048-token packs by
     running token count over doc_id order. Output is the pack manifest
     (doc → pack, offset within pack).
@@ -83,7 +97,6 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     total per block (rows = #blocks) and broadcasts the running block
     offsets back. Identical result to the sequential scan at any
     partitioning."""
-    docs = load(spark, sf_dir, "documents")
     toks = F.size(F.split(F.col("text"), " "))
     t = docs.select(
         "doc_id",
@@ -125,6 +138,12 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of ``seq_pack_frame`` over the documents table
+    (same expressions, same plan)."""
+    return seq_pack_frame(load(spark, sf_dir, "documents"))
+
+
 SAMPLE_PCT = 20
 
 
@@ -154,6 +173,57 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+MIN_QUALITY = 2
+
+
+def prepare_training_corpus(docs: DataFrame) -> DataFrame:
+    """End-to-end training-corpus preparation — the scrub/dedup/pack
+    stages composed into ONE declarative job: redact PII → quality
+    filter (score >= MIN_QUALITY over the REDACTED text) → exact dedup
+    (keep lowest doc_id per text) → SimHash near-dup drop (keep each
+    fingerprint group's representative) → keep the train split →
+    sequence-pack. Returns the train-split pack manifest
+    (doc_id, n_tokens, tokens_before, pack_id, pack_offset).
+
+    Shuffle budget (the 100 TB story): redaction, quality, and split
+    assignment are map-only column expressions Catalyst fuses into the
+    stages around them; exact dedup shuffles 32-byte md5 digests; the
+    near-dup drop is one window shuffle on the 16-bit fingerprint;
+    packing is the distributed prefix sum (block-local window +
+    #blocks-row global window + broadcast offsets). Nothing enumerates
+    pairs, nothing collects to the driver.
+
+    Differential-tested end-to-end against PIPELINE_ORACLE
+    (tests/test_corpus_pipeline.py); not driver-registered (gate
+    pinned at 50)."""
+    from .textops import (
+        exact_dedup_frame,
+        quality_score_col,
+        redacted_text_col,
+        simhash16_col,
+    )
+
+    work = docs.select(
+        "doc_id", redacted_text_col(F.col("text")).alias("text")
+    ).withColumn("n_chars", F.length("text"))
+    kept = work.filter(
+        quality_score_col(F.col("text"), F.col("n_chars")) >= MIN_QUALITY
+    )
+    deduped = exact_dedup_frame(kept)
+    nd = (
+        deduped.withColumn("_fp", simhash16_col(F.col("text")))
+        .withColumn(
+            "_rep", F.min("doc_id").over(Window.partitionBy("_fp"))
+        )
+        .filter(F.col("doc_id") == F.col("_rep"))
+        .drop("_fp", "_rep")
+    )
+    train = nd.filter(
+        split_name_col(split_bucket_col(F.col("doc_id"))) == "train"
+    )
+    return seq_pack_frame(train.select("doc_id", "text"))
 
 
 # q_seq_pack deliberately first: the driver's gate records at most 50
@@ -219,3 +289,61 @@ ORACLES = {
         FROM c
     """,
 }
+
+
+def _pipeline_oracle() -> str:
+    """DuckDB twin of ``prepare_training_corpus`` (unregistered;
+    tests/test_corpus_pipeline.py) — every stage built from the SAME
+    constants/SQL fragments as its Spark expression, chained as CTEs:
+    redact → quality(redacted text) → md5-dedup → simhash-rep →
+    train-bucket → prefix-sum pack."""
+    from .textops import _REDACTED_SQL, _SIMHASH_CTE, EN_STOPWORDS
+
+    en = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    quality = (
+        "(CAST(length(text) BETWEEN 100 AND 5000 AS INTEGER)"
+        " + CAST(len(string_split(text, ' ')) BETWEEN 20 AND 1000"
+        " AS INTEGER)"
+        " + CAST(len(list_intersect(list_distinct(string_split(text, ' ')),"
+        f" [{en}])) >= 2 AS INTEGER)"
+        " + CAST(regexp_replace(text, '[a-z ]', '', 'g') = ''"
+        " AS INTEGER))"
+    )
+    simhash = _SIMHASH_CTE.replace("FROM documents", "FROM dedup")
+    return f"""
+        WITH red AS (
+            SELECT doc_id, {_REDACTED_SQL} AS text FROM documents),
+        q AS (
+            SELECT doc_id, text FROM red
+            WHERE {quality} >= {MIN_QUALITY}),
+        dedup AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM q) WHERE rn = 1),
+        {simhash},
+        tr AS (
+            SELECT d.doc_id, d.text FROM dedup d
+            WHERE d.doc_id IN (
+                      SELECT min(doc_id) FROM sim GROUP BY simhash16)
+              AND ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 2))::INT
+                  % {SPLIT_BUCKETS} NOT IN ({VAL_BUCKET}, {TEST_BUCKET})),
+        t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+              FROM tr),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS tokens_before
+            FROM t)
+        SELECT doc_id, n_tokens, tokens_before,
+               CAST(floor(tokens_before / {PACK_TOKENS}) AS BIGINT)
+                   AS pack_id,
+               CAST(tokens_before % {PACK_TOKENS} AS BIGINT) AS pack_offset
+        FROM c
+    """
+
+
+PIPELINE_ORACLE = _pipeline_oracle()

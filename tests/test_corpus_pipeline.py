@@ -1,0 +1,98 @@
+"""End-to-end training-corpus pipeline: redact → quality → dedup →
+near-dup drop → split → pack, differentially verified as ONE job
+against a CTE-chained DuckDB twin built from the same fragments.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+from pathlib import Path
+
+import duckdb
+import pyspark.sql.functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from data_ingestor_gluejob_script_spark.queries._util import load  # noqa: E402
+from data_ingestor_gluejob_script_spark.queries.traindata import (  # noqa: E402
+    PACK_TOKENS,
+    PIPELINE_ORACLE,
+    TEST_BUCKET,
+    VAL_BUCKET,
+    prepare_training_corpus,
+    split_bucket_col,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pipeline_differential(spark):
+    docs = load(spark, SF_DIR, "documents")
+    got = prepare_training_corpus(docs)
+    s_cols = got.columns
+    s_rows = [tuple(r) for r in got.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    cur = con.execute(PIPELINE_ORACLE)
+    o_cols = [d[0] for d in cur.description]
+    o_rows = cur.fetchall()
+    assert sorted(o_cols) == sorted(s_cols)
+
+    def multiset(cols, rows):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(tuple(str(r[i]) for i in order) for r in rows)
+
+    assert multiset(s_cols, s_rows) == multiset(o_cols, o_rows)
+    # the pipeline actually filters: packed corpus is a strict subset
+    assert 0 < len(s_rows) < docs.count()
+
+
+def test_pipeline_invariants(spark):
+    docs = load(spark, SF_DIR, "documents")
+    out = prepare_training_corpus(docs)
+    rows = out.collect()
+
+    # every packed doc is a train-bucket doc
+    buckets = {
+        r.doc_id: r.bucket
+        for r in out.select(
+            "doc_id", split_bucket_col(F.col("doc_id")).alias("bucket")
+        ).collect()
+    }
+    assert all(
+        buckets[r.doc_id] not in (VAL_BUCKET, TEST_BUCKET) for r in rows
+    )
+    # offsets are in-range and pack ids contiguous from 0
+    assert all(0 <= r.pack_offset < PACK_TOKENS for r in rows)
+    pack_ids = sorted({r.pack_id for r in rows})
+    assert pack_ids[0] == 0 and pack_ids == list(range(len(pack_ids)))
+    # prefix-sum consistency: tokens_before strictly increases with
+    # doc_id by exactly the preceding doc's n_tokens
+    ordered = sorted(rows, key=lambda r: r.doc_id)
+    run = 0
+    for r in ordered:
+        assert r.tokens_before == run
+        run += r.n_tokens
+
+    # deterministic: a second run returns the identical manifest
+    again = prepare_training_corpus(docs).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_pipeline_plan_shape(spark):
+    """One composed job, no pairwise joins: the only window shuffles
+    are the fingerprint group, the pack block window, and the
+    #blocks-row offset window; no CartesianProduct anywhere."""
+    docs = load(spark, SF_DIR, "documents")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        prepare_training_corpus(docs).explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # block offsets come back broadcast
