@@ -112,3 +112,21 @@ def test_revenue_star_join_pushes_region_filter_and_broadcasts(plans):
     p = plans("q_revenue_by_nation")
     assert "EqualTo(r_name,ASIA)" in p  # region filter reaches the scan
     assert p.count("BroadcastHashJoin") >= 3  # dims broadcast, facts shuffle
+
+
+def test_dedup_self_joins_reuse_one_exchange_at_runtime(spark):
+    """The self-join dedup family must compute its derivation ONCE:
+    both join sides (and any stats branch) read a ReusedExchange of the
+    explicit repartition-on-join-key. Canonicalization is fragile (an
+    inferred isnotnull on one branch breaks it), so assert on the
+    EXECUTED adaptive plan, where reuse actually materializes."""
+    qs = entry_mod.queries()
+    for name, min_reuse in [
+        ("q_ngram_jaccard_pairs", 2),  # 2nd join side + both size branches
+        ("q_minhash_lsh_pairs", 1),    # 2nd band-join side
+        ("q_embed_neardup_pairs", 1),  # 2nd bucket-join side
+    ]:
+        df = qs[name](spark, SF)
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert final.count("ReusedExchange") >= min_reuse, name
