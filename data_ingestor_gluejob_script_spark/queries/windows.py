@@ -92,6 +92,29 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_agg_approx(
+    spark: SparkSession, sf_dir: str, rsd: float = 0.02
+) -> DataFrame:
+    """Scale-path twin of ``q_distinct_agg``: HyperLogLog++
+    (``approx_count_distinct``) replaces the exact distinct count.
+
+    Exact COUNT(DISTINCT) expands into a two-phase plan that shuffles
+    every (group, value) pair to dedup before counting — at 100 TB the
+    expanded key space is the bottleneck. The HLL sketch is fixed-size
+    (~kilobytes at rsd=2%), mergeable, and map-side combinable: only
+    sketches cross the shuffle, one row per group.
+
+    Not driver-registered (an HLL estimate can't hash-match DuckDB's
+    exact count); verified against the exact form within the sketch's
+    relative standard deviation in tests/test_operators.py.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.approx_count_distinct("event_type", rsd).alias("n_types"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT surface: users who produced clicks but never
     purchases (EXCEPT) plus users with both (INTERSECT), tagged."""

@@ -103,3 +103,54 @@ def test_percentiles_approx_tracks_exact_within_rel_error(spark):
         a50, a90 = approx[et]
         assert abs(a50 - e50) / max(abs(e50), 1e-9) < 0.02, (et, a50, e50)
         assert abs(a90 - e90) / max(abs(e90), 1e-9) < 0.02, (et, a90, e90)
+
+
+def test_distinct_agg_approx_tracks_exact(spark):
+    """The HLL scale twin (q_distinct_agg_approx) must agree with the
+    exact distinct count per user within the sketch's error envelope —
+    here cardinalities are tiny (<= 5 event types), where HLL++'s
+    dense-to-sparse correction is exact in practice, so demand equality
+    with a 1-count slack."""
+    from data_ingestor_gluejob_script_spark.queries.windows import (
+        q_distinct_agg,
+        q_distinct_agg_approx,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    exact = {
+        r.user_id: (r.n_types, r.n_events)
+        for r in q_distinct_agg(spark, sf_dir).collect()
+    }
+    approx = {
+        r.user_id: (r.n_types, r.n_events)
+        for r in q_distinct_agg_approx(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for uid, (et, ev) in exact.items():
+        at, av = approx[uid]
+        assert av == ev  # the plain count is exact either way
+        assert abs(at - et) <= 1, (uid, at, et)
+
+
+def test_distinct_agg_approx_is_single_phase(spark):
+    """The point of the sketch: ONE aggregation exchange. The exact
+    form's two-phase distinct expansion shuffles (group, value) pairs;
+    the HLL plan must shuffle only per-group sketches."""
+    import contextlib
+    import io
+
+    from data_ingestor_gluejob_script_spark.queries.windows import (
+        q_distinct_agg,
+        q_distinct_agg_approx,
+    )
+
+    def n_exchanges(df) -> int:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue().count("Arguments: hashpartitioning(")
+
+    sf_dir = "/root/testdata/sf0.001"
+    assert n_exchanges(q_distinct_agg_approx(spark, sf_dir)) == 1
+    # the exact expansion needs at least as many; usually more
+    assert n_exchanges(q_distinct_agg(spark, sf_dir)) >= 1
