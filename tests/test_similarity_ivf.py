@@ -181,6 +181,32 @@ def test_ivf_plan_is_broadcast_map_side(spark):
     assert "hashpartitioning" not in p
 
 
+def test_ivf_cell_layout_prunes_probe_scans(spark, tmp_path):
+    """Substantiates the docstring's scale claim: persisting the
+    assigned corpus partitionBy("cell") turns a probe into a
+    partition-pruned scan — the reader opens nprobe/K of the lake, and
+    the plan carries the cell predicate as a PartitionFilter, not a
+    post-scan filter."""
+    emb = _load_emb(spark, SF_DIR)
+    codebook = _ivf_centroid_row(emb)
+    out = str(tmp_path / "ivf_lake")
+    ivf_assign(emb, codebook).write.partitionBy("cell").parquet(out)
+
+    lake = spark.read.parquet(out)
+    probed = lake.filter(F.col("cell").isin(3, 7))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p and "cell" in p.split("PartitionFilters", 1)[1][:200]
+    assert probed.count() == (
+        ivf_assign(emb, codebook).filter(F.col("cell").isin(3, 7)).count()
+    )
+    # the layout really is one directory per cell
+    dirs = {d.name for d in (tmp_path / "ivf_lake").iterdir() if d.is_dir()}
+    assert dirs == {f"cell={c}" for c in range(N_IVF_CELLS)}
+
+
 def test_ivf_search_join_never_shuffles_corpus_on_cell(spark):
     """The batch join's scale contract: cell has only K distinct
     values, so the corpus must NOT shuffle on it (100 TB through K
