@@ -35,7 +35,7 @@ connection's cursor streaming instead of buffering the result set.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from datetime import datetime
+from datetime import date, datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -105,8 +105,8 @@ class JdbcConfig:
 def partition_options(
     sql: str,
     partition_column: str,
-    lower_bound: int,
-    upper_bound: int,
+    lower_bound: int | str,
+    upper_bound: int | str,
     num_partitions: int,
 ) -> dict[str, str]:
     """Option dict for a parallel range-bound JDBC read.
@@ -115,8 +115,10 @@ def partition_options(
     option and requires all four of partitionColumn / lowerBound /
     upperBound / numPartitions together — so the pushdown statement is
     wrapped as a ``dbtable`` subquery alias and every bound is set.
-    Kept as a pure function so tests can assert the exact dict without
-    a live database.
+    Bounds may be ints or pre-formatted DATE/TIMESTAMP strings (Spark
+    parses temporal bounds via java.sql.Date/Timestamp.valueOf). Kept
+    as a pure function so tests can assert the exact dict without a
+    live database.
     """
     return {
         "dbtable": f"({sql}) AS sub",
@@ -161,26 +163,41 @@ class JdbcSource:
 
     def _probe_bounds(
         self, spark: SparkSession, sql: str, partition_column: str
-    ) -> tuple[int, int]:
+    ) -> tuple[int, int] | tuple[str, str] | None:
         """Min/max probe over the pushdown subquery (one connection,
-        one row)."""
+        one row).
+
+        Integral columns get a +1 range; DATE/TIMESTAMP columns get
+        string bounds in the forms Spark's JDBC source parses
+        (``java.sql.Date/Timestamp.valueOf``), stepped one unit past
+        the max so the last stride covers it. An empty window returns
+        None — the caller falls back to the single-connection path,
+        which is type-agnostic and costs nothing at zero rows."""
         probe = bounds_probe_sql(sql, partition_column)
         row = self._reader(spark, {"query": probe}).load().collect()[0]
-        if row[0] is None:
-            return (0, 1)  # empty window: any valid range; read yields 0 rows
-        if not isinstance(row[0], int) or isinstance(row[0], bool):
-            # Spark's JDBC source also accepts date/timestamp partition
-            # columns, but this probe's +1-exclusive arithmetic is
-            # integral — fail with the column named rather than an
-            # opaque int() traceback; callers with temporal columns
-            # should pass explicit ``bounds``.
+        lo, hi = row[0], row[1]
+        if lo is None:
+            return None
+        if isinstance(lo, bool):
             raise TypeError(
-                f"partition_column {partition_column!r} probed as "
-                f"{type(row[0]).__name__} ({row[0]!r}); automatic bounds "
-                "probing supports integral columns only — pass explicit "
-                "bounds=(lower, upper) for date/timestamp/decimal columns"
+                f"partition_column {partition_column!r} is boolean — not "
+                "range-partitionable"
             )
-        return (int(row[0]), int(row[1]) + 1)
+        if isinstance(lo, int):
+            return (int(lo), int(hi) + 1)
+        if isinstance(lo, datetime):  # before date: datetime IS a date
+            return (
+                lo.strftime(WATERMARK_FORMAT),
+                (hi + timedelta(seconds=1)).strftime(WATERMARK_FORMAT),
+            )
+        if isinstance(lo, date):
+            return (lo.isoformat(), (hi + timedelta(days=1)).isoformat())
+        raise TypeError(
+            f"partition_column {partition_column!r} probed as "
+            f"{type(lo).__name__} ({lo!r}); automatic bounds probing "
+            "supports integral, DATE, and TIMESTAMP columns — pass "
+            "explicit bounds=(lower, upper) for other types"
+        )
 
     def read_table(
         self,
@@ -189,7 +206,7 @@ class JdbcSource:
         watermark: str,
         partition_column: str | None = None,
         num_partitions: int = 8,
-        bounds: tuple[int, int] | None = None,
+        bounds: tuple[int, int] | tuple[str, str] | None = None,
     ) -> DataFrame | None:
         """S3/S4: changed-rows extraction with the join chain and the
         watermark predicate executed by the source DB.
@@ -197,12 +214,18 @@ class JdbcSource:
         With ``partition_column`` the read is split into
         ``num_partitions`` range-bounded parallel connections (the
         100 TB extraction path); bounds come from ``bounds`` or a
-        min/max probe on the same pushdown subquery.
+        min/max probe on the same pushdown subquery (integral, DATE,
+        or TIMESTAMP columns). An empty probe falls back to one
+        connection.
         """
         sql = incremental_sql(spec, watermark)
+        b = None
         if partition_column:
-            lo, hi = bounds or self._probe_bounds(spark, sql, partition_column)
-            opts = partition_options(sql, partition_column, lo, hi, num_partitions)
+            b = bounds or self._probe_bounds(spark, sql, partition_column)
+        if b is not None:
+            opts = partition_options(
+                sql, partition_column, b[0], b[1], num_partitions
+            )
         else:
             opts = {"query": sql}
         df = self._reader(spark, opts).load()

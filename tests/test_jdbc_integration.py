@@ -23,7 +23,8 @@ DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 # schema; reads use this narrowed spec (same table name → same pushdown
 # SQL). The FULL registry spec is used by the missing-column raise test.
 NARROW_SPEC = TableSpec(
-    "retail_subscriptions", ("id", "status", "created_at", "updated_at")
+    "retail_subscriptions",
+    ("id", "status", "created_at", "updated_at", "start_date", "sync_ts"),
 )
 
 
@@ -44,10 +45,11 @@ def derby(spark, tmp_path_factory):
     st.executeUpdate(
         "CREATE TABLE retail_subscriptions ("
         "id INT PRIMARY KEY, status VARCHAR(20), "
-        "created_at VARCHAR(30), updated_at VARCHAR(30))"
+        "created_at VARCHAR(30), updated_at VARCHAR(30), "
+        "start_date DATE, sync_ts TIMESTAMP)"
     )
     ps = conn.prepareStatement(
-        "INSERT INTO retail_subscriptions VALUES (?, ?, ?, ?)"
+        "INSERT INTO retail_subscriptions VALUES (?, ?, ?, ?, ?, ?)"
     )
     for i in range(1, 41):
         day = 10 if i <= 20 else 20  # watermark splits at day 15
@@ -55,6 +57,10 @@ def derby(spark, tmp_path_factory):
         ps.setString(2, "active" if i % 3 else "cancelled")
         ps.setString(3, f"2024-01-{day:02d} 08:00:00")
         ps.setString(4, f"2024-01-{day:02d} 10:{i:02d}:00")
+        ps.setDate(5, jvm.java.sql.Date.valueOf(f"2024-01-{day:02d}"))
+        ps.setTimestamp(
+            6, jvm.java.sql.Timestamp.valueOf(f"2024-01-{day:02d} 10:{i:02d}:00")
+        )
         ps.executeUpdate()
     ps.close()
     st.close()
@@ -76,7 +82,7 @@ def test_single_connection_pushdown_read(spark, source):
     df = source.read_table(spark, NARROW_SPEC, WM)
     # Whole-statement pushdown: only the 20 post-watermark rows arrive.
     assert df.count() == 20
-    assert set(df.columns) == {"id", "status", "created_at", "updated_at"}
+    assert set(df.columns) == set(NARROW_SPEC.columns)
     assert {r.updated_at[:10] for r in df.collect()} == {"2024-01-20"}
 
 
@@ -140,3 +146,31 @@ def test_non_integral_partition_column_raises(spark, source):
             partition_column="updated_at",
             num_partitions=2,
         )
+
+
+def test_parallel_read_probes_timestamp_bounds(spark, source):
+    """Temporal partition columns, probed live: the min/max TIMESTAMP
+    probe produces string bounds Spark's JDBC source parses, and the
+    range-bounded connections return exactly the pushdown's rows."""
+    df = source.read_table(
+        spark,
+        NARROW_SPEC,
+        WM,
+        partition_column="sync_ts",
+        num_partitions=3,
+    )
+    assert df.rdd.getNumPartitions() == 3
+    assert sorted(r.id for r in df.collect()) == list(range(21, 41))
+
+
+def test_parallel_read_probes_date_bounds(spark, source):
+    """DATE columns probe too — even a degenerate one-day range (every
+    qualifying row shares start_date) must stay correct, just skewed."""
+    df = source.read_table(
+        spark,
+        NARROW_SPEC,
+        WM,
+        partition_column="start_date",
+        num_partitions=2,
+    )
+    assert sorted(r.id for r in df.collect()) == list(range(21, 41))
