@@ -17,6 +17,8 @@ from pathlib import Path
 import duckdb
 import pandas as pd
 import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -133,3 +135,34 @@ def test_contamination_plan_shape(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert p.count("hashpartitioning(doc_id") == 1
+
+
+# Adversarial ASCII soup for the PII regexes: digits, dots, dashes,
+# @, +, %, spaces — the alphabet where a Java-vs-RE2 \b or greediness
+# divergence would hide.
+_pii_alphabet = st.sampled_from(list("ab3. -@+%_0:/x9"))
+_pii_text = st.text(alphabet=_pii_alphabet, min_size=0, max_size=60)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_pii_text, min_size=1, max_size=20))
+def test_redact_property_differential(spark, texts):
+    """Property differential: on RANDOM near-PII strings, Spark's
+    regexp_count/regexp_replace and DuckDB's regexp_extract_all/
+    regexp_replace must agree cell-for-cell — the fixed-example test
+    can't cover the boundary cases this fuzzes."""
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = redact_pii(spark.createDataFrame(pdf))
+    s_cols = got.columns
+    s_rows = [tuple(r) for r in got.collect()]
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    cur = con.execute(REDACT_ORACLE)
+    o_cols = [d[0] for d in cur.description]
+    assert sorted(o_cols) == sorted(s_cols)
+    assert _multiset(s_cols, s_rows) == _multiset(o_cols, cur.fetchall())
