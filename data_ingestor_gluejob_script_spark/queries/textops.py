@@ -833,8 +833,11 @@ CONTAMINATION_ORACLE = f"""
             FROM bw),
     blist AS (SELECT list(w) AS bl FROM bsh),
     agg AS (
+        -- COALESCE: an EMPTY benchmark aggregates to a NULL list,
+        -- and len(list_intersect(sh, NULL)) is NULL where the Spark
+        -- side counts 0 joined hits.
         SELECT doc_id, len(sh) AS n_shingles,
-               len(list_intersect(sh, bl)) AS n_overlap
+               COALESCE(len(list_intersect(sh, bl)), 0) AS n_overlap
         FROM dsh CROSS JOIN blist)
     SELECT doc_id, n_shingles, n_overlap,
            CASE WHEN n_shingles > 0

@@ -166,3 +166,61 @@ def test_redact_property_differential(spark, texts):
     o_cols = [d[0] for d in cur.description]
     assert sorted(o_cols) == sorted(s_cols)
     assert _multiset(s_cols, s_rows) == _multiset(o_cols, cur.fetchall())
+
+
+_word = st.sampled_from(["the", "fast", "key", "sort", "a", "b3", ""])
+_doc = st.lists(_word, min_size=0, max_size=6).map(" ".join)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(_doc, min_size=1, max_size=12),
+    bench_mod=st.integers(min_value=2, max_value=5),
+)
+def test_contamination_property_differential(spark, docs, bench_mod):
+    """Property differential over tiny synthetic docs: covers the
+    short-document shingle guard (docs with < 3 words — which the
+    testdata corpus never exercises), repeated shingles, empty texts,
+    and EMPTY benchmark sets, against the same CTE oracle."""
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    # == 1, not == 0: doc 0 would match every modulus, making the
+    # benchmark non-empty always — with == 1 a single-doc corpus gets
+    # an EMPTY benchmark, exercising the oracle's NULL-list COALESCE.
+    bdf = pdf[pdf.doc_id % bench_mod == 1][["doc_id", "text"]]
+
+    sdocs = spark.createDataFrame(pdf)
+    sbench = sdocs.filter(F.col("doc_id") % bench_mod == 1)
+    got = contamination_report(sdocs, sbench)
+    s_cols = got.columns
+    s_rows = [tuple(r) for r in got.collect()]
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    con.register("benchmark", bdf)
+    cur = con.execute(CONTAMINATION_ORACLE)
+    o_cols = [d[0] for d in cur.description]
+    assert sorted(o_cols) == sorted(s_cols)
+    assert _multiset(s_cols, s_rows) == _multiset(o_cols, cur.fetchall())
+    assert len(s_rows) == len(docs)  # every doc reported, shingled or not
+
+
+def test_contamination_empty_benchmark(spark):
+    """Degenerate but legal: an empty benchmark set must yield a clean
+    report (not NULLs) in BOTH engines — DuckDB's list() aggregate over
+    zero rows is NULL, which the oracle's COALESCE absorbs."""
+    pdf = pd.DataFrame({"doc_id": [0], "text": ["the fast key sort"]})
+    sdocs = spark.createDataFrame(pdf)
+    got = contamination_report(sdocs, sdocs.filter(F.lit(False))).collect()
+    assert len(got) == 1
+    assert got[0].n_shingles == 2 and got[0].n_overlap == 0
+    assert got[0].overlap_ratio == 0.0 and not got[0].contaminated
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    con.register("benchmark", pdf[pdf.doc_id < 0])
+    row = con.execute(CONTAMINATION_ORACLE).fetchall()[0]
+    assert row[1] == 2 and row[2] == 0 and row[3] == 0.0 and row[4] is False
