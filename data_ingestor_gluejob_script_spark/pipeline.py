@@ -113,9 +113,22 @@ def write_partitioned_upsert(
             lambda a, b: a | b,
             [(F.col(ycol) == y) & (F.col(mcol) == m) for y, m in touched],
         )
+        existing = existing.filter(pred)  # pushed as partition pruning
+        # Schema evolution: a registry column added AFTER these lake
+        # files were written is absent from the merged scan — backfill
+        # it as a typed NULL (type from the incoming batch) so historic
+        # rows survive the upsert with NULL in the new column instead
+        # of failing the select. Columns the lake has but the registry
+        # dropped are pruned by the select, and age out as their
+        # partitions rewrite.
+        batch_types = {f.name: f.dataType for f in prepared.schema.fields}
+        for c in spec.columns:
+            if c not in existing.columns:
+                existing = existing.withColumn(
+                    c, F.lit(None).cast(batch_types[c])
+                )
         existing = (
-            existing.filter(pred)  # pushed down as partition pruning
-            .select(*spec.columns)  # drop partition/company dirs' columns
+            existing.select(*spec.columns)  # drop partition/company cols
             .transform(lambda d: derive_partitions(d, spec.ts_col, spec.name))
         )
 

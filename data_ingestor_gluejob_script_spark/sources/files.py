@@ -56,9 +56,16 @@ def read_csv_table(spark: SparkSession, path: str, spec: TableSpec) -> DataFrame
 
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame | None:
     """S2: read an existing lake partition; absent → None
-    (gluejob.py:207-224)."""
+    (gluejob.py:207-224).
+
+    ``mergeSchema`` because a long-lived lake holds files written under
+    several schema generations: the default scan types the table from
+    one footer, silently dropping columns that only newer (or older)
+    files carry — merge instead, so every generation's columns surface
+    (absent values read as NULL, exactly the upsert writer's
+    schema-evolution contract)."""
     try:
-        df = spark.read.parquet(path)
+        df = spark.read.option("mergeSchema", "true").parquet(path)
         df.schema
     except AnalysisException:
         return None

@@ -477,3 +477,53 @@ def test_compaction_via_hadoop_scheme_path(spark, tmp_path, lake):
         for r in lake_partition_stats(spark, root_uri).collect()
     }
     assert stats == {(2024, 1): 60, (2024, 2): 40}
+
+
+def test_upsert_schema_evolution_backfills_new_column(spark, tmp_path, lake):
+    """A registry column added after the lake was first written: the
+    next upsert must read the old files (mergeSchema), backfill the new
+    column as typed NULL for historic rows, and carry real values for
+    the new batch — never fail the select or silently drop the column."""
+    from data_ingestor_gluejob_script_spark.pipeline import (
+        write_partitioned_upsert,
+    )
+    from data_ingestor_gluejob_script_spark.registry import TableSpec
+
+    v1 = TableSpec(
+        "retail_subscriptions", ("id", "status", "created_at", "updated_at")
+    )
+    v2 = TableSpec(
+        "retail_subscriptions",
+        ("id", "status", "created_at", "updated_at", "tier"),
+    )
+
+    def df_for(spec, rows):
+        return spark.createDataFrame(
+            [[r[c] for c in spec.columns] for r in rows], list(spec.columns)
+        )
+
+    base = {
+        "status": "active",
+        "created_at": "2024-01-10 10:00:00",
+        "updated_at": "2024-01-10 10:00:00",
+    }
+    assert write_partitioned_upsert(
+        spark, df_for(v1, [dict(base, id="s1")]), v1, lake
+    ) == 1
+    # widened batch lands in the SAME (year, month) partition, so the
+    # merge must read + rewrite the v1 rows through the new schema
+    assert write_partitioned_upsert(
+        spark, df_for(v2, [dict(base, id="s2", tier="gold")]), v2, lake
+    ) == 2
+
+    root = f"{lake}/raw/locaweb/retail_subscriptions"
+    got = {
+        r.id: r
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(root)
+        .collect()
+    }
+    assert set(got) == {"s1", "s2"}
+    assert got["s1"].tier is None  # historic row: typed NULL backfill
+    assert got["s2"].tier == "gold"
+    assert got["s1"].status == "active"  # untouched columns intact
