@@ -232,7 +232,11 @@ def compact_partitions(
 
     Returns the number of rows rewritten.
     """
-    df = spark.read.parquet(table_root)
+    # mergeSchema: compaction REWRITES the lake — a one-footer scan of
+    # a schema-evolved table would rewrite it without the columns only
+    # some generations carry, which is silent data loss (same contract
+    # as the upsert writer's existing-lake read).
+    df = spark.read.option("mergeSchema", "true").parquet(table_root)
     part_cols = _partition_cols(spark, df, table_root)
     n = df.count()
     (
@@ -274,7 +278,7 @@ def lake_partition_stats(spark: SparkSession, table_root: str) -> DataFrame:
     """Per-partition row counts for a lake table — the observability
     query behind compaction/skew decisions. Partition pruning makes
     this a metadata-plus-counts scan, not a full-column read."""
-    df = spark.read.parquet(table_root)
+    df = spark.read.option("mergeSchema", "true").parquet(table_root)
     part_cols = _partition_cols(spark, df, table_root)
     return df.groupBy(*part_cols).count().withColumnRenamed("count", "n_rows")
 

@@ -527,3 +527,56 @@ def test_upsert_schema_evolution_backfills_new_column(spark, tmp_path, lake):
     assert got["s1"].tier is None  # historic row: typed NULL backfill
     assert got["s2"].tier == "gold"
     assert got["s1"].status == "active"  # untouched columns intact
+
+
+def test_compaction_preserves_evolved_schema(spark, tmp_path, lake):
+    """Compacting a schema-evolved lake must carry EVERY generation's
+    columns through the rewrite — a one-footer scan would rewrite the
+    table without the newer column, which is silent data loss."""
+    from data_ingestor_gluejob_script_spark.pipeline import (
+        compact_partitions,
+        write_partitioned_upsert,
+    )
+    from data_ingestor_gluejob_script_spark.registry import TableSpec
+
+    v1 = TableSpec(
+        "retail_subscriptions", ("id", "status", "created_at", "updated_at")
+    )
+    v2 = TableSpec(
+        "retail_subscriptions",
+        ("id", "status", "created_at", "updated_at", "tier"),
+    )
+
+    def df_for(spec, rows):
+        return spark.createDataFrame(
+            [[r[c] for c in spec.columns] for r in rows], list(spec.columns)
+        )
+
+    base = {
+        "status": "active",
+        "created_at": "2024-01-10 10:00:00",
+        "updated_at": "2024-01-10 10:00:00",
+    }
+    write_partitioned_upsert(spark, df_for(v1, [dict(base, id="s1")]), v1, lake)
+    # second generation in a DIFFERENT month: the upsert never rewrites
+    # the v1 partition, so the lake genuinely holds two schema
+    # generations side by side when compaction runs.
+    later = {
+        "status": "active",
+        "created_at": "2024-02-10 10:00:00",
+        "updated_at": "2024-02-10 10:00:00",
+    }
+    write_partitioned_upsert(
+        spark, df_for(v2, [dict(later, id="s2", tier="gold")]), v2, lake
+    )
+
+    root = f"{lake}/raw/locaweb/retail_subscriptions"
+    assert compact_partitions(spark, root) == 2
+    got = {
+        r.id: r
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(root)
+        .collect()
+    }
+    assert set(got) == {"s1", "s2"}
+    assert got["s1"].tier is None and got["s2"].tier == "gold"
