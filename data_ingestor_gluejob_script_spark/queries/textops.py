@@ -576,6 +576,21 @@ def contamination_report(docs: DataFrame, benchmark: DataFrame) -> DataFrame:
     )
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame) -> DataFrame:
+    """The removal counterpart of ``contamination_report``: the corpus
+    minus documents whose benchmark shingle overlap meets
+    CONTAMINATION_THRESHOLD. Same broadcast + one-keyed-shuffle plan as
+    the report plus a semi-join of the (small) clean-id set back onto
+    the corpus — composes ahead of dedup/packing in a training
+    pipeline."""
+    clean_ids = (
+        contamination_report(docs, benchmark)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    return docs.join(clean_ids, "doc_id", "left_semi")
+
+
 # PII patterns deliberately restricted to syntax RE2 (DuckDB) and Java
 # (Spark) regex dialects treat identically: character classes, bounded
 # repetition, \d, \b — no backreferences, no lookaround.

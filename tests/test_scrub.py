@@ -224,3 +224,27 @@ def test_contamination_empty_benchmark(spark):
     con.register("benchmark", pdf[pdf.doc_id < 0])
     row = con.execute(CONTAMINATION_ORACLE).fetchall()[0]
     assert row[1] == 2 and row[2] == 0 and row[3] == 0.0 and row[4] is False
+
+
+def test_decontaminate_removes_flagged_docs(spark):
+    """decontaminate == corpus minus the report's contaminated set,
+    schema intact — benchmark members (self-overlap 1.0) must all go."""
+    from data_ingestor_gluejob_script_spark.queries.textops import (
+        decontaminate,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    clean = decontaminate(docs, bench)
+    assert clean.columns == docs.columns
+
+    flagged = {
+        r.doc_id
+        for r in contamination_report(docs, bench)
+        .filter(F.col("contaminated"))
+        .collect()
+    }
+    kept = {r.doc_id for r in clean.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert kept == all_ids - flagged
+    assert flagged.issuperset({r.doc_id for r in bench.select("doc_id").collect()})
