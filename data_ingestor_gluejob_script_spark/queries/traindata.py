@@ -178,13 +178,16 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIN_QUALITY = 2
 
 
-def prepare_training_corpus(docs: DataFrame) -> DataFrame:
+def prepare_training_corpus(
+    docs: DataFrame, benchmark: DataFrame | None = None
+) -> DataFrame:
     """End-to-end training-corpus preparation — the scrub/dedup/pack
-    stages composed into ONE declarative job: redact PII → quality
-    filter (score >= MIN_QUALITY over the REDACTED text) → exact dedup
-    (keep lowest doc_id per text) → SimHash near-dup drop (keep each
-    fingerprint group's representative) → keep the train split →
-    sequence-pack. Returns the train-split pack manifest
+    stages composed into ONE declarative job: [decontaminate against
+    ``benchmark`` if given] → redact PII → quality filter (score >=
+    MIN_QUALITY over the REDACTED text) → exact dedup (keep lowest
+    doc_id per text) → SimHash near-dup drop (keep each fingerprint
+    group's representative) → keep the train split → sequence-pack.
+    Returns the train-split pack manifest
     (doc_id, n_tokens, tokens_before, pack_id, pack_offset).
 
     Shuffle budget (the 100 TB story): redaction, quality, and split
@@ -199,12 +202,18 @@ def prepare_training_corpus(docs: DataFrame) -> DataFrame:
     (tests/test_corpus_pipeline.py); not driver-registered (gate
     pinned at 50)."""
     from .textops import (
+        decontaminate,
         exact_dedup_frame,
         quality_score_col,
         redacted_text_col,
         simhash16_col,
     )
 
+    if benchmark is not None:
+        # Decontamination runs on the RAW text (the benchmark is raw
+        # text too — redacting first would shift shingles on only one
+        # side of the overlap).
+        docs = decontaminate(docs, benchmark)
     work = docs.select(
         "doc_id", redacted_text_col(F.col("text")).alias("text")
     ).withColumn("n_chars", F.length("text"))

@@ -96,3 +96,32 @@ def test_pipeline_plan_shape(spark):
     p = buf.getvalue()
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p  # block offsets come back broadcast
+
+
+def test_pipeline_with_benchmark_decontaminates(spark):
+    """The optional benchmark stage: docs flagged by the contamination
+    report must be absent from the pack manifest, and the remainder
+    must re-pack exactly as running prepare on the pre-cleaned corpus
+    (the stage composes, it doesn't perturb)."""
+    from data_ingestor_gluejob_script_spark.queries.textops import (
+        contamination_report,
+        decontaminate,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+
+    with_stage = prepare_training_corpus(docs, benchmark=bench)
+    flagged = {
+        r.doc_id
+        for r in contamination_report(docs, bench)
+        .filter(F.col("contaminated"))
+        .collect()
+    }
+    got_ids = {r.doc_id for r in with_stage.select("doc_id").collect()}
+    assert got_ids.isdisjoint(flagged)
+
+    pre_cleaned = prepare_training_corpus(decontaminate(docs, bench))
+    assert sorted(map(tuple, with_stage.collect())) == sorted(
+        map(tuple, pre_cleaned.collect())
+    )
