@@ -122,9 +122,10 @@ def test_dedup_self_joins_reuse_one_exchange_at_runtime(spark):
     EXECUTED adaptive plan, where reuse actually materializes."""
     qs = entry_mod.queries()
     for name, min_reuse in [
-        ("q_ngram_jaccard_pairs", 2),  # 2nd join side + both size branches
-        ("q_minhash_lsh_pairs", 1),    # 2nd band-join side
-        ("q_embed_neardup_pairs", 1),  # 2nd bucket-join side
+        ("q_ngram_jaccard_pairs", 2),    # 2nd join side + size branches
+        ("q_minhash_lsh_pairs", 1),      # 2nd band-join side
+        ("q_embed_neardup_pairs", 1),    # 2nd bucket-join side
+        ("q_simhash_neardup_pairs", 1),  # 2nd half-band join side
     ]:
         df = qs[name](spark, SF)
         df.collect()
