@@ -1,5 +1,6 @@
 """Training-data text operators over the ``documents`` table: exact and
-near deduplication, text analysis, fingerprinting (SURVEY.md §2.3
+near deduplication, text analysis, fingerprinting, and the scrub
+stages — benchmark decontamination and PII redaction (SURVEY.md §2.3
 extended set + the LLM-pipeline additions).
 
 Everything here is pure Catalyst expressions — split/transform/
