@@ -37,6 +37,16 @@ Protocol hardening:
   acts as the JVM warm-up for everything in the batch.
 - Per-rep times are recorded in ``reps_detail`` so a degraded tail
   (reps trending upward) is visible in the artifact, not just the min.
+- The final stdout line is a COMPACT summary only (~1.6 KB for 50
+  queries): the consumer that records this run keeps just the last
+  2,000 characters of stdout, and round 5's full-detail line (~6 KB)
+  overflowed that window and lost its own front half. ``reps_detail``
+  and ``batch_loads`` go to ``BENCH_DETAIL.json`` next to this file
+  instead of onto the line.
+- The worker flushes a progress line after every completed round-robin
+  pass, so if its JVM dies mid-batch (OOM/crash) the parent salvages
+  every rep that finished instead of recording -1.0 for the whole
+  batch.
 """
 
 from __future__ import annotations
@@ -114,6 +124,13 @@ def run_batch(names: list[str], sf_dir: str, reps: int) -> dict:
                     f"bench error {name}: {type(ex).__name__}: {ex}",
                     file=sys.stderr,
                 )
+        # Flush after every pass so a JVM crash mid-batch loses at most
+        # the in-flight rep — the parent salvages the last line it can
+        # parse, partial or complete.
+        print(
+            json.dumps({"reps_detail": detail, "load": [load0, loadavg_1m()]}),
+            flush=True,
+        )
     spark.stop()
     return {"reps_detail": detail, "load": [load0, loadavg_1m()]}
 
@@ -146,12 +163,20 @@ def main() -> int:
             stderr=sys.stderr,
             text=True,
         )
-        try:
-            lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
-            out = json.loads(lines[-1])
-            reps_detail.update(out["reps_detail"])
-            batch_loads.append(out.get("load", []))
-        except (IndexError, ValueError, KeyError):
+        # Walk the worker's stdout from the last line backwards and take
+        # the first parsable progress line: the complete result when the
+        # worker exited cleanly, else the last per-pass flush before a
+        # crash (salvaging every rep that finished).
+        out = None
+        for ln in reversed([ln for ln in proc.stdout.splitlines() if ln.strip()]):
+            try:
+                cand = json.loads(ln)
+            except ValueError:
+                continue
+            if isinstance(cand, dict) and "reps_detail" in cand:
+                out = cand
+                break
+        if out is None:
             print(
                 f"bench batch failed (rc={proc.returncode}): {batch}",
                 file=sys.stderr,
@@ -159,29 +184,47 @@ def main() -> int:
             for name in batch:
                 reps_detail[name] = [-1.0]
             batch_loads.append([])
+        else:
+            if proc.returncode != 0:
+                print(
+                    f"bench batch crashed (rc={proc.returncode}); salvaged"
+                    f" partial reps for {batch}",
+                    file=sys.stderr,
+                )
+            for name in batch:
+                reps_detail[name] = out["reps_detail"].get(name) or [-1.0]
+            batch_loads.append(out.get("load", []))
 
     timings = {
         name: (min(ok) if (ok := [t for t in rep_times if t >= 0]) else -1.0)
         for name, rep_times in reps_detail.items()
     }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
+    summary = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(sf_dir),
+        "reps": reps,
+        "load_at_start": start_load,
+        "load_at_end": loadavg_1m(),
+    }
+    # Full per-rep evidence goes to a side file; the stdout line must
+    # stay under the consumer's 2,000-char tail window (see module
+    # docstring), so it carries the best-of-reps numbers only.
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(
             {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_of(sf_dir),
-                "reps": reps,
+                **summary,
                 "batch_size": batch_size,
                 "reps_detail": reps_detail,
                 "batch_loads": batch_loads,
-                "load_at_start": start_load,
-                "load_at_end": loadavg_1m(),
-            }
+            },
+            f,
+            indent=1,
         )
-    )
+    print(json.dumps(summary, separators=(",", ":")))
     return 0
 
 

@@ -148,7 +148,14 @@ def write_partitioned_upsert(
         # rolls to a new file within the partition every N records.
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     (
-        writer.mode("overwrite")  # dynamic: only partitions in `merged`
+        # Per-writer dynamic overwrite: only partitions present in
+        # `merged` are replaced. Set on the writer (not the session) so
+        # the contract holds for caller-supplied vanilla sessions too —
+        # a session-level default of "static" would otherwise wipe the
+        # whole table root and the touched-scoped rename below would
+        # miss partitions that silently lost their files.
+        writer.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("company", ycol, mcol)
         .parquet(root)
     )

@@ -31,7 +31,7 @@ import shutil
 import tempfile
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -299,16 +299,36 @@ def stream_exact_dedup(
     its first sighting + ``late``, so the state store is bounded by the
     duplicate-arrival horizon, not the stream length (the property that
     makes this safe on an unbounded 100 TB/day feed; plain streaming
-    ``dropDuplicates`` would grow state forever). Batch mode is plain
-    ``dropDuplicates`` on the same keys, so the two twins agree on any
-    replayable input whose duplicates arrive within the horizon.
+    ``dropDuplicates`` would grow state forever).
+
+    The streaming path keeps the FIRST arrival per key. Batch files
+    carry no arrival order, so the batch twin keeps a deterministic
+    proxy instead: the row with the minimum ``ts`` per key, remaining
+    columns as tie-break. A bare ``dropDuplicates(keys)`` would keep a
+    partitioning-dependent arbitrary row — fine for byte-identical
+    re-deliveries, silently nondeterministic when duplicate keys carry
+    differing payloads. The two twins agree exactly on replayable
+    input whose duplicates arrive within the horizon in event-time
+    order; for out-of-order duplicates with differing payloads the
+    batch twin is the reproducible one. Cost is unchanged: one shuffle
+    on the keys either way.
     """
     keys = keys or ["event_id"]
     if events.isStreaming:
         return events.withWatermark("ts", late).dropDuplicatesWithinWatermark(
             keys
         )
-    return events.dropDuplicates(keys)
+    order_cols = ["ts"] + [
+        c for c in events.columns if c not in keys and c != "ts"
+    ]
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).asc_nulls_last() for c in order_cols]
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def run_dedup_stream(
