@@ -124,15 +124,21 @@ def run_batch(names: list[str], sf_dir: str, reps: int) -> dict:
                     f"bench error {name}: {type(ex).__name__}: {ex}",
                     file=sys.stderr,
                 )
-        # Flush after every pass so a JVM crash mid-batch loses at most
-        # the in-flight rep — the parent salvages the last line it can
-        # parse, partial or complete.
-        print(
-            json.dumps({"reps_detail": detail, "load": [load0, loadavg_1m()]}),
-            flush=True,
-        )
+            # Flush after every rep so a JVM crash loses at most the
+            # in-flight rep — the parent salvages the last sentinel
+            # line it can parse, partial or complete.
+            print(
+                json.dumps(
+                    {
+                        "__bench__": 1,
+                        "reps_detail": detail,
+                        "load": [load0, loadavg_1m()],
+                    }
+                ),
+                flush=True,
+            )
     spark.stop()
-    return {"reps_detail": detail, "load": [load0, loadavg_1m()]}
+    return {"__bench__": 1, "reps_detail": detail, "load": [load0, loadavg_1m()]}
 
 
 def main() -> int:
@@ -164,16 +170,22 @@ def main() -> int:
             text=True,
         )
         # Walk the worker's stdout from the last line backwards and take
-        # the first parsable progress line: the complete result when the
-        # worker exited cleanly, else the last per-pass flush before a
-        # crash (salvaging every rep that finished).
+        # the first sentinel-tagged progress line: the complete result
+        # when the worker exited cleanly, else the last per-rep flush
+        # before a crash (salvaging every rep that finished). The
+        # "__bench__" sentinel keeps unrelated JSON on stdout (a query
+        # or library printing a dict) from being mistaken for a result.
         out = None
         for ln in reversed([ln for ln in proc.stdout.splitlines() if ln.strip()]):
             try:
                 cand = json.loads(ln)
             except ValueError:
                 continue
-            if isinstance(cand, dict) and "reps_detail" in cand:
+            if (
+                isinstance(cand, dict)
+                and cand.get("__bench__") == 1
+                and "reps_detail" in cand
+            ):
                 out = cand
                 break
         if out is None:

@@ -1,14 +1,22 @@
 """Shared helpers for the declared queries.
 
-The testdata ``events`` table stores its ``ts`` column as parquet
-TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright
-(PARQUET_TYPE_ILLEGAL). We read it under an explicit user schema that
-types ``ts`` as LongType (legal for NANOS columns regardless of the
-``nanosAsLong`` legacy conf — no session-conf mutation needed) and
-truncate ns → µs with integer division (``div 1000`` — floating-point
-division would round instead, diverging from DuckDB's cast-truncation
-semantics for TIMESTAMP_NS → TIMESTAMP and corrupting the microsecond
-digit).
+The testdata ``events`` table has shipped with two physical encodings
+for its ``ts`` column across driver regenerations: parquet
+TIMESTAMP(NANOS) (which Spark surfaces as ``bigint`` under the
+``nanosAsLong`` legacy conf, or rejects without it) and plain
+``timestamp[us]`` (which Spark reads natively, as TIMESTAMP_NTZ when
+the footer says isAdjustedToUTC=false). ``read_events`` sniffs the
+footer ONCE per read and normalizes both to a session-UTC
+TimestampType column, so a testdata regeneration can never silently
+flip the events family again:
+
+- already ``timestamp``      → use as-is
+- ``timestamp_ntz``          → cast to ``timestamp`` (value-preserving:
+  the session timezone is pinned UTC in session.py, and ``withWatermark``
+  rejects NTZ event-time columns outright)
+- ``bigint`` (NANOS-as-long) → rebuild via ``timestamp_micros(ts div
+  1000)`` — integer division, not float, to match DuckDB's truncation
+  semantics for TIMESTAMP_NS → TIMESTAMP
 """
 
 from __future__ import annotations
@@ -39,8 +47,8 @@ def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
-# Pinned events schema (TESTDATA.md): ts declared LongType so the
-# vectorized reader accepts the TIMESTAMP(NANOS) column under ANY
+# Pinned fallback schema for the TIMESTAMP(NANOS) encoding: ts declared
+# LongType so the vectorized reader accepts the NANOS column under ANY
 # session conf — works identically with or without the legacy
 # ``nanosAsLong`` flag, so the driver's vanilla session needs no
 # conf mutation. Catalyst still prunes unused columns from the scan.
@@ -56,10 +64,32 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read the events table with ``ts`` normalized to TimestampType,
+    whichever physical encoding the parquet footer declares (see module
+    docstring). The sniff is one footer-only read — no row data moves
+    until the returned frame is consumed, so this costs nothing at any
+    scale and keeps predicate pushdown / column pruning intact.
+    """
+    try:
+        raw = spark.read.parquet(path)
+        ts_type = dict(raw.dtypes).get("ts")
+    except Exception:
+        # Schema inference throws on TIMESTAMP(NANOS) when the
+        # nanosAsLong legacy conf is off; the explicit-schema fallback
+        # below handles that encoding.
+        ts_type = None
+    if ts_type == "timestamp":
+        return raw
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    df = spark.read.schema(EVENTS_SCHEMA).parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one testdata table, normalizing events.ts to TimestampType."""
     path = os.path.join(sf_dir, f"{table}.parquet")
     if table == "events":
-        df = spark.read.schema(EVENTS_SCHEMA).parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return read_events(spark, path)
     return spark.read.parquet(path)

@@ -54,10 +54,16 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         events_dir = d
     batch = spark.read.parquet(events_dir)
     stream = spark.readStream.schema(batch.schema).parquet(events_dir)
-    if dict(batch.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) as long
+    ts_type = dict(batch.dtypes).get("ts")
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) as long
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        # withWatermark rejects NTZ event-time columns
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); the session timezone is
+        # pinned UTC, so the cast is value-preserving.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -303,26 +309,40 @@ def stream_exact_dedup(
 
     The streaming path keeps the FIRST arrival per key. Batch files
     carry no arrival order, so the batch twin keeps a deterministic
-    proxy instead: the row with the minimum ``ts`` per key, remaining
-    columns as tie-break. A bare ``dropDuplicates(keys)`` would keep a
-    partitioning-dependent arbitrary row — fine for byte-identical
-    re-deliveries, silently nondeterministic when duplicate keys carry
-    differing payloads. The two twins agree exactly on replayable
-    input whose duplicates arrive within the horizon in event-time
-    order; for out-of-order duplicates with differing payloads the
-    batch twin is the reproducible one. Cost is unchanged: one shuffle
-    on the keys either way.
+    proxy instead: the row with the minimum ``ts`` per key (requiring
+    a ``ts`` column, like the streaming path's watermark does), with a
+    64-bit hash of the remaining payload columns as tie-break. A bare
+    ``dropDuplicates(keys)`` would keep a partitioning-dependent
+    arbitrary row — fine for byte-identical re-deliveries, silently
+    nondeterministic when duplicate keys carry differing payloads.
+    Hashing instead of sorting the full payload keeps the
+    per-partition sort narrow (key + ts + one long) regardless of row
+    width, and tolerates unorderable payload types (MapType) that a
+    full-row ORDER BY would reject. The two twins agree exactly on
+    replayable input whose duplicates arrive within the horizon in
+    event-time order; for out-of-order duplicates with differing
+    payloads the batch twin is the reproducible one. Cost: one shuffle
+    on the keys either way, plus the batch side's narrow sort.
     """
     keys = keys or ["event_id"]
     if events.isStreaming:
         return events.withWatermark("ts", late).dropDuplicatesWithinWatermark(
             keys
         )
-    order_cols = ["ts"] + [
-        c for c in events.columns if c not in keys and c != "ts"
-    ]
+    if "ts" not in events.columns:
+        raise ValueError(
+            "stream_exact_dedup batch twin requires a 'ts' column "
+            "(the streaming path's watermark column) to pick a "
+            "deterministic survivor per key"
+        )
+    payload = [c for c in events.columns if c not in keys and c != "ts"]
+    tie = (
+        F.xxhash64(*[F.col(c).cast("string") for c in payload])
+        if payload
+        else F.lit(0)
+    )
     w = Window.partitionBy(*keys).orderBy(
-        *[F.col(c).asc_nulls_last() for c in order_cols]
+        F.col("ts").asc_nulls_last(), tie.asc_nulls_last()
     )
     return (
         events.withColumn("_rn", F.row_number().over(w))
