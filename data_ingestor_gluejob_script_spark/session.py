@@ -44,9 +44,11 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        # Testdata events.ts is parquet TIMESTAMP(NANOS), which the
-        # vectorized reader rejects; read nanos as long once, globally
-        # (no-op for non-nanos files), instead of mutating conf mid-query.
+        # Testdata events.ts has shipped as both TIMESTAMP(NANOS) and
+        # timestamp[us] across regenerations; nanosAsLong keeps the
+        # NANOS encoding readable (as long) without mid-query conf
+        # mutation and is a no-op for non-nanos files. The per-read
+        # normalization lives in queries/_util.read_events.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         # Only effective when THIS call launches the JVM — getOrCreate

@@ -206,3 +206,31 @@ def test_stream_attribution_join_matches_batch(spark):
     assert len(stream_rows) > 0
     # the interval bound actually bites: every pair lags within 1 hour
     assert all(0 <= lag <= 3600 for *_, lag in stream_rows)
+
+
+def test_batch_dedup_contract(spark):
+    """The batch twin requires ts, survives unorderable payload types
+    (MapType), and picks the min-ts row per key deterministically."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0, 5), {"a": 1}),
+            (1, datetime(2024, 1, 1, 0, 0, 1), {"b": 2}),
+            (2, datetime(2024, 1, 2, 0, 0, 0), {"c": 3}),
+        ],
+        "event_id long, ts timestamp, props map<string,int>",
+    )
+    got = {
+        (r.event_id, r.ts)
+        for r in streaming.stream_exact_dedup(df, keys=["event_id"]).collect()
+    }
+    assert got == {
+        (1, datetime(2024, 1, 1, 0, 0, 1)),
+        (2, datetime(2024, 1, 2, 0, 0, 0)),
+    }
+
+    no_ts = df.select("event_id", F.col("props"))
+    with pytest.raises(ValueError, match="ts"):
+        streaming.stream_exact_dedup(no_ts, keys=["event_id"])
