@@ -1,0 +1,251 @@
+"""Corpus-level token statistics for training-data curation: vocabulary
+building, Gopher-style repetition signals, and per-document TF-IDF key
+terms.
+
+These are the counting passes a 100 TB text pipeline runs between
+scrubbing and packing — what tokens exist (vocab / tokenizer training
+input), which documents are degenerate repetition (quality filter),
+and what each document is about (stratification / retrieval keys).
+
+Reference parity note: the reference engine (gluejob.py, a pandas ETL
+script) has no text-analysis surface; these extend the LLM-pipeline
+family (SURVEY.md "beyond the reference" scope) alongside
+textops/similarity. Not driver-registered — the correctness gate is
+pinned at 50 queries (tests/test_inventory.py) — so their DuckDB
+differentials live in tests/test_corpusstats.py, mirroring the
+scrub/IVF precedents.
+
+Scale shapes (the reason these are groupBy passes, not per-doc HOFs):
+
+- Every aggregation here is a keyed shuffle with map-side partial
+  aggregation: the Zipf head ("the" appearing everywhere) combines
+  within each partition before it ever crosses the wire.
+- Per-document n-gram tallies use explode + groupBy(doc_id, gram)
+  rather than an in-row higher-order-function count, which would be
+  O(len²) per document — quadratic on a 100k-token document.
+- The document-frequency table is vocabulary-sized (megabytes at any
+  corpus scale, by Heaps' law), so TF-IDF joins it via broadcast; the
+  corpus-sized TF side never re-shuffles for the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import words_col
+
+
+def ngrams_col(ws: Column, n: int) -> Column:
+    """Word n-grams of an already-split words array (space-joined),
+    as a map-side expression: transform over the first len-n+1 offsets
+    + slice + array_join. Empty array when the document has fewer than
+    ``n`` words — guarded explicitly because Spark's ``sequence(1, 0)``
+    yields a DESCENDING [1, 0] rather than an empty range, and ANSI
+    ``slice`` throws on index 0."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
+    )
+    return F.when(F.size(ws) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_counts_frame(docs: DataFrame) -> DataFrame:
+    """Per-(doc_id, token) occurrence counts — the shared first pass of
+    vocab and TF-IDF. One shuffle on (doc_id, token) with map-side
+    combine."""
+    return (
+        docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def vocab_frame(docs: DataFrame, min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary: (token, n_docs, n_occurrences), optionally
+    thresholded. Second shuffle keys on token and carries one row per
+    (doc, distinct token) — already deduplicated by the first pass, so
+    ``count(*)`` IS the document frequency with no DISTINCT expansion.
+    """
+    return (
+        token_counts_frame(docs)
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tf").alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
+def repetition_frame(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher-style repetition signal: per document, the fraction of
+    its word n-grams accounted for by the single most frequent n-gram
+    (`top_ngram_frac`), plus the distinct/total gram counts. Documents
+    shorter than ``n`` words surface with zero counts and a 0.0
+    fraction rather than dropping out (explode_outer).
+
+    Plan: explode grams → groupBy(doc_id, gram) tally → groupBy(doc_id)
+    max/sum — both shuffles partial-aggregated; per-doc work is linear
+    in document length."""
+    grams = docs.select(
+        "doc_id",
+        F.explode_outer(
+            ngrams_col(words_col(F.col("text")), n)
+        ).alias("gram"),
+    )
+    tallies = grams.groupBy("doc_id", "gram").agg(
+        F.count("gram").alias("cnt")
+    )
+    out = tallies.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.col("gram")).alias("n_distinct_grams"),
+        F.max("cnt").alias("top_ngram_count"),
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        "n_distinct_grams",
+        F.coalesce("top_ngram_count", F.lit(0)).alias("top_ngram_count"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.col("top_ngram_count") / F.col("n_grams"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_ngram_frac"),
+    )
+
+
+def tfidf_topk_frame(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-``k`` terms by smoothed TF-IDF:
+    ``tf * (ln((N+1)/(df+1)) + 1)`` — the sklearn-style smooth-idf, so
+    a term in every document still scores positively.
+
+    The DF side is vocabulary-sized → broadcast; ranking is one window
+    over doc_id on the TF frame. ``row_number`` ordered by
+    (rounded score desc, token asc) keeps the cut deterministic and
+    engine-portable: rounding to 9 decimals absorbs last-ulp ``ln``
+    differences between libm implementations, and equal rounded scores
+    fall back to the token ordering."""
+    n_docs_total = docs.select("doc_id").distinct().count()
+    tf = token_counts_frame(docs)
+    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_tbl), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        F.round(
+            F.col("tf")
+            * (
+                F.log((F.lit(n_docs_total) + 1.0) / (F.col("df") + 1.0))
+                + F.lit(1.0)
+            ),
+            9,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "score", "rank")
+    )
+
+
+# DuckDB twins (tests/test_corpusstats.py creates a `documents` view
+# over the same parquet). Formulas/rounding mirror the frames exactly;
+# duckdb's string_split matches Spark's split(text, ' ') on this
+# single-space corpus.
+
+VOCAB_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), tc AS (
+    SELECT doc_id, token, count(*) AS tf
+    FROM tok GROUP BY doc_id, token
+)
+SELECT token, count(*) AS n_docs, sum(tf) AS n_occurrences
+FROM tc GROUP BY token
+"""
+
+REPETITION_ORACLE = """
+WITH ws AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+    SELECT doc_id,
+           array_to_string(w[i:i+1], ' ') AS gram
+    FROM ws, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i)
+), tallies AS (
+    SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram
+)
+SELECT d.doc_id,
+       coalesce(sum(t.cnt), 0) AS n_grams,
+       count(t.gram) AS n_distinct_grams,
+       coalesce(max(t.cnt), 0) AS top_ngram_count,
+       CASE WHEN coalesce(sum(t.cnt), 0) > 0
+            THEN round(max(t.cnt) / sum(t.cnt), 6) ELSE 0.0 END
+           AS top_ngram_frac
+FROM documents d LEFT JOIN tallies t USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+TFIDF_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), tc AS (
+    SELECT doc_id, token, count(*) AS tf
+    FROM tok GROUP BY doc_id, token
+), df AS (
+    SELECT token, count(*) AS df FROM tc GROUP BY token
+), n AS (
+    SELECT count(DISTINCT doc_id) AS n FROM documents
+), scored AS (
+    SELECT tc.doc_id, tc.token, tc.tf,
+           round(tc.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 9)
+               AS score
+    FROM tc JOIN df USING (token) CROSS JOIN n
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token ASC
+    ) AS rank
+    FROM scored
+)
+SELECT doc_id, token, tf, score, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def cap_per_source_frame(
+    docs: DataFrame, cap: int, key: str = "source"
+) -> DataFrame:
+    """Source/domain balancing: keep at most ``cap`` documents per
+    ``key`` group, chosen deterministically by md5(doc_id) so the
+    sample is stable across partitionings and reruns (the same
+    hash-not-rand rule as the train-split assignment). One window
+    shuffle on the key; a skewed mega-domain is exactly the case AQE
+    skew handling splits, and the emitted rows are bounded by
+    cap × n_domains regardless of input skew."""
+    w = Window.partitionBy(key).orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+CAP_PER_SOURCE_ORACLE = """
+WITH ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC
+    ) AS _rn
+    FROM documents
+)
+SELECT doc_id, text, lang, source, n_chars
+FROM ranked WHERE _rn <= {cap}
+"""

@@ -1,0 +1,161 @@
+"""Corpus token statistics: DuckDB differentials over the real
+documents table plus the short-document edges the testdata never
+exercises (all synthetic docs are ≥3 words). Not driver-registered
+(gate pinned at 50) — this file IS their oracle verification,
+mirroring the scrub/IVF precedents.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pyspark.sql.functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from data_ingestor_gluejob_script_spark.queries._util import load  # noqa: E402
+from data_ingestor_gluejob_script_spark.queries.corpusstats import (  # noqa: E402
+    REPETITION_ORACLE,
+    TFIDF_ORACLE,
+    VOCAB_ORACLE,
+    ngrams_col,
+    repetition_frame,
+    tfidf_topk_frame,
+    vocab_frame,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(str(r[i]) for i in order) for r in rows)
+
+
+def _oracle(sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    cur = con.execute(sql)
+    return [d[0] for d in cur.description], cur.fetchall()
+
+
+def _assert_differential(got, sql):
+    s_cols, s_rows = got.columns, [tuple(r) for r in got.collect()]
+    o_cols, o_rows = _oracle(sql)
+    assert sorted(s_cols) == sorted(o_cols)
+    assert len(s_rows) == len(o_rows) > 0
+    assert _multiset(s_cols, s_rows) == _multiset(o_cols, o_rows)
+
+
+def test_vocab_differential(spark):
+    docs = load(spark, SF_DIR, "documents")
+    _assert_differential(vocab_frame(docs), VOCAB_ORACLE)
+
+
+def test_vocab_conservation(spark):
+    """sum(n_occurrences) over the vocab == total whitespace tokens —
+    the counting pass loses nothing."""
+    docs = load(spark, SF_DIR, "documents")
+    total = vocab_frame(docs).agg(F.sum("n_occurrences")).collect()[0][0]
+    expect = docs.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).collect()[0][0]
+    assert total == expect
+
+
+def test_vocab_min_count(spark):
+    docs = load(spark, SF_DIR, "documents")
+    v = vocab_frame(docs, min_count=5)
+    assert v.filter(F.col("n_occurrences") < 5).count() == 0
+    assert v.count() > 0
+
+
+def test_repetition_differential(spark):
+    docs = load(spark, SF_DIR, "documents")
+    _assert_differential(repetition_frame(docs, n=2), REPETITION_ORACLE)
+
+
+def test_repetition_short_docs(spark):
+    """Documents shorter than n words surface with zero counts, not
+    dropped — and ngrams_col never hits ANSI slice errors on them."""
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, "a a a a")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_frame(docs, n=2).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].n_grams == 0 and rows[1].top_ngram_frac == 0.0
+    assert rows[2].n_grams == 1 and rows[2].top_ngram_frac == 1.0
+    # "a a" appears 3 times out of 3 grams -> degenerate repetition
+    assert rows[3].n_grams == 3 and rows[3].top_ngram_frac == 1.0
+
+
+def test_ngrams_col_values(spark):
+    got = spark.createDataFrame([("w1 w2 w3",)], "text string").select(
+        ngrams_col(F.split("text", " "), 2).alias("g")
+    ).collect()[0].g
+    assert got == ["w1 w2", "w2 w3"]
+
+
+def test_tfidf_differential(spark):
+    docs = load(spark, SF_DIR, "documents")
+    _assert_differential(
+        tfidf_topk_frame(docs, k=3), TFIDF_ORACLE.format(k=3)
+    )
+
+
+def test_tfidf_shape(spark):
+    """Every doc gets at most k rows, ranks are 1..k, and the top term
+    of a doc scores >= its rank-2 term."""
+    docs = load(spark, SF_DIR, "documents")
+    out = tfidf_topk_frame(docs, k=2)
+    per_doc = out.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        F.min("rank").alias("lo"),
+        F.max("rank").alias("hi"),
+    )
+    bad = per_doc.filter(
+        (F.col("n") > 2) | (F.col("lo") != 1) | (F.col("hi") > 2)
+    )
+    assert bad.count() == 0
+    pairs = (
+        out.groupBy("doc_id")
+        .pivot("rank", [1, 2])
+        .agg(F.first("score"))
+        .filter(F.col("1") < F.col("2"))
+    )
+    assert pairs.count() == 0
+
+
+def test_tfidf_plan_shape(spark):
+    """The DF side joins as a broadcast (vocabulary-sized), and nothing
+    in the family degenerates to a cartesian product."""
+    import io
+    from contextlib import redirect_stdout
+
+    docs = load(spark, SF_DIR, "documents")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        tfidf_topk_frame(docs, k=3).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cap_per_source_differential(spark):
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        CAP_PER_SOURCE_ORACLE,
+        cap_per_source_frame,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    got = cap_per_source_frame(docs, cap=5)
+    _assert_differential(got, CAP_PER_SOURCE_ORACLE.format(cap=5))
+    # no source exceeds the cap, and the selection is idempotent
+    over = got.groupBy("source").count().filter(F.col("count") > 5)
+    assert over.count() == 0
+    assert cap_per_source_frame(got, cap=5).count() == got.count()
