@@ -397,6 +397,89 @@ def ivf_search_join(
     )
 
 
+def quantize_embeddings_frame(emb: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 quantization:
+    ``scale = max(|x|)/127``, ``q_i = round(x_i/scale)`` → adds
+    (scale, qvec array<tinyint>) columns. The storage/IO lever for a
+    100 TB embedding corpus: 64 float32 → 64 bytes + one double, a 4×
+    scan/shuffle reduction, entirely map-side. Zero vectors quantize
+    to all-zero with scale 0 (no division). By construction
+    |x_i/scale| ≤ 127, so the ANSI tinyint cast can never overflow.
+    Reconstruction error is bounded per element: |x - q·scale| ≤
+    scale/2 (property-tested in tests/test_quantize.py alongside the
+    DuckDB differential)."""
+    with_scale = emb.withColumn(
+        "scale",
+        F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x)))
+        / F.lit(127.0),
+    )
+    qvec = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("emb"),
+            lambda x: F.round(x / F.col("scale")).cast("tinyint"),
+        ),
+    ).otherwise(
+        F.transform(F.col("emb"), lambda x: F.lit(0).cast("tinyint"))
+    )
+    return with_scale.withColumn("qvec", qvec)
+
+
+def quantized_topk(emb: DataFrame, query_vec_id: int, k: int) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors: score =
+    scale_q · scale_c · Σ(qa_i·qb_i) ≈ the float dot product. Same
+    1-row broadcast shape as the exact search, but the corpus side
+    scans tinyints — the cheap first pass of a quantize-then-rescore
+    pipeline (rescore the k winners with exact floats if needed).
+    Integer products are summed as longs (64·127² fits comfortably)."""
+    q = quantize_embeddings_frame(emb)
+    qv = q.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("qvec").alias("q_qvec"), F.col("scale").alias("q_scale")
+    )
+    int_dot = F.aggregate(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("q_qvec"),
+            lambda a, b: a.cast("long") * b.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        q.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                int_dot * F.col("scale") * F.col("q_scale"), 6
+            ).alias("approx_dot"),
+        )
+        .orderBy(F.col("approx_dot").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+# DuckDB twin of the quantization (tests/test_quantize.py registers an
+# `embeddings` view). round() is half-away-from-zero in both engines.
+QUANTIZE_ORACLE = """
+WITH s AS (
+    SELECT vec_id,
+           list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+               AS scale,
+           embedding
+    FROM embeddings
+)
+SELECT vec_id,
+       round(scale, 9) AS scale_r,
+       CASE WHEN scale > 0
+            THEN list_transform(embedding,
+                                x -> round(x::DOUBLE / scale)::TINYINT)
+            ELSE list_transform(embedding, x -> 0::TINYINT)
+       END AS qvec
+FROM s
+"""
+
+
 QUERIES = {
     "q_similarity_topk": q_similarity_topk,
     "q_ann_lsh_topk": q_ann_lsh_topk,
