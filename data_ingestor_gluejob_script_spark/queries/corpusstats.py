@@ -249,3 +249,44 @@ WITH ranked AS (
 SELECT doc_id, text, lang, source, n_chars
 FROM ranked WHERE _rn <= {cap}
 """
+
+
+def chunk_documents_frame(
+    docs: DataFrame, chunk: int = 64, stride: int = 48
+) -> DataFrame:
+    """Context-window chunking: split each document's words into
+    windows of ``chunk`` tokens starting every ``stride`` tokens
+    (overlap = chunk - stride), the stage between curation and
+    sequence packing. Emits (doc_id, chunk_idx, n_tokens, chunk_text);
+    the trailing chunk is shorter when the document doesn't divide
+    evenly. Entirely map-side + one explode — no shuffle at all; at
+    100 TB this is a pure scan→write pass whose output row count is
+    len/stride per doc."""
+    if stride <= 0 or chunk <= 0:
+        raise ValueError("chunk and stride must be positive")
+    ws = words_col(F.col("text"))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(ws), F.lit(stride)),
+        lambda i: F.array_join(F.slice(ws, i, chunk), " "),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(F.split("chunk_text", " ")).alias("n_tokens"),
+            "chunk_text",
+        )
+    )
+
+
+CHUNK_ORACLE = """
+WITH ws AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+)
+SELECT doc_id,
+       (i - 1) // {stride} AS chunk_idx,
+       len(w[i:i+{chunk}-1]) AS n_tokens,
+       array_to_string(w[i:i+{chunk}-1], ' ') AS chunk_text
+FROM ws, unnest(range(1, len(w) + 1, {stride})) AS t(i)
+"""

@@ -159,3 +159,47 @@ def test_cap_per_source_differential(spark):
     over = got.groupBy("source").count().filter(F.col("count") > 5)
     assert over.count() == 0
     assert cap_per_source_frame(got, cap=5).count() == got.count()
+
+
+def test_chunk_differential(spark):
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        CHUNK_ORACLE,
+        chunk_documents_frame,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    got = chunk_documents_frame(docs, chunk=16, stride=12)
+    _assert_differential(got, CHUNK_ORACLE.format(chunk=16, stride=12))
+
+
+def test_chunk_coverage(spark):
+    """Chunks with stride == chunk partition the document exactly:
+    token counts sum to the document's token count; with overlap the
+    sum strictly exceeds it."""
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        chunk_documents_frame,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    n_tok = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    exact = (
+        chunk_documents_frame(docs, chunk=16, stride=16)
+        .groupBy("doc_id")
+        .agg(F.sum("n_tokens").alias("s"))
+        .join(n_tok, "doc_id")
+    )
+    assert exact.filter(F.col("s") != F.col("n")).count() == 0
+    overlap = (
+        chunk_documents_frame(docs, chunk=16, stride=12)
+        .groupBy("doc_id")
+        .agg(F.sum("n_tokens").alias("s"))
+        .join(n_tok, "doc_id")
+    )
+    # docs with <= stride tokens emit a single chunk (sum == n); any
+    # longer doc has overlapping chunks, so the sum strictly exceeds n
+    assert overlap.filter(
+        (F.col("n") > 12) & (F.col("s") <= F.col("n"))
+    ).count() == 0
+    assert overlap.filter(F.col("s") < F.col("n")).count() == 0
