@@ -290,3 +290,66 @@ SELECT doc_id,
        array_to_string(w[i:i+{chunk}-1], ' ') AS chunk_text
 FROM ws, unnest(range(1, len(w) + 1, {stride})) AS t(i)
 """
+
+
+def weighted_sample_frame(
+    docs: DataFrame,
+    weights: dict[str, float],
+    key: str = "source",
+    default: float = 0.0,
+) -> DataFrame:
+    """Mixture sampling for training-data recipes ("keep 80% of
+    src3, 10% of src7, drop the rest"): keep a row iff a
+    deterministic per-document uniform draw falls under its group's
+    weight. The draw is the first 6 hex chars of md5(doc_id) compared
+    lexicographically against the weight as a zero-padded hex
+    threshold — hex strings order like their values in every engine,
+    so the sample is reproducible across partitionings, reruns, AND
+    engines with no float parsing (granularity 1/16^6 ≈ 6e-8).
+    Map-only: the weights table is config-sized and compiles to a
+    literal CASE, nothing shuffles."""
+    if not 0.0 <= default <= 1.0 or any(
+        not 0.0 <= w <= 1.0 for w in weights.values()
+    ):
+        raise ValueError("weights must be in [0, 1]")
+
+    def thresh(w: float) -> str:
+        return format(min(int(w * 16**6), 16**6 - 1) if w < 1.0 else 16**6 - 1, "06x")
+
+    draw = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6)
+    expr = F.lit(thresh(default))
+    for src, w in sorted(weights.items()):
+        expr = F.when(F.col(key) == src, F.lit(thresh(w))).otherwise(expr)
+    keep_all = {s for s, w in weights.items() if w >= 1.0}
+    cond = (draw < expr) | F.col(key).isin(*keep_all) if keep_all else draw < expr
+    if default >= 1.0:
+        cond = cond | ~F.col(key).isin(*weights.keys())
+    return docs.filter(cond)
+
+
+def weighted_sample_oracle(
+    weights: dict[str, float], key: str = "source", default: float = 0.0
+) -> str:
+    """DuckDB twin of ``weighted_sample_frame`` (documents view)."""
+
+    def thresh(w: float) -> str:
+        return format(min(int(w * 16**6), 16**6 - 1) if w < 1.0 else 16**6 - 1, "06x")
+
+    cases = " ".join(
+        f"WHEN {key} = '{s}' THEN '{thresh(w)}'"
+        for s, w in sorted(weights.items())
+    )
+    keep_all = sorted(s for s, w in weights.items() if w >= 1.0)
+    extra = (
+        " OR " + key + " IN (" + ", ".join(f"'{s}'" for s in keep_all) + ")"
+        if keep_all
+        else ""
+    )
+    if default >= 1.0:
+        listed = ", ".join(f"'{s}'" for s in sorted(weights))
+        extra += f" OR {key} NOT IN ({listed})"
+    return f"""
+SELECT * FROM documents
+WHERE substr(md5(doc_id::VARCHAR), 1, 6)
+      < (CASE {cases} ELSE '{thresh(default)}' END){extra}
+"""

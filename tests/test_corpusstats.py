@@ -203,3 +203,39 @@ def test_chunk_coverage(spark):
         (F.col("n") > 12) & (F.col("s") <= F.col("n"))
     ).count() == 0
     assert overlap.filter(F.col("s") < F.col("n")).count() == 0
+
+
+def test_weighted_sample_differential(spark):
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        weighted_sample_frame,
+        weighted_sample_oracle,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    weights = {"src1": 0.8, "src3": 0.25, "src7": 1.0, "src9": 0.0}
+    got = weighted_sample_frame(docs, weights, default=0.5)
+    _assert_differential(got, weighted_sample_oracle(weights, default=0.5))
+    # deterministic: same call, same rows
+    again = weighted_sample_frame(docs, weights, default=0.5)
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_weighted_sample_semantics(spark):
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        weighted_sample_frame,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    n_src7 = docs.filter(F.col("source") == "src7").count()
+    kept = weighted_sample_frame(docs, {"src7": 1.0}, default=0.0)
+    assert kept.filter(F.col("source") != "src7").count() == 0
+    assert kept.count() == n_src7  # weight 1.0 keeps every row
+    none = weighted_sample_frame(docs, {"src7": 0.0}, default=0.0)
+    assert none.count() == 0
+    everything = weighted_sample_frame(docs, {}, default=1.0)
+    assert everything.count() == docs.count()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        weighted_sample_frame(docs, {"src1": 1.5})
