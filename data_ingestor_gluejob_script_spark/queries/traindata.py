@@ -179,28 +179,36 @@ MIN_QUALITY = 2
 
 
 def prepare_training_corpus(
-    docs: DataFrame, benchmark: DataFrame | None = None
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    max_repetition: float | None = None,
 ) -> DataFrame:
     """End-to-end training-corpus preparation — the scrub/dedup/pack
     stages composed into ONE declarative job: [decontaminate against
     ``benchmark`` if given] → redact PII → quality filter (score >=
-    MIN_QUALITY over the REDACTED text) → exact dedup (keep lowest
-    doc_id per text) → SimHash near-dup drop (keep each fingerprint
-    group's representative) → keep the train split → sequence-pack.
-    Returns the train-split pack manifest
+    MIN_QUALITY over the REDACTED text) → [repetition filter: drop
+    docs whose top-2-gram fraction exceeds ``max_repetition``, the
+    Gopher-style degenerate-repetition cut, if given] → exact dedup
+    (keep lowest doc_id per text) → SimHash near-dup drop (keep each
+    fingerprint group's representative) → keep the train split →
+    sequence-pack. Returns the train-split pack manifest
     (doc_id, n_tokens, tokens_before, pack_id, pack_offset).
 
     Shuffle budget (the 100 TB story): redaction, quality, and split
     assignment are map-only column expressions Catalyst fuses into the
-    stages around them; exact dedup shuffles 32-byte md5 digests; the
-    near-dup drop is one window shuffle on the 16-bit fingerprint;
-    packing is the distributed prefix sum (block-local window +
-    #blocks-row global window + broadcast offsets). Nothing enumerates
-    pairs, nothing collects to the driver.
+    stages around them; the optional repetition cut adds two
+    partial-aggregated gram shuffles plus a doc_id semi-join; exact
+    dedup shuffles 32-byte md5 digests; the near-dup drop is one
+    window shuffle on the 16-bit fingerprint; packing is the
+    distributed prefix sum (block-local window + #blocks-row global
+    window + broadcast offsets). Nothing enumerates pairs, nothing
+    collects to the driver.
 
-    Differential-tested end-to-end against PIPELINE_ORACLE
+    Differential-tested end-to-end against PIPELINE_ORACLE /
+    pipeline_oracle(max_repetition=...)
     (tests/test_corpus_pipeline.py); not driver-registered (gate
     pinned at 50)."""
+    from .corpusstats import repetition_frame
     from .textops import (
         decontaminate,
         exact_dedup_frame,
@@ -220,6 +228,11 @@ def prepare_training_corpus(
     kept = work.filter(
         quality_score_col(F.col("text"), F.col("n_chars")) >= MIN_QUALITY
     )
+    if max_repetition is not None:
+        ok = repetition_frame(kept.select("doc_id", "text")).filter(
+            F.col("top_ngram_frac") <= max_repetition
+        )
+        kept = kept.join(ok.select("doc_id"), "doc_id", "left_semi")
     deduped = exact_dedup_frame(kept)
     nd = (
         deduped.withColumn("_fp", simhash16_col(F.col("text")))
@@ -300,11 +313,12 @@ ORACLES = {
 }
 
 
-def _pipeline_oracle() -> str:
+def _pipeline_oracle(max_repetition: float | None = None) -> str:
     """DuckDB twin of ``prepare_training_corpus`` (unregistered;
     tests/test_corpus_pipeline.py) — every stage built from the SAME
     constants/SQL fragments as its Spark expression, chained as CTEs:
-    redact → quality(redacted text) → md5-dedup → simhash-rep →
+    redact → quality(redacted text) → [repetition cut] → md5-dedup →
+    simhash-rep →
     train-bucket → prefix-sum pack."""
     from .textops import _REDACTED_SQL, _SIMHASH_CTE, EN_STOPWORDS
 
@@ -319,18 +333,39 @@ def _pipeline_oracle() -> str:
         " AS INTEGER))"
     )
     simhash = _SIMHASH_CTE.replace("FROM documents", "FROM dedup")
+    if max_repetition is None:
+        rep_cte = "rep AS (SELECT doc_id, text FROM q),"
+    else:
+        # Mirrors corpusstats.repetition_frame (n=2) including the
+        # round-6 fraction and the shorter-than-n pass-through.
+        rep_cte = f"""reps AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM q),
+        repg AS (
+            SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram
+            FROM reps, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i)),
+        rept AS (
+            SELECT doc_id, gram, count(*) AS cnt
+            FROM repg GROUP BY doc_id, gram),
+        repok AS (
+            SELECT doc_id FROM rept GROUP BY doc_id
+            HAVING round(max(cnt) / sum(cnt), 6) <= {max_repetition}),
+        rep AS (
+            SELECT doc_id, text FROM q
+            WHERE doc_id IN (SELECT doc_id FROM repok)
+               OR doc_id NOT IN (SELECT doc_id FROM rept)),"""
     return f"""
         WITH red AS (
             SELECT doc_id, {_REDACTED_SQL} AS text FROM documents),
         q AS (
             SELECT doc_id, text FROM red
             WHERE {quality} >= {MIN_QUALITY}),
+        {rep_cte}
         dedup AS (
             SELECT doc_id, text FROM (
                 SELECT doc_id, text,
                        row_number() OVER (PARTITION BY md5(text)
                                           ORDER BY doc_id) AS rn
-                FROM q) WHERE rn = 1),
+                FROM rep) WHERE rn = 1),
         {simhash},
         tr AS (
             SELECT d.doc_id, d.text FROM dedup d
@@ -356,3 +391,4 @@ def _pipeline_oracle() -> str:
 
 
 PIPELINE_ORACLE = _pipeline_oracle()
+pipeline_oracle = _pipeline_oracle  # parameterized form for tests

@@ -125,3 +125,35 @@ def test_pipeline_with_benchmark_decontaminates(spark):
     assert sorted(map(tuple, with_stage.collect())) == sorted(
         map(tuple, pre_cleaned.collect())
     )
+
+
+def test_pipeline_repetition_stage_differential(spark):
+    """With the optional Gopher-style repetition cut enabled, Spark
+    and the parameterized DuckDB twin still agree end-to-end, and the
+    stage actually removes documents at this threshold."""
+    from data_ingestor_gluejob_script_spark.queries.traindata import (
+        pipeline_oracle,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    base = prepare_training_corpus(docs)
+    got = prepare_training_corpus(docs, max_repetition=0.05)
+    s_cols = got.columns
+    s_rows = [tuple(r) for r in got.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    cur = con.execute(pipeline_oracle(max_repetition=0.05))
+    o_cols = [d[0] for d in cur.description]
+    o_rows = cur.fetchall()
+    assert sorted(o_cols) == sorted(s_cols)
+
+    def multiset(cols, rows):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(tuple(str(r[i]) for i in order) for r in rows)
+
+    assert multiset(s_cols, s_rows) == multiset(o_cols, o_rows)
+    assert 0 < len(s_rows) < base.count()
