@@ -353,3 +353,77 @@ SELECT * FROM documents
 WHERE substr(md5(doc_id::VARCHAR), 1, 6)
       < (CASE {cases} ELSE '{thresh(default)}' END){extra}
 """
+
+
+DUP_SPAN_N = 8  # span n-gram width: long enough that sharing one is
+# overwhelmingly real duplication, short enough to catch partial copies
+
+
+def duplicate_span_report(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+    """Cross-document duplicate-span signal: per document, the
+    fraction of its word ``n``-gram positions whose n-gram also
+    appears in ANOTHER document (doc_id, n_spans, n_dup_spans,
+    dup_frac). This is the span-level view of duplication that
+    pairwise near-dup (MinHash/SimHash) can't give — a document that
+    is 30% boilerplate shared with many others scores 0.3 here while
+    looking unique pairwise.
+
+    Scale shape: spans travel as 8-byte xxhash64 keys (internal only
+    — the test oracle overlaps raw strings; collision odds ~n²/2⁶⁵).
+    The span→n_docs table comes from the vocab-style double group
+    (per-doc distinct first, so no COUNT(DISTINCT) expansion), and
+    the dup-span join is an equi-join on the hash — never an
+    all-pairs comparison. Short documents (< n words) surface with
+    zero spans and dup_frac 0.0."""
+    spans = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.transform(
+                ngrams_col(words_col(F.col("text")), n),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("h"),
+    )
+    per_doc = spans.filter(F.col("h").isNotNull()).distinct()
+    df_tbl = per_doc.groupBy("h").agg(F.count("*").alias("n_docs"))
+    dup = df_tbl.filter(F.col("n_docs") >= 2).select("h", "n_docs")
+    hit = spans.join(dup, "h", "left")
+    out = hit.groupBy("doc_id").agg(
+        F.count("h").alias("n_spans"),
+        F.count("n_docs").alias("n_dup_spans"),
+    )
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.when(
+            F.col("n_spans") > 0,
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+
+
+DUP_SPAN_ORACLE = """
+WITH ws AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), spans AS (
+    SELECT doc_id, array_to_string(w[i:i+{n}-1], ' ') AS gram
+    FROM ws, unnest(range(1, greatest(len(w) - {n} + 1, 0) + 1)) AS t(i)
+), per_doc AS (
+    SELECT DISTINCT doc_id, gram FROM spans
+), dup AS (
+    SELECT gram FROM per_doc GROUP BY gram HAVING count(*) >= 2
+)
+SELECT d.doc_id,
+       count(s.gram) AS n_spans,
+       count(CASE WHEN s.gram IN (SELECT gram FROM dup) THEN 1 END)
+           AS n_dup_spans,
+       CASE WHEN count(s.gram) > 0
+            THEN round(count(CASE WHEN s.gram IN (SELECT gram FROM dup)
+                                  THEN 1 END) / count(s.gram), 6)
+            ELSE 0.0 END AS dup_frac
+FROM documents d LEFT JOIN spans s USING (doc_id)
+GROUP BY d.doc_id
+"""

@@ -239,3 +239,88 @@ def test_weighted_sample_semantics(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         weighted_sample_frame(docs, {"src1": 1.5})
+
+
+def test_duplicate_span_differential(spark):
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        DUP_SPAN_ORACLE,
+        duplicate_span_report,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    got = duplicate_span_report(docs, n=3)
+    _assert_differential(got, DUP_SPAN_ORACLE.format(n=3))
+    # with 500 short word-soup docs over a small vocab, some 3-gram
+    # spans must recur across docs: the signal is exercised, not
+    # vacuously zero
+    assert got.filter(F.col("n_dup_spans") > 0).count() > 0
+
+
+def test_duplicate_span_semantics(spark):
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        duplicate_span_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # shares "a b c" with doc 2
+            (2, "a b c x y"),
+            (3, "p q r s t"),          # unique
+            (4, "zz"),                 # shorter than n -> zero spans
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in duplicate_span_report(docs, n=3).collect()}
+    assert rows[1].n_spans == 3 and rows[1].n_dup_spans == 1
+    assert rows[2].n_spans == 3 and rows[2].n_dup_spans == 1
+    assert rows[3].n_dup_spans == 0
+    assert rows[4].n_spans == 0 and rows[4].dup_frac == 0.0
+
+
+import pandas as pd  # noqa: E402
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_word = st.sampled_from(["the", "fast", "key", "sort", "a", "b3", ""])
+_doc = st.lists(_word, min_size=0, max_size=8).map(" ".join)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_doc, min_size=1, max_size=12))
+def test_corpusstats_property_differential(spark, texts):
+    """Property differential on RANDOM tiny corpora (empty docs,
+    empty tokens from double spaces, single words, heavy repeats):
+    vocab, repetition, and chunking must agree with DuckDB
+    cell-for-cell — the fixed-data tests can't reach these
+    degenerate tokenizations."""
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        CHUNK_ORACLE,
+        REPETITION_ORACLE,
+        VOCAB_ORACLE,
+        chunk_documents_frame,
+        repetition_frame,
+        vocab_frame,
+    )
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    for frame, sql in [
+        (vocab_frame(sdf), VOCAB_ORACLE),
+        (repetition_frame(sdf, n=2), REPETITION_ORACLE),
+        (chunk_documents_frame(sdf, chunk=3, stride=2),
+         CHUNK_ORACLE.format(chunk=3, stride=2)),
+    ]:
+        s_cols = frame.columns
+        s_rows = [tuple(r) for r in frame.collect()]
+        cur = con.execute(sql)
+        o_cols = [d[0] for d in cur.description]
+        assert sorted(o_cols) == sorted(s_cols)
+        assert _multiset(s_cols, s_rows) == _multiset(o_cols, cur.fetchall())
