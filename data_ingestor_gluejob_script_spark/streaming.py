@@ -413,3 +413,57 @@ def stream_incremental_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_doc_dedup_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    lake_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous-crawl document ingestion with exact dedup against
+    the accumulated lake: each micro-batch of documents is deduped
+    within itself (min doc_id per md5(text)) and anti-joined against
+    the digests already in the lake before appending — the streaming
+    composition of ``exact_dedup_frame`` for a corpus that arrives
+    over time instead of all at once.
+
+    Scale shape: the lake carries a persisted ``text_md5`` column, so
+    the anti-join's lake side is a column-pruned scan of 32-byte
+    digests (ReadSchema: text_md5 only), never the document bodies;
+    the join shuffles the SMALL batch side against it. State lives in
+    the lake itself — no in-memory dedup state to bound, and a
+    restart resumes from the checkpoint + whatever the lake already
+    holds (re-appending a half-written batch is prevented by the
+    digest anti-join, making the sink idempotent).
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    batch0 = spark.read.parquet(docs_dir)
+    stream = (
+        spark.readStream.schema(batch0.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        hashed = batch_df.withColumn("text_md5", F.md5("text"))
+        keep = hashed.groupBy("text_md5").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        fresh = hashed.join(keep, ["text_md5", "doc_id"], "left_semi")
+        try:
+            seen = spark.read.parquet(lake_dir).select("text_md5")
+        except Exception:  # first batch: no lake yet
+            seen = None
+        if seen is not None:
+            fresh = fresh.join(seen, "text_md5", "left_anti")
+        fresh.write.mode("append").parquet(lake_dir)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -234,3 +234,51 @@ def test_batch_dedup_contract(spark):
     no_ts = df.select("event_id", F.col("props"))
     with pytest.raises(ValueError, match="ts"):
         streaming.stream_exact_dedup(no_ts, keys=["event_id"])
+
+
+def test_doc_dedup_ingest(spark, tmp_path):
+    """Two arriving document files; the second is half duplicates of
+    the first. The lake must end with exactly the distinct texts, the
+    digest column persisted for future anti-joins, and a re-run of the
+    same stream (fresh checkpoint, same lake) must add nothing —
+    idempotence via the lake-side digest state."""
+    import pandas as pd
+    import time as _time
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    a = pd.DataFrame(
+        {"doc_id": range(10), "text": [f"doc text {i}" for i in range(10)]}
+    )
+    b = pd.DataFrame(
+        {
+            "doc_id": range(100, 110),
+            "text": [f"doc text {i}" for i in range(5)]  # 5 dupes of A
+            + [f"new text {i}" for i in range(5)],       # 5 fresh
+        }
+    )
+    a.to_parquet(src / "a.parquet")
+    _time.sleep(0.05)
+    b.to_parquet(src / "b.parquet")
+
+    lake = str(tmp_path / "lake")
+    q = streaming.run_doc_dedup_ingest(
+        spark, str(src), lake, str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(lake)
+    assert got.count() == 15
+    assert got.select("text_md5").distinct().count() == 15
+    assert got.select("text").distinct().count() == 15
+    # survivors keep the earliest doc_id for duplicated texts
+    kept_ids = {r.doc_id for r in got.select("doc_id").collect()}
+    assert set(range(10)) <= kept_ids
+    assert not any(100 <= i < 105 for i in kept_ids)
+
+    # replay with a fresh checkpoint: digest anti-join absorbs it all
+    q2 = streaming.run_doc_dedup_ingest(
+        spark, str(src), lake, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(lake).count() == 15
