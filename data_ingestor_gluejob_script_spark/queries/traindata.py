@@ -392,3 +392,114 @@ def _pipeline_oracle(max_repetition: float | None = None) -> str:
 
 PIPELINE_ORACLE = _pipeline_oracle()
 pipeline_oracle = _pipeline_oracle  # parameterized form for tests
+
+
+def attrition_report(
+    docs: DataFrame, max_repetition: float = 0.1
+) -> DataFrame:
+    """One-row attrition diagnostic for the curation pipeline: how
+    many documents each stage would drop, computed INDEPENDENTLY (a
+    doc can fail several stages) plus the all-stages survivor count —
+    the report you read before committing to thresholds.
+
+    All stage predicates become flag columns over ONE scan of the
+    corpus: quality and redaction are map-only, the duplicate flag is
+    a window over md5(text) (keyed shuffle of digests), the
+    repetition flag joins the two-shuffle gram aggregate back on
+    doc_id. Catalyst runs the flags side-by-side and the final agg is
+    a single row — at 100 TB this costs one corpus read plus the same
+    shuffles the pipeline itself would do, not one pass per stage.
+
+    Differential-tested against ATTRITION_ORACLE
+    (tests/test_corpus_pipeline.py)."""
+    from .corpusstats import repetition_frame
+    from .textops import quality_score_col, redacted_text_col
+
+    red = docs.select(
+        "doc_id", redacted_text_col(F.col("text")).alias("text")
+    ).withColumn("n_chars", F.length("text"))
+    rep = repetition_frame(red.select("doc_id", "text")).select(
+        "doc_id", "top_ngram_frac"
+    )
+    flagged = (
+        red.join(rep, "doc_id")
+        .withColumn(
+            "fail_quality",
+            quality_score_col(F.col("text"), F.col("n_chars")) < MIN_QUALITY,
+        )
+        .withColumn(
+            "fail_repetition", F.col("top_ngram_frac") > max_repetition
+        )
+        .withColumn(
+            "is_dup_text",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            )
+            > 1,
+        )
+    )
+    return flagged.agg(
+        F.count("*").alias("total_docs"),
+        F.sum(F.col("fail_quality").cast("long")).alias("n_fail_quality"),
+        F.sum(F.col("fail_repetition").cast("long")).alias(
+            "n_fail_repetition"
+        ),
+        F.sum(F.col("is_dup_text").cast("long")).alias("n_dup_text"),
+        F.sum(
+            (
+                ~F.col("fail_quality")
+                & ~F.col("fail_repetition")
+                & ~F.col("is_dup_text")
+            ).cast("long")
+        ).alias("n_pass_all"),
+    )
+
+
+def attrition_oracle(max_repetition: float = 0.1) -> str:
+    """DuckDB twin of ``attrition_report`` built from the same stage
+    fragments as the pipeline oracle."""
+    from .textops import _REDACTED_SQL, EN_STOPWORDS
+
+    en = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    quality = (
+        "(CAST(length(text) BETWEEN 100 AND 5000 AS INTEGER)"
+        " + CAST(len(string_split(text, ' ')) BETWEEN 20 AND 1000"
+        " AS INTEGER)"
+        " + CAST(len(list_intersect(list_distinct(string_split(text, ' ')),"
+        f" [{en}])) >= 2 AS INTEGER)"
+        " + CAST(regexp_replace(text, '[a-z ]', '', 'g') = ''"
+        " AS INTEGER))"
+    )
+    return f"""
+        WITH red AS (
+            SELECT doc_id, {_REDACTED_SQL} AS text FROM documents),
+        ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM red),
+        grams AS (
+            SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram
+            FROM ws, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i)),
+        tall AS (
+            SELECT doc_id, gram, count(*) AS cnt
+            FROM grams GROUP BY doc_id, gram),
+        frac AS (
+            SELECT r.doc_id,
+                   coalesce(round(max(t.cnt) / sum(t.cnt), 6), 0.0) AS f
+            FROM red r LEFT JOIN tall t USING (doc_id) GROUP BY r.doc_id),
+        flags AS (
+            SELECT r.doc_id,
+                   {quality} < {MIN_QUALITY} AS fail_quality,
+                   frac.f > {max_repetition} AS fail_repetition,
+                   row_number() OVER (PARTITION BY md5(r.text)
+                                      ORDER BY r.doc_id) > 1 AS is_dup_text
+            FROM red r JOIN frac USING (doc_id))
+        SELECT count(*) AS total_docs,
+               CAST(sum(CAST(fail_quality AS INTEGER)) AS BIGINT)
+                   AS n_fail_quality,
+               CAST(sum(CAST(fail_repetition AS INTEGER)) AS BIGINT)
+                   AS n_fail_repetition,
+               CAST(sum(CAST(is_dup_text AS INTEGER)) AS BIGINT)
+                   AS n_dup_text,
+               CAST(sum(CAST(NOT fail_quality AND NOT fail_repetition
+                             AND NOT is_dup_text AS INTEGER)) AS BIGINT)
+                   AS n_pass_all
+        FROM flags
+    """

@@ -157,3 +157,28 @@ def test_pipeline_repetition_stage_differential(spark):
 
     assert multiset(s_cols, s_rows) == multiset(o_cols, o_rows)
     assert 0 < len(s_rows) < base.count()
+
+
+def test_attrition_report_differential(spark):
+    """The one-scan attrition diagnostic matches the CTE twin and is
+    internally consistent with the independent stage predicates."""
+    from data_ingestor_gluejob_script_spark.queries.traindata import (
+        attrition_oracle,
+        attrition_report,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    got = attrition_report(docs, max_repetition=0.05)
+    s_row = got.collect()[0]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    o_row = con.execute(attrition_oracle(max_repetition=0.05)).fetchone()
+    assert tuple(s_row) == tuple(o_row)
+    # the report covers the corpus and the stages actually fire
+    assert s_row.total_docs == docs.count()
+    assert s_row.n_fail_repetition > 0
+    assert 0 < s_row.n_pass_all < s_row.total_docs
