@@ -1,0 +1,97 @@
+"""Connected components / transitive near-dup grouping: differential
+against a Python union-find oracle on real SimHash candidate pairs,
+plus hand-built topologies (chains force multi-round propagation).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pyspark.sql.functions as F
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from data_ingestor_gluejob_script_spark.operators.graph import (  # noqa: E402
+    connected_components,
+    neardup_groups,
+)
+from data_ingestor_gluejob_script_spark.queries._util import load  # noqa: E402
+from data_ingestor_gluejob_script_spark.queries.textops import (  # noqa: E402
+    q_simhash_neardup_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find oracle: node -> min node id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_components_chain_and_clusters(spark):
+    """A 6-node chain (diameter 5 — forces several propagation
+    rounds), a triangle, and an isolated pair."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+             (10, 11), (11, 12), (10, 12),
+             (20, 21)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    assert got == _uf_components(edges)
+    assert {got[n] for n in (1, 2, 3, 4, 5, 6)} == {1}
+    assert {got[n] for n in (10, 11, 12)} == {10}
+    assert {got[n] for n in (20, 21)} == {20}
+
+
+def test_components_max_iter_guard(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(df, max_iter=1)
+
+
+def test_components_on_simhash_pairs(spark):
+    """Real candidate pairs from the SimHash near-dup query agree
+    with the union-find oracle, and grouping covers every document."""
+    pairs = q_simhash_neardup_pairs(spark, SF_DIR).select("doc_a", "doc_b")
+    edge_list = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    assert len(edge_list) > 0
+    got = {
+        r.node: r.component for r in connected_components(pairs).collect()
+    }
+    assert got == _uf_components(edge_list)
+
+    docs = load(spark, SF_DIR, "documents")
+    groups = neardup_groups(pairs, docs)
+    assert groups.count() == docs.count()
+    # every group's representative is its minimum member
+    bad = (
+        groups.groupBy("group_id")
+        .agg(F.min("doc_id").alias("mn"))
+        .filter(F.col("group_id") != F.col("mn"))
+    )
+    assert bad.count() == 0
+    # transitivity made groups no finer than the pairwise relation:
+    # every edge's endpoints share a group
+    g = groups.select("doc_id", "group_id")
+    joined = (
+        pairs.join(g.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("group_id", "ga")
+        .join(g.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+    )
+    assert joined.filter(F.col("ga") != F.col("group_id")).count() == 0
