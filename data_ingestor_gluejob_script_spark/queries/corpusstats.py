@@ -42,7 +42,16 @@ def ngrams_col(ws: Column, n: int) -> Column:
     + slice + array_join. Empty array when the document has fewer than
     ``n`` words — guarded explicitly because Spark's ``sequence(1, 0)``
     yields a DESCENDING [1, 0] rather than an empty range, and ANSI
-    ``slice`` throws on index 0."""
+    ``slice`` throws on index 0.
+
+    ``ws`` MUST be a projected column (``.select(words_col(...)
+    .alias("_ws"))``), not an inline ``split(...)`` expression:
+    higher-order-function lambdas are interpreted with no
+    common-subexpression elimination, so an inline words expression —
+    and everything beneath it, e.g. the PII-redaction regex chain —
+    re-evaluates once PER GRAM INDEX, turning a linear pass O(len²)
+    (the same trap the round-5 shingle fix removed; measured 63 s →
+    8 s on the sf0.1 corpus pipeline)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
         lambda i: F.array_join(F.slice(ws, i, n), " "),
@@ -89,12 +98,13 @@ def repetition_frame(docs: DataFrame, n: int = 2) -> DataFrame:
 
     Plan: explode grams → groupBy(doc_id, gram) tally → groupBy(doc_id)
     max/sum — both shuffles partial-aggregated; per-doc work is linear
-    in document length."""
+    in document length (words projected before the gram lambda — see
+    ngrams_col)."""
     grams = docs.select(
+        "doc_id", words_col(F.col("text")).alias("_ws")
+    ).select(
         "doc_id",
-        F.explode_outer(
-            ngrams_col(words_col(F.col("text")), n)
-        ).alias("gram"),
+        F.explode_outer(ngrams_col(F.col("_ws"), n)).alias("gram"),
     )
     tallies = grams.groupBy("doc_id", "gram").agg(
         F.count("gram").alias("cnt")
@@ -264,13 +274,14 @@ def chunk_documents_frame(
     len/stride per doc."""
     if stride <= 0 or chunk <= 0:
         raise ValueError("chunk and stride must be positive")
-    ws = words_col(F.col("text"))
+    ws = F.col("_ws")  # projected first — see ngrams_col on HOF re-eval
     chunks = F.transform(
         F.sequence(F.lit(1), F.size(ws), F.lit(stride)),
         lambda i: F.array_join(F.slice(ws, i, chunk), " "),
     )
     return (
-        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        docs.select("doc_id", words_col(F.col("text")).alias("_ws"))
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
         .select(
             "doc_id",
             "chunk_idx",
@@ -376,10 +387,12 @@ def duplicate_span_report(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
     all-pairs comparison. Short documents (< n words) surface with
     zero spans and dup_frac 0.0."""
     spans = docs.select(
+        "doc_id", words_col(F.col("text")).alias("_ws")
+    ).select(
         "doc_id",
         F.explode_outer(
             F.transform(
-                ngrams_col(words_col(F.col("text")), n),
+                ngrams_col(F.col("_ws"), n),
                 lambda s: F.xxhash64(s),
             )
         ).alias("h"),
