@@ -141,3 +141,78 @@ ORACLES = {
         GROUP BY 1
     """,
 }
+
+
+def q13_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13-shaped: distribution of customers by how many orders
+    they placed, INCLUDING zero-order customers (the left join is the
+    point — an inner join silently drops the modal bucket).
+
+    Scale shape: the left join shuffles on custkey with the per-key
+    aggregate pushed BELOW the join (orders pre-aggregated to one row
+    per customer, so the join probe side is |customers-with-orders|,
+    not |orders|); the distribution agg is a tiny second shuffle on
+    the count value. Unregistered (gate pinned at 50); differential in
+    tests/test_analytics_extra.py."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders")
+    )
+    return (
+        customer.join(
+            per_cust, customer["c_custkey"] == per_cust["o_custkey"], "left"
+        )
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+Q13_ORACLE = """
+WITH per_cust AS (
+    SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT coalesce(p.n_orders, 0) AS n_orders,
+       count(*) AS n_customers
+FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+GROUP BY 1
+"""
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: distinct supplier count per (brand, type)
+    over lineitem-linked part/supplier pairs.
+
+    Scale shape: the fact-dim joins broadcast the (filtered) part and
+    supplier dims; the COUNT(DISTINCT) runs as the two-phase expand on
+    (brand, type, suppkey) — fine here because the distinct key cube
+    is dimension-sized. At a 100 TB fact table swap the exact distinct
+    for approx_count_distinct (the HLL twin pattern,
+    `windows.q_distinct_agg_approx`). Unregistered; differential in
+    tests/test_analytics_extra.py."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"])
+        .join(
+            F.broadcast(supplier),
+            lineitem["l_suppkey"] == supplier["s_suppkey"],
+        )
+    )
+    return pairs.groupBy("p_brand", "p_type").agg(
+        F.count_distinct("s_suppkey").alias("n_suppliers")
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, count(DISTINCT s_suppkey) AS n_suppliers
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand, p_type
+"""

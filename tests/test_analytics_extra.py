@@ -1,0 +1,81 @@
+"""Unregistered analytics breadth (gate pinned at 50): TPC-H Q13/Q16
+shapes differential-tested against DuckDB here, mirroring the
+scrub/IVF/corpusstats precedents.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pyspark.sql.functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from data_ingestor_gluejob_script_spark.queries.analytics import (  # noqa: E402
+    Q13_ORACLE,
+    Q16_ORACLE,
+    q13_order_count_distribution,
+    q16_supplier_variety,
+)
+from data_ingestor_gluejob_script_spark.queries._util import load  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(str(r[i]) for i in order) for r in rows)
+
+
+def _oracle(sql):
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "part", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    cur = con.execute(sql)
+    return [d[0] for d in cur.description], cur.fetchall()
+
+
+def test_q13_differential(spark):
+    got = q13_order_count_distribution(spark, SF_DIR)
+    s_cols, s_rows = got.columns, [tuple(r) for r in got.collect()]
+    o_cols, o_rows = _oracle(Q13_ORACLE)
+    assert sorted(s_cols) == sorted(o_cols)
+    assert _multiset(s_cols, s_rows) == _multiset(o_cols, o_rows)
+    # the left join's reason to exist: the distribution covers every
+    # customer exactly once, and the zero bucket holds exactly the
+    # customers without orders (empty at this SF — every testdata
+    # customer has orders — so assert the count identity, not presence)
+    customer = load(spark, SF_DIR, "customer")
+    orders = load(spark, SF_DIR, "orders")
+    total = sum(r[1] for r in s_rows)
+    assert total == customer.count()
+    n_zero = next((r[1] for r in s_rows if r[0] == 0), 0)
+    orderless = customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).count()
+    assert n_zero == orderless
+
+
+def test_q16_differential(spark):
+    got = q16_supplier_variety(spark, SF_DIR)
+    s_cols, s_rows = got.columns, [tuple(r) for r in got.collect()]
+    o_cols, o_rows = _oracle(Q16_ORACLE)
+    assert sorted(s_cols) == sorted(o_cols)
+    assert len(s_rows) == len(o_rows) > 0
+    assert _multiset(s_cols, s_rows) == _multiset(o_cols, o_rows)
+
+
+def test_q16_plan_broadcasts_dims(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q16_supplier_variety(spark, SF_DIR).explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
