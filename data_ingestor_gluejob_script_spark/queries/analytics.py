@@ -216,3 +216,35 @@ JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY p_brand, p_type
 """
+
+
+def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): every grouping-set subtotal
+    including the grand total, completing the OLAP aggregation family
+    beside the ROLLUP form (q_rollup_pricing). grouping_id
+    disambiguates real NULL keys from subtotal rows — the column the
+    reference's flat GROUP BY world has no analogue for.
+
+    Scale shape: Spark expands the cube into grouping sets BEFORE the
+    exchange, so partial aggregation applies per set and the shuffle
+    carries one partial row per (set, key) — not a full second pass
+    per subtotal level. Unregistered (gate pinned at 50); differential
+    in tests/test_analytics_extra.py."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+    )
+
+
+CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""

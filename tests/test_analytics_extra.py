@@ -79,3 +79,31 @@ def test_q16_plan_broadcasts_dims(spark):
     plan = buf.getvalue()
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_cube_differential(spark):
+    from data_ingestor_gluejob_script_spark.queries.analytics import (
+        CUBE_ORACLE,
+        q_cube_pricing,
+    )
+
+    got = q_cube_pricing(spark, SF_DIR)
+    s_cols, s_rows = got.columns, [tuple(r) for r in got.collect()]
+    o_cols, o_rows = _oracle_with(CUBE_ORACLE, ["lineitem"])
+    assert sorted(s_cols) == sorted(o_cols)
+    assert len(s_rows) == len(o_rows) > 0
+    assert _multiset(s_cols, s_rows) == _multiset(o_cols, o_rows)
+    # exactly one grand-total row (gid 3), and it equals the row count
+    grand = [r for r in s_rows if r[2] == 3]
+    assert len(grand) == 1
+    assert grand[0][3] == load(spark, SF_DIR, "lineitem").count()
+
+
+def _oracle_with(sql, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    cur = con.execute(sql)
+    return [d[0] for d in cur.description], cur.fetchall()

@@ -104,3 +104,44 @@ def test_zorder_preserves_rows(spark, tmp_path):
         ev.withColumn("k", F.lit(7)), ["k", "user_id"], bits=8, files=4
     )
     assert const.count() == ev.count()
+
+
+def test_morton_key_property(spark):
+    """Hypothesis fuzz vs the Python interleave reference, plus the
+    defining monotonicity: the key restricted to one dimension (other
+    held fixed) is strictly increasing."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pairs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2**12 - 1),
+                st.integers(min_value=0, max_value=2**12 - 1),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def inner(pairs):
+        df = spark.createDataFrame(pairs, "a long, b long")
+        got = df.select(
+            "a", "b", morton_key([F.col("a"), F.col("b")], 12).alias("z")
+        ).collect()
+        for r in got:
+            assert r.z == _py_morton([r.a, r.b], 12)
+
+    inner()
+    # monotone in each dimension
+    vals = [0, 1, 7, 100, 4095]
+    df = spark.createDataFrame([(v,) for v in vals], "a long")
+    keyed = df.select(
+        "a", morton_key([F.col("a"), F.lit(9)], 12).alias("z")
+    ).orderBy("a").collect()
+    zs = [r.z for r in keyed]
+    assert zs == sorted(zs) and len(set(zs)) == len(zs)
