@@ -503,3 +503,72 @@ def attrition_oracle(max_repetition: float = 0.1) -> str:
                    AS n_pass_all
         FROM flags
     """
+
+
+def pack_slices_frame(manifest: DataFrame) -> DataFrame:
+    """Turn the pack manifest (``seq_pack_frame`` output) into
+    training-shard-ready slices: a document whose tokens straddle
+    pack boundaries is split at exactly those boundaries, emitting
+    (doc_id, pack_id, doc_offset, pack_offset, slice_len) — every
+    token lands in exactly one slice, every pack holds exactly
+    PACK_TOKENS tokens (except the last). This is the "slicing is a
+    map over this assignment" step the seq_pack docstring promises:
+    pure per-row arithmetic + one explode over the 1-2 packs a doc
+    typically spans; no shuffle, no state.
+
+    Zero-token documents emit no slices (they occupy no pack space).
+
+    Differential-tested against PACK_SLICES_ORACLE plus conservation
+    invariants (tests/test_seq_pack.py)."""
+    first = F.floor(F.col("tokens_before") / PACK_TOKENS)
+    last = F.floor(
+        (F.col("tokens_before") + F.col("n_tokens") - 1) / PACK_TOKENS
+    )
+    packs = F.when(
+        F.col("n_tokens") > 0, F.sequence(first, last)
+    ).otherwise(F.array().cast("array<bigint>"))
+    p = F.col("pack_id")
+    doc_off = F.greatest(
+        F.lit(0).cast("long"), p * PACK_TOKENS - F.col("tokens_before")
+    )
+    slice_end = F.least(
+        F.col("n_tokens"), (p + 1) * PACK_TOKENS - F.col("tokens_before")
+    )
+    return (
+        manifest.select(
+            "doc_id",
+            "n_tokens",
+            "tokens_before",
+            F.explode(packs).alias("pack_id"),
+        )
+        .select(
+            "doc_id",
+            "pack_id",
+            doc_off.alias("doc_offset"),
+            (F.col("tokens_before") + doc_off - p * PACK_TOKENS).alias(
+                "pack_offset"
+            ),
+            (slice_end - doc_off).alias("slice_len"),
+        )
+    )
+
+
+PACK_SLICES_ORACLE = f"""
+WITH m AS ({{manifest_sql}}),
+s AS (
+    SELECT doc_id, n_tokens, tokens_before,
+           unnest(range(tokens_before // {PACK_TOKENS},
+                        (tokens_before + n_tokens - 1) // {PACK_TOKENS} + 1))
+               AS pack_id
+    FROM m WHERE n_tokens > 0
+)
+SELECT doc_id, pack_id,
+       greatest(0, pack_id * {PACK_TOKENS} - tokens_before) AS doc_offset,
+       tokens_before
+           + greatest(0, pack_id * {PACK_TOKENS} - tokens_before)
+           - pack_id * {PACK_TOKENS} AS pack_offset,
+       least(n_tokens, (pack_id + 1) * {PACK_TOKENS} - tokens_before)
+           - greatest(0, pack_id * {PACK_TOKENS} - tokens_before)
+           AS slice_len
+FROM s
+"""
