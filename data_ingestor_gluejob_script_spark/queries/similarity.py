@@ -568,3 +568,34 @@ IVF_TOPK_ORACLE = f"""
     WHERE a.vec_id <> {QUERY_VEC_ID} AND a.cell IN (SELECT cell FROM probe)
     ORDER BY cosine_sim DESC, a.vec_id LIMIT {TOP_K}
 """
+
+
+def quantized_rescore_topk(
+    emb: DataFrame, query_vec_id: int, k: int, coarse_k: int = 50
+) -> DataFrame:
+    """The full quantize-then-rescore search: the int8 coarse pass
+    ranks every vector cheaply (4× fewer bytes scanned), the top
+    ``coarse_k`` survivors are exact-rescored in float64 cosine, and
+    the final top-``k`` comes from that rescue set. With a reasonable
+    margin (coarse_k ≫ k) the result EQUALS the exact brute-force
+    ranking — asserted in tests — while the expensive pass touches
+    only coarse_k rows instead of the corpus.
+
+    Scale shape: the coarse candidate id set is coarse_k rows →
+    broadcast semi-join prunes the corpus before the float math; both
+    passes share the same 1-row broadcast query vector."""
+    coarse_ids = quantized_topk(emb, query_vec_id, coarse_k).select("vec_id")
+    survivors = emb.join(F.broadcast(coarse_ids), "vec_id", "left_semi")
+    qv = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("emb").alias("q_emb"),
+        F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("q_norm"),
+    )
+    sim = dot(F.col("emb"), F.col("q_emb")) / (
+        F.sqrt(dot(F.col("emb"), F.col("emb"))) * F.col("q_norm")
+    )
+    return (
+        survivors.crossJoin(F.broadcast(qv))
+        .select("vec_id", F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

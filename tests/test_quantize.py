@@ -89,3 +89,24 @@ def test_quantized_topk_recall(spark):
     approx = {r.vec_id for r in quantized_topk(emb, 0, TOP_K).collect()}
     assert len(approx) == TOP_K
     assert len(exact & approx) >= TOP_K - 1
+
+
+def test_quantized_rescore_equals_exact(spark):
+    """With a 10x coarse margin the rescored result must EQUAL the
+    exact brute-force top-k, row for row — the approximation lives
+    only in candidate selection, and the margin absorbs it."""
+    from data_ingestor_gluejob_script_spark.queries.similarity import (
+        quantized_rescore_topk,
+    )
+
+    emb = _load_emb(spark, SF_DIR)
+    exact = (
+        _scored(emb)
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+        .collect()
+    )
+    got = quantized_rescore_topk(emb, 0, TOP_K, coarse_k=50).collect()
+    assert [(r.vec_id, r.cosine_sim) for r in got] == [
+        (r.vec_id, r.cosine_sim) for r in exact
+    ]
