@@ -94,3 +94,18 @@ def read_json_table(spark: SparkSession, path: str, spec: TableSpec) -> DataFram
             f"(fields: {sorted(header)})"
         )
     return df.select(*[F.col(c).cast("string").alias(c) for c in spec.columns])
+
+
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame | None:
+    """ORC scan with the same missing-source contract as the parquet
+    reader (absent → ``None``, caller skips). ORC is Spark-native —
+    same pushdown/pruning machinery as parquet (PushedFilters +
+    ReadSchema reach the scan), so a lake standardized on ORC gets the
+    identical plan shapes; beyond the reference's format set (the
+    reference is CSV+parquet only, gluejob.py:201,226)."""
+    try:
+        df = spark.read.orc(path)
+        df.schema  # force resolution so a missing path fails here
+        return df
+    except AnalysisException:
+        return None

@@ -138,3 +138,40 @@ def test_json_reader_contract(spark, tmp_path):
         f.write(_json.dumps({"id": "1"}) + "\n")
     with pytest.raises(ValueError, match="missing schema columns"):
         read_json_table(spark, bad, ORDERS)
+
+
+def test_orc_roundtrip_and_missing(spark, tmp_path):
+    """ORC write/read roundtrip preserves values and types; missing
+    path honors the None contract; filters/pruning reach the ORC scan
+    like parquet."""
+    import io
+    from contextlib import redirect_stdout
+
+    import pyspark.sql.functions as F
+
+    from data_ingestor_gluejob_script_spark.queries._util import load
+    from data_ingestor_gluejob_script_spark.sources.files import (
+        read_orc_table,
+    )
+
+    src = load(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "orders_orc")
+    src.write.orc(path)
+
+    back = read_orc_table(spark, path)
+    assert back is not None
+    assert back.count() == src.count()
+    assert dict(back.dtypes) == dict(src.dtypes)
+    s = src.agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+    b = back.agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+    assert s == b
+
+    assert read_orc_table(spark, str(tmp_path / "nope")) is None
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.select("o_orderkey").filter(
+            F.col("o_custkey") == 7
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "o_custkey" in plan
