@@ -572,3 +572,46 @@ SELECT doc_id, pack_id,
            AS slice_len
 FROM s
 """
+
+
+def split_leakage_report(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """Train/eval leakage check: near-duplicate PAIRS whose members
+    landed in DIFFERENT splits — a test document with a train-set
+    near-twin inflates eval scores exactly like benchmark
+    contamination. Input is any near-dup pair frame (MinHash, SimHash,
+    embedding); output is one row per (split_a, split_b) with the
+    crossing-pair count, plus same-split rows for context.
+
+    Composes the oracle-verified pair queries with the deterministic
+    split assignment; two broadcast-able joins of the (small) pair set
+    against the map-only split frame — the corpus itself never
+    reshuffles. Split names are canonically ordered so (train,test)
+    and (test,train) aggregate into one row."""
+    a_col, b_col = pairs.columns[0], pairs.columns[1]
+    splits = split_assign_frame(docs).select("doc_id", "split")
+    labeled = (
+        pairs.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .join(
+            splits.withColumnRenamed("doc_id", "_a").withColumnRenamed(
+                "split", "split_a"
+            ),
+            "_a",
+        )
+        .join(
+            splits.withColumnRenamed("doc_id", "_b").withColumnRenamed(
+                "split", "split_b"
+            ),
+            "_b",
+        )
+    )
+    lo = F.least("split_a", "split_b")
+    hi = F.greatest("split_a", "split_b")
+    return (
+        labeled.select(
+            lo.alias("split_a"),
+            hi.alias("split_b"),
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+        .groupBy("split_a", "split_b", "is_leak")
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -182,3 +182,39 @@ def test_attrition_report_differential(spark):
     assert s_row.total_docs == docs.count()
     assert s_row.n_fail_repetition > 0
     assert 0 < s_row.n_pass_all < s_row.total_docs
+
+
+def test_split_leakage_report(spark):
+    """Leakage report vs a Python recomputation over the same
+    (oracle-verified) pair set and split assignment — counts per
+    ordered split pair must match exactly, and leak rows are exactly
+    the cross-split ones."""
+    from data_ingestor_gluejob_script_spark.queries.textops import (
+        q_simhash_neardup_pairs,
+    )
+    from data_ingestor_gluejob_script_spark.queries.traindata import (
+        split_assign_frame,
+        split_leakage_report,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    pairs = q_simhash_neardup_pairs(spark, SF_DIR).select("doc_a", "doc_b")
+    got = {
+        (r.split_a, r.split_b, r.is_leak): r.n_pairs
+        for r in split_leakage_report(pairs, docs).collect()
+    }
+
+    split_of = {
+        r.doc_id: r.split for r in split_assign_frame(docs).collect()
+    }
+    expect: dict = {}
+    for r in pairs.collect():
+        sa, sb = sorted((split_of[r.doc_a], split_of[r.doc_b]))
+        key = (sa, sb, sa != sb)
+        expect[key] = expect.get(key, 0) + 1
+    assert got == expect
+    assert sum(got.values()) == pairs.count()
+    # this corpus has near-dups in every split: leaks exist and are
+    # flagged only on cross-split rows
+    assert any(k[2] for k in got)
+    assert all((k[0] != k[1]) == k[2] for k in got)
