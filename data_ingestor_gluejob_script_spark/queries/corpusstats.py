@@ -440,3 +440,66 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN spans s USING (doc_id)
 GROUP BY d.doc_id
 """
+
+
+def negative_samples_frame(docs: DataFrame, k: int = 4) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every document, ``k`` pseudo-random other documents chosen by
+    md5(anchor:j) mod corpus-size — reproducible across engines, runs,
+    and partitionings (the same hash-not-rand rule as the split
+    assignment). Returns (anchor_id, neg_rank, neg_id); draws that hit
+    the anchor itself are dropped (so a handful of anchors carry k-1
+    negatives — documented, deterministic).
+
+    Scale shape: doc_ids are mapped to a dense [0, n) index with one
+    window over doc_id (rank is corpus-wide but carries two longs per
+    row); the draw explode is map-only; resolving draws to documents
+    is ONE equi-join on the dense index. The n_docs scalar is a
+    single-row count (metadata-sized, like the JDBC bounds probe)."""
+    n_docs = docs.select("doc_id").distinct().count()
+    idx = docs.select("doc_id").withColumn(
+        "_idx",
+        F.row_number().over(Window.orderBy("doc_id")).cast("long") - 1,
+    )
+    draws = idx.select(
+        F.col("doc_id").alias("anchor_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_rank"),
+    ).withColumn(
+        "_idx",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("anchor_id"), F.col("neg_rank")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_docs,
+    )
+    return (
+        draws.join(idx.withColumnRenamed("doc_id", "neg_id"), "_idx")
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", "neg_rank", "neg_id")
+    )
+
+
+NEGATIVE_SAMPLES_ORACLE = """
+WITH idx AS (
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS _idx
+    FROM documents
+), draws AS (
+    SELECT d.doc_id AS anchor_id, j AS neg_rank,
+           ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || j::VARCHAR),
+                           1, 8))::BIGINT
+               % (SELECT count(*) FROM documents) AS _idx
+    FROM documents d, unnest(range(0, {k})) AS t(j)
+)
+SELECT anchor_id, neg_rank, i.doc_id AS neg_id
+FROM draws JOIN idx i USING (_idx)
+WHERE i.doc_id != anchor_id
+"""

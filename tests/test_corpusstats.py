@@ -324,3 +324,26 @@ def test_corpusstats_property_differential(spark, texts):
         o_cols = [d[0] for d in cur.description]
         assert sorted(o_cols) == sorted(s_cols)
         assert _multiset(s_cols, s_rows) == _multiset(o_cols, cur.fetchall())
+
+
+def test_negative_samples_differential(spark):
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        NEGATIVE_SAMPLES_ORACLE,
+        negative_samples_frame,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    got = negative_samples_frame(docs, k=4)
+    _assert_differential(got, NEGATIVE_SAMPLES_ORACLE.format(k=4))
+    # near-complete coverage (self-hits only), no anchor over k, and
+    # the draw is genuinely spread over the corpus
+    n = docs.count()
+    per_anchor = got.groupBy("anchor_id").count()
+    assert per_anchor.filter(F.col("count") > 4).count() == 0
+    assert got.count() >= 4 * n - n  # at most one self-hit per rank... loose
+    assert got.select("neg_id").distinct().count() > n // 10
+    # deterministic across runs
+    again = negative_samples_frame(docs, k=4)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, again.collect())
+    )
