@@ -503,3 +503,54 @@ SELECT anchor_id, neg_rank, i.doc_id AS neg_id
 FROM draws JOIN idx i USING (_idx)
 WHERE i.doc_id != anchor_id
 """
+
+
+def corpus_summary(docs: DataFrame) -> DataFrame:
+    """One-row dataset card: corpus size, token volume, language and
+    source diversity, length distribution, and exact-duplicate rate —
+    the numbers a dataset README quotes, computed as ONE Spark job.
+
+    Everything except the dup rate folds into a single aggregate over
+    one scan (count distinct on lang/source is dimension-sized); the
+    dup rate needs the md5 groupBy the dedup operator already does,
+    joined in as a 1-row cross of two scalars. Differential-tested
+    against CORPUS_SUMMARY_ORACLE."""
+    toks = F.size(F.split(F.col("text"), " "))
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    distinct_texts = docs.agg(
+        F.count_distinct(F.md5("text")).alias("n_distinct_texts")
+    )
+    return base.crossJoin(distinct_texts).withColumn(
+        "dup_rate",
+        F.round(
+            (F.col("n_docs") - F.col("n_distinct_texts"))
+            / F.col("n_docs"),
+            6,
+        ),
+    )
+
+
+CORPUS_SUMMARY_ORACLE = """
+SELECT b.*, d.n_distinct_texts,
+       round((b.n_docs - d.n_distinct_texts) / b.n_docs, 6) AS dup_rate
+FROM (
+    SELECT count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS n_tokens,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           min(n_chars) AS min_chars,
+           round(avg(n_chars), 2) AS avg_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+) b CROSS JOIN (
+    SELECT count(DISTINCT md5(text)) AS n_distinct_texts FROM documents
+) d
+"""

@@ -347,3 +347,17 @@ def test_negative_samples_differential(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, again.collect())
     )
+
+
+def test_corpus_summary_differential(spark):
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        CORPUS_SUMMARY_ORACLE,
+        corpus_summary,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    got = corpus_summary(docs)
+    _assert_differential(got, CORPUS_SUMMARY_ORACLE)
+    row = got.collect()[0]
+    assert row.n_docs == docs.count()
+    assert 0.0 <= row.dup_rate < 1.0
