@@ -442,6 +442,46 @@ GROUP BY d.doc_id
 """
 
 
+IDX_BLOCK = 1000  # doc_ids per dense-index prefix-sum block
+
+
+def _dense_index(docs: DataFrame) -> DataFrame:
+    """(doc_id, _idx): the corpus's doc_ids mapped to a dense [0, n)
+    index equal to ``row_number() OVER (ORDER BY doc_id) - 1``, built
+    WITHOUT a global-order window (which funnels the whole id set
+    through one reducer). Same distributed prefix-sum shape as
+    ``seq_pack_frame``: rank within numeric blocks of doc_id space in
+    parallel (block order agrees with doc_id order, so block-local
+    rank + block offset IS the global rank), then one tiny
+    global-order window over the per-block COUNTS (rows = #blocks),
+    broadcast back. Duplicate doc_ids are collapsed first so the
+    index is dense even on dirty input."""
+    ids = (
+        docs.select("doc_id")
+        .distinct()
+        .withColumn("_blk", F.floor(F.col("doc_id") / IDX_BLOCK))
+    )
+    in_blk = Window.partitionBy("_blk").orderBy("doc_id")
+    local = ids.withColumn(
+        "_local", F.row_number().over(in_blk).cast("long") - 1
+    )
+    blk_running = Window.orderBy("_blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ids.groupBy("_blk")
+        .agg(F.count("*").alias("_blk_n"))
+        .withColumn(
+            "_blk_before",
+            F.coalesce(F.sum("_blk_n").over(blk_running), F.lit(0)),
+        )
+        .select("_blk", "_blk_before")
+    )
+    return local.join(F.broadcast(offsets), "_blk", "inner").select(
+        "doc_id", (F.col("_blk_before") + F.col("_local")).alias("_idx")
+    )
+
+
 def negative_samples_frame(docs: DataFrame, k: int = 4) -> DataFrame:
     """Deterministic negative sampling for contrastive training: for
     every document, ``k`` pseudo-random other documents chosen by
@@ -451,16 +491,14 @@ def negative_samples_frame(docs: DataFrame, k: int = 4) -> DataFrame:
     the anchor itself are dropped (so a handful of anchors carry k-1
     negatives — documented, deterministic).
 
-    Scale shape: doc_ids are mapped to a dense [0, n) index with one
-    window over doc_id (rank is corpus-wide but carries two longs per
-    row); the draw explode is map-only; resolving draws to documents
-    is ONE equi-join on the dense index. The n_docs scalar is a
-    single-row count (metadata-sized, like the JDBC bounds probe)."""
+    Scale shape: doc_ids are mapped to a dense [0, n) index with the
+    distributed prefix sum in ``_dense_index`` (no global-order
+    window; the only single-partition exchange carries #blocks rows);
+    the draw explode is map-only; resolving draws to documents is ONE
+    equi-join on the dense index. The n_docs scalar is a single-row
+    count (metadata-sized, like the JDBC bounds probe)."""
     n_docs = docs.select("doc_id").distinct().count()
-    idx = docs.select("doc_id").withColumn(
-        "_idx",
-        F.row_number().over(Window.orderBy("doc_id")).cast("long") - 1,
-    )
+    idx = _dense_index(docs)
     draws = idx.select(
         F.col("doc_id").alias("anchor_id"),
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_rank"),

@@ -108,6 +108,65 @@ def test_seq_pack_prefix_sum_shape(plans):
     assert "BroadcastHashJoin" in p
 
 
+def test_negative_samples_prefix_sum_shape(spark):
+    """r7 verdict item #1: the dense doc index must NOT be a global
+    Window.orderBy (single-reducer sort of the whole id set). Same
+    contract as seq-pack: the only single-partition exchange carries
+    per-block counts, per-doc ranking is partitioned by block, and the
+    offsets come back via broadcast."""
+    from data_ingestor_gluejob_script_spark.queries._util import load
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        negative_samples_frame,
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        negative_samples_frame(load(spark, SF, "documents"), k=4).explain(
+            "formatted"
+        )
+    p = buf.getvalue()
+    assert p.count("SinglePartition") == 1
+    assert p.count("hashpartitioning(_blk") >= 1
+    assert "BroadcastHashJoin" in p
+
+
+# Every Window.orderBy without a partitionBy in the package must be
+# justified here: a global-order window funnels its whole input through
+# ONE task, so it is only acceptable over provably tiny frames. Adding
+# a new one means consciously extending this list with the reason.
+GLOBAL_WINDOW_ALLOWLIST = {
+    # seq-pack prefix sum: runs over per-block TOTALS (#blocks rows)
+    ("queries/traindata.py", 'blk_running = Window.orderBy("_blk").rowsBetween('),
+    # dense-index prefix sum: same shape, #blocks rows
+    ("queries/corpusstats.py", 'blk_running = Window.orderBy("_blk").rowsBetween('),
+    # IVF seed codebook: runs AFTER .limit(N_IVF_CELLS), K=8 rows
+    (
+        "queries/similarity.py",
+        '(F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),',
+    ),
+}
+
+
+def test_no_unlisted_global_order_windows_in_package():
+    """Package-wide 'never again' guard (r7 verdict item #2): sweep the
+    source for Window.orderBy occurrences; any not on the bounded-input
+    allowlist fails the build before it can ship a single-reducer
+    plan."""
+    import pathlib
+
+    pkg = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "data_ingestor_gluejob_script_spark"
+    )
+    hits = set()
+    for py in pkg.rglob("*.py"):
+        for line in py.read_text().splitlines():
+            if "Window.orderBy" in line:
+                hits.add((str(py.relative_to(pkg)), line.strip()))
+    unlisted = hits - GLOBAL_WINDOW_ALLOWLIST
+    assert not unlisted, f"unallowlisted global-order windows: {unlisted}"
+
+
 def test_revenue_star_join_pushes_region_filter_and_broadcasts(plans):
     p = plans("q_revenue_by_nation")
     assert "EqualTo(r_name,ASIA)" in p  # region filter reaches the scan
