@@ -150,21 +150,46 @@ def decode_features(
     return df.select(id_col, payload_col).mapInPandas(extract, schema)
 
 
-def _fake_resize(payload: pd.Series, width: int, height: int) -> pd.Series:
-    """Deterministic stand-in for a real image resize (no image libs in
-    this environment): emits exactly ``width*height`` bytes by cycling
-    the source payload (md5 of empty for null/empty payloads, so the
-    output length contract holds unconditionally). Swap in the real
-    decoder (e.g. PIL ``Image.resize``) here — callers and the Spark
-    plan are unchanged."""
+def _fake_resize_one(b, target: int) -> bytes:
+    """Deterministic stand-in for a real image decode+resize: emits
+    exactly ``target`` bytes by cycling the source payload (md5 of
+    empty for null/empty payloads, so the output-length contract holds
+    unconditionally)."""
     import hashlib
+
+    src = bytes(b) if b else hashlib.md5(b"").digest()
+    reps = target // len(src) + 1
+    return (src * reps)[:target]
+
+
+def _fake_resize(payload: pd.Series, width: int, height: int) -> pd.Series:
+    """Series form of ``_fake_resize_one`` — the PIL-free resize path."""
+    target = width * height
+    return payload.map(lambda b: _fake_resize_one(b, target))
+
+
+def _resize_series(payload: pd.Series, width: int, height: int) -> pd.Series:
+    """Resize one Arrow batch of payloads to ``width*height``
+    single-channel (mode L) bytes. Resolved INSIDE the Python worker at
+    batch time: uses PIL when importable (decode → grayscale → resize →
+    raw bytes), and falls back PER ROW to the deterministic fake when a
+    payload doesn't decode (the synthetic testdata payloads are not
+    real images) or PIL is absent entirely. Either way every output row
+    is exactly ``width*height`` bytes."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return _fake_resize(payload, width, height)
+    from io import BytesIO
 
     target = width * height
 
     def one(b) -> bytes:
-        src = bytes(b) if b else hashlib.md5(b"").digest()
-        reps = target // len(src) + 1
-        return (src * reps)[:target]
+        try:
+            img = Image.open(BytesIO(bytes(b)))
+            return img.convert("L").resize((width, height)).tobytes()
+        except Exception:
+            return _fake_resize_one(b, target)
 
     return payload.map(one)
 
@@ -178,19 +203,12 @@ def resize_media(
 ) -> DataFrame:
     """Arrow-batched media resize via ``mapInPandas``: output is
     (id, width, height, payload) with the payload re-encoded at the
-    target dimensions. Uses PIL when importable; otherwise the
-    deterministic fake above — either way the Spark-side contract
-    (schema, streaming batch shape, per-row output length) is real
-    and tested. Map-only: payload bytes never cross a shuffle."""
-    try:  # pragma: no cover - PIL absent in this environment
-        from PIL import Image  # noqa: F401
-
-        raise NotImplementedError(
-            "real PIL resize not wired in this environment"
-        )
-    except ImportError:
-        resize = _fake_resize
-
+    target dimensions as ``width*height`` grayscale bytes. The decode
+    is resolved per batch inside the worker (``_resize_series``): PIL
+    when importable, the deterministic fake per row otherwise or on
+    decode failure — either way the Spark-side contract (schema,
+    streaming batch shape, per-row output length) is identical and
+    tested. Map-only: payload bytes never cross a shuffle."""
     schema = T.StructType(
         [
             df.schema[id_col],
@@ -207,7 +225,7 @@ def resize_media(
                     id_col: pdf[id_col].values,
                     "width": width,
                     "height": height,
-                    "payload": resize(pdf[payload_col], width, height),
+                    "payload": _resize_series(pdf[payload_col], width, height),
                 }
             )
 

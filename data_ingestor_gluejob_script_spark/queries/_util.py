@@ -35,16 +35,22 @@ WM_UPSERT = "1997-07-01 00:00:00"
 
 def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Repartition a small-file scan across the cluster before
-    CPU-heavy per-row work (hashing, shingling, vector math).
+    CPU-heavy per-row work (hashing, shingling, vector math) — but
+    ONLY when the scan is actually under-split.
 
     The documents/embeddings testdata tables are single small parquet
     files → Spark gives them ONE input partition, serializing every
-    downstream map on one core. The shuffle this inserts is tiny (the
-    raw rows) and buys full parallelism. At 100 TB inputs arrive in
-    many splits and this becomes a no-op-sized rebalance; on a real
-    cluster prefer ``spark.sql.files.maxPartitionBytes`` tuning.
+    downstream map on one core; there the tiny shuffle buys full
+    parallelism. At 100 TB inputs arrive in many splits already, and
+    an unconditional repartition would be a full shuffle of the corpus
+    for nothing — so this is a no-op whenever the input supplies at
+    least half the cluster's parallelism (getNumPartitions is a
+    metadata call: it plans the scan's splits, moves no rows).
     """
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= parallelism:
+        return df
+    return df.repartition(parallelism)
 
 
 # Pinned fallback schema for the TIMESTAMP(NANOS) encoding: ts declared
@@ -74,10 +80,17 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
     try:
         raw = spark.read.parquet(path)
         ts_type = dict(raw.dtypes).get("ts")
-    except Exception:
-        # Schema inference throws on TIMESTAMP(NANOS) when the
-        # nanosAsLong legacy conf is off; the explicit-schema fallback
-        # below handles that encoding.
+    except Exception as ex:
+        # Schema inference throws PARQUET_TYPE_ILLEGAL on
+        # TIMESTAMP(NANOS) when the nanosAsLong legacy conf is off;
+        # the explicit-schema fallback below handles that encoding.
+        # Anything else (missing path, permissions, corrupt footer)
+        # must surface HERE, not as a confusing schema mismatch
+        # downstream of the fallback read.
+        if "PARQUET_TYPE_ILLEGAL" not in str(ex) and (
+            "Illegal Parquet type" not in str(ex)
+        ):
+            raise
         ts_type = None
     if ts_type == "timestamp":
         return raw

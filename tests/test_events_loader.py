@@ -61,6 +61,33 @@ def test_read_events_normalizes_ts(spark, events_file):
     assert got == _TS
 
 
+def test_read_events_missing_path_raises_path_error(spark, tmp_path):
+    """A nonexistent events path must raise the path error immediately
+    — the NANOS fallback read must not swallow it into a confusing
+    schema mismatch downstream (r7 watch item)."""
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException) as exc:
+        read_events(spark, str(tmp_path / "no_such_events.parquet"))
+    assert "PATH_NOT_FOUND" in str(exc.value)
+
+
+def test_spread_is_noop_for_presplit_input(spark):
+    """spread() must not inject a shuffle when the input already
+    supplies enough partitions (r7 verdict item #4): at scale inputs
+    arrive in many splits and an unconditional repartition is a full
+    corpus shuffle for nothing."""
+    from data_ingestor_gluejob_script_spark.queries._util import spread
+
+    par = spark.sparkContext.defaultParallelism
+    presplit = spark.range(1000).repartition(par)
+    assert spread(spark, presplit) is presplit  # no-op, same object
+    single = spark.range(1000).coalesce(1)
+    out = spread(spark, single)
+    assert out is not single
+    assert out.rdd.getNumPartitions() == par
+
+
 def test_read_events_stream_normalizes_ts(spark, events_file, tmp_path):
     stream = read_events_stream(spark, events_file)
     assert dict(stream.dtypes)["ts"] == "timestamp"

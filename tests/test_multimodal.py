@@ -118,3 +118,50 @@ def test_resize_media_contract(spark):
     assert all(
         bytes(rows[k].payload) == bytes(again[k].payload) for k in rows
     )
+
+
+def test_resize_series_pil_branch(monkeypatch):
+    """The PIL-present branch of _resize_series: decodable payloads go
+    through Image.open→convert('L')→resize→tobytes, undecodable ones
+    fall back per row to the deterministic fake. Exercised with a stub
+    PIL at the pandas level (Spark workers are separate processes, so
+    a driver-side monkeypatch can't cross mapInPandas — the Spark-side
+    plumbing is covered by test_resize_media_contract)."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    from data_ingestor_gluejob_script_spark.operators import multimodal
+
+    class _StubImg:
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, wh):
+            self._wh = wh
+            return self
+
+        def tobytes(self):
+            w, h = self._wh
+            return b"\x7f" * (w * h)
+
+    class _StubImage:
+        @staticmethod
+        def open(fp):
+            if not fp.read().startswith(b"IMG!"):
+                raise OSError("cannot identify image file")
+            return _StubImg()
+
+    pil = types.ModuleType("PIL")
+    pil.Image = _StubImage
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+
+    payload = pd.Series([b"IMG!realimagebytes", b"not an image", b"", None])
+    out = multimodal._resize_series(payload, 8, 4)
+    assert [len(b) for b in out] == [32, 32, 32, 32]
+    assert bytes(out[0]) == b"\x7f" * 32  # decoded via the stub PIL
+    # undecodable rows match the fake exactly (deterministic fallback)
+    fake = multimodal._fake_resize(payload, 8, 4)
+    assert [bytes(b) for b in out[1:]] == [bytes(b) for b in fake[1:]]
