@@ -448,14 +448,28 @@ def run_doc_dedup_ingest(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         hashed = batch_df.withColumn("text_md5", F.md5("text"))
         keep = hashed.groupBy("text_md5").agg(
             F.min("doc_id").alias("doc_id")
         )
-        fresh = hashed.join(keep, ["text_md5", "doc_id"], "left_semi")
+        # Semi-join keeps the min-doc_id row per digest, then collapse
+        # to exactly one row per digest: the same (doc_id, text) row
+        # redelivered twice INSIDE one micro-batch survives the semi
+        # join as two identical copies.
+        fresh = hashed.join(
+            keep, ["text_md5", "doc_id"], "left_semi"
+        ).dropDuplicates(["text_md5"])
         try:
             seen = spark.read.parquet(lake_dir).select("text_md5")
-        except Exception:  # first batch: no lake yet
+        except AnalysisException as ex:
+            # Only "no lake yet" may skip the anti-join; any other
+            # failure (corrupt footer, permissions, transient storage)
+            # must abort the batch — silently skipping it would
+            # double-ingest and break the idempotence contract.
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
             seen = None
         if seen is not None:
             fresh = fresh.join(seen, "text_md5", "left_anti")

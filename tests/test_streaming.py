@@ -282,3 +282,66 @@ def test_doc_dedup_ingest(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(lake).count() == 15
+
+
+def test_doc_dedup_ingest_same_row_twice_in_one_batch(spark, tmp_path):
+    """The most common redelivery case: the EXACT same (doc_id, text)
+    row appears twice inside a single micro-batch (e.g. a source file
+    republished with duplicate rows). The within-batch dedup must
+    collapse it to one lake row, not two."""
+    import pandas as pd
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 1, 2, 3, 3, 3],
+            "text": ["same text", "same text", "other", "third"] + ["third"] * 2,
+        }
+    )
+    rows.to_parquet(src / "a.parquet")
+
+    lake = str(tmp_path / "lake")
+    q = streaming.run_doc_dedup_ingest(
+        spark, str(src), lake, str(tmp_path / "ckpt"),
+        max_files_per_trigger=10,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(lake)
+    assert got.count() == 3  # one row per distinct text, not 6
+    assert {r.doc_id for r in got.collect()} == {1, 2, 3}
+
+
+def test_doc_dedup_ingest_corrupt_lake_aborts_batch(spark, tmp_path):
+    """A lake read failure that is NOT path-not-found must abort the
+    micro-batch (r7 advice): treating e.g. a corrupt footer as 'first
+    batch, no lake yet' would silently skip the digest anti-join and
+    double-ingest."""
+    import pandas as pd
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [1], "text": ["a doc"]}).to_parquet(
+        src / "a.parquet"
+    )
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    (lake / "part-00000.parquet").write_bytes(b"this is not parquet")
+
+    q = streaming.run_doc_dedup_ingest(
+        spark, str(src), str(lake), str(tmp_path / "ckpt")
+    )
+    from pyspark.errors import StreamingQueryException
+
+    try:
+        q.awaitTermination(120)
+        failed = q.exception() is not None
+    except StreamingQueryException:
+        failed = True
+    assert failed, "corrupt lake read must abort the batch, not skip dedup"
+    # nothing was appended on top of the corrupt lake
+    leftover = [
+        f for f in os.listdir(lake) if not f.startswith(("part-00000", "."))
+    ]
+    assert leftover == []
