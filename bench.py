@@ -47,6 +47,13 @@ Protocol hardening:
   pass, so if its JVM dies mid-batch (OOM/crash) the parent salvages
   every rep that finished instead of recording -1.0 for the whole
   batch.
+- The UNREGISTERED operator suite (``queries/extras.py``: corpus
+  stats, quantize/IVF, Z-order, connected components, the composed
+  curation pipeline) is benched after the inventory at best-of-
+  ``$SPARK_GRAFT_BENCH_EXTRAS_REPS`` (default 2) and reported in the
+  summary's ``extras`` block — excluded from ``value`` (no baseline
+  twin) but recorded so regressions in unregistered code are caught
+  the same way as registered ones.
 """
 
 from __future__ import annotations
@@ -96,6 +103,7 @@ def run_batch(names: list[str], sf_dir: str, reps: int) -> dict:
     failed rep (error text goes to stderr, kept out of the JSON line).
     """
     import __spark_entry__ as entry_mod
+    from data_ingestor_gluejob_script_spark.queries.extras import extras
     from data_ingestor_gluejob_script_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -103,7 +111,7 @@ def run_batch(names: list[str], sf_dir: str, reps: int) -> dict:
     # the plan, not first-touch JIT/IO (same treatment for every batch).
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).count()
 
-    queries = entry_mod.queries()
+    queries = {**entry_mod.queries(), **extras()}
     detail: dict[str, list[float]] = {name: [] for name in names}
     failed: set[str] = set()
     load0 = loadavg_1m()
@@ -148,75 +156,113 @@ def main() -> int:
     ncpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32)))
 
     if len(sys.argv) > 2 and sys.argv[1] == "--batch":
+        if len(sys.argv) > 3:
+            reps = int(sys.argv[3])
         print(json.dumps(run_batch(sys.argv[2].split(","), sf_dir, reps)))
         return 0
 
     import __spark_entry__ as entry_mod  # listing only; no JVM in the parent
+    from data_ingestor_gluejob_script_spark.queries.extras import extras
 
     names = sorted(entry_mod.queries())
+    # Unregistered-operator suite: benched per round like the inventory
+    # (r7 verdict item #7), but best-of-fewer reps — these exist for
+    # regression visibility, not headline comparison, and several
+    # (composed pipeline, connected components) are multi-second.
+    extras_reps = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRAS_REPS", "2"))
+    extra_names = sorted(extras())
     start_load = wait_for_quiet_host(max_load=0.5 * ncpus)
 
-    reps_detail: dict[str, list[float]] = {}
-    batch_loads: list[list[float]] = []
-    for i in range(0, len(names), batch_size):
-        batch = names[i : i + batch_size]
-        if i:  # re-gate between batches; a short wait beats a noisy batch
-            wait_for_quiet_host(max_load=0.5 * ncpus, timeout_sec=60.0)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--batch", ",".join(batch)],
-            cwd=REPO,
-            stdout=subprocess.PIPE,
-            stderr=sys.stderr,
-            text=True,
-        )
-        # Walk the worker's stdout from the last line backwards and take
-        # the first sentinel-tagged progress line: the complete result
-        # when the worker exited cleanly, else the last per-rep flush
-        # before a crash (salvaging every rep that finished). The
-        # "__bench__" sentinel keeps unrelated JSON on stdout (a query
-        # or library printing a dict) from being mistaken for a result.
-        out = None
-        for ln in reversed([ln for ln in proc.stdout.splitlines() if ln.strip()]):
-            try:
-                cand = json.loads(ln)
-            except ValueError:
-                continue
-            if (
-                isinstance(cand, dict)
-                and cand.get("__bench__") == 1
-                and "reps_detail" in cand
-            ):
-                out = cand
-                break
-        if out is None:
-            print(
-                f"bench batch failed (rc={proc.returncode}): {batch}",
-                file=sys.stderr,
+    def run_batches(
+        batch_names: list[str], batch_reps: int, gate_first: bool
+    ) -> tuple[dict[str, list[float]], list[list[float]]]:
+        detail: dict[str, list[float]] = {}
+        loads: list[list[float]] = []
+        for i in range(0, len(batch_names), batch_size):
+            batch = batch_names[i : i + batch_size]
+            if i or gate_first:  # re-gate; a short wait beats a noisy batch
+                wait_for_quiet_host(max_load=0.5 * ncpus, timeout_sec=60.0)
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--batch",
+                    ",".join(batch),
+                    str(batch_reps),
+                ],
+                cwd=REPO,
+                stdout=subprocess.PIPE,
+                stderr=sys.stderr,
+                text=True,
             )
-            for name in batch:
-                reps_detail[name] = [-1.0]
-            batch_loads.append([])
-        else:
-            if proc.returncode != 0:
+            # Walk the worker's stdout from the last line backwards and
+            # take the first sentinel-tagged progress line: the complete
+            # result when the worker exited cleanly, else the last
+            # per-rep flush before a crash (salvaging every rep that
+            # finished). The "__bench__" sentinel keeps unrelated JSON
+            # on stdout (a query or library printing a dict) from being
+            # mistaken for a result.
+            out = None
+            for ln in reversed(
+                [ln for ln in proc.stdout.splitlines() if ln.strip()]
+            ):
+                try:
+                    cand = json.loads(ln)
+                except ValueError:
+                    continue
+                if (
+                    isinstance(cand, dict)
+                    and cand.get("__bench__") == 1
+                    and "reps_detail" in cand
+                ):
+                    out = cand
+                    break
+            if out is None:
                 print(
-                    f"bench batch crashed (rc={proc.returncode}); salvaged"
-                    f" partial reps for {batch}",
+                    f"bench batch failed (rc={proc.returncode}): {batch}",
                     file=sys.stderr,
                 )
-            for name in batch:
-                reps_detail[name] = out["reps_detail"].get(name) or [-1.0]
-            batch_loads.append(out.get("load", []))
+                for name in batch:
+                    detail[name] = [-1.0]
+                loads.append([])
+            else:
+                if proc.returncode != 0:
+                    print(
+                        f"bench batch crashed (rc={proc.returncode}); salvaged"
+                        f" partial reps for {batch}",
+                        file=sys.stderr,
+                    )
+                for name in batch:
+                    detail[name] = out["reps_detail"].get(name) or [-1.0]
+                loads.append(out.get("load", []))
+        return detail, loads
 
-    timings = {
-        name: (min(ok) if (ok := [t for t in rep_times if t >= 0]) else -1.0)
-        for name, rep_times in reps_detail.items()
-    }
+    reps_detail, batch_loads = run_batches(names, reps, gate_first=False)
+    extras_detail, extras_loads = run_batches(
+        extra_names, extras_reps, gate_first=True
+    )
+
+    def best_of(detail: dict[str, list[float]]) -> dict[str, float]:
+        return {
+            name: (min(ok) if (ok := [t for t in ts if t >= 0]) else -1.0)
+            for name, ts in detail.items()
+        }
+
+    extras_timings = best_of(extras_detail)
+    timings = best_of(reps_detail)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     summary = {
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # Unregistered suite: NOT part of "value" (no baseline twin) —
+        # tracked so regressions in unregistered code show up in the
+        # round artifact.
+        "extras": extras_timings,
+        "extras_total": round(
+            sum(t for t in extras_timings.values() if t >= 0), 3
+        ),
         "sf": sf_of(sf_dir),
         "reps": reps,
         "load_at_start": start_load,
@@ -230,8 +276,11 @@ def main() -> int:
             {
                 **summary,
                 "batch_size": batch_size,
+                "extras_reps": extras_reps,
                 "reps_detail": reps_detail,
+                "extras_reps_detail": extras_detail,
                 "batch_loads": batch_loads,
+                "extras_batch_loads": extras_loads,
             },
             f,
             indent=1,

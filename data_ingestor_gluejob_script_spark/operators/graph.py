@@ -5,24 +5,34 @@ are one cluster even though (A,C) was never emitted as a pair.
 
 Algorithm: iterative minimum-label propagation (the standard
 large-graph approach — e.g. GraphX/GraphFrames' connectedComponents;
-"hash-to-min" in Rastogi et al., ICDE'13). Each node starts labeled
-with itself; every round each node takes the min of its own label and
-its neighbors' labels; fixpoint in O(diameter) rounds. Near-dup
-graphs are unions of small dense clusters, so the diameter — and the
-round count — is tiny in practice.
+"hash-to-min" in Rastogi et al., ICDE'13) plus a POINTER-JUMPING step
+each round (label <- label(label), the shortcutting half of
+large-star/small-star contraction, Kiveris et al. SoCC'14). Each node
+starts labeled with itself; every round each node takes the min of
+its own and its neighbors' labels, then follows its label one hop
+("my label's label") — so label paths halve each round and the
+fixpoint arrives in O(log diameter) rounds instead of O(diameter).
+Round counts measured on fixtures (test_graph.py): 64-node chain = 7
+rounds (vs 63 propagation-only), triangle+chain mix = 4, the sf0.001
+SimHash pair graph (7k edges) = 3.
 
-Scale shape per round: one keyed shuffle (edge⋈label join + groupBy
-min). Labels are (node, long) pairs — the payload never travels.
-``localCheckpoint`` truncates the plan each round: without it the
-lineage doubles per iteration and the job eventually dies in the
-optimizer, the classic iterative-DataFrame trap. Convergence is
-detected by counting changed labels (one scalar action per round).
+Scale shape per round: two keyed shuffles (edge⋈label join + groupBy
+min, then the label⋈label shortcut join). Labels are (node, long)
+pairs — the payload never travels. ``localCheckpoint`` truncates the
+plan each round: without it the lineage doubles per iteration and the
+job eventually dies in the optimizer, the classic iterative-DataFrame
+trap. Convergence is detected by counting changed labels (one scalar
+action per round).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Rounds used by the most recent connected_components call — exposed
+# for tests/benchmarks that pin the O(log diameter) convergence rate.
+last_rounds: int = 0
 
 
 def connected_components(
@@ -34,7 +44,9 @@ def connected_components(
     in the node's component.
 
     Raises if the propagation hasn't converged after ``max_iter``
-    rounds (diameter > max_iter — not a near-dup-cluster shape)."""
+    rounds (log2(diameter) > max_iter — not a near-dup-cluster
+    shape)."""
+    global last_rounds
     src, dst = edges.columns[0], edges.columns[1]
     # symmetrize once; propagation then only needs one direction
     sym = (
@@ -50,23 +62,40 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for rnd in range(1, max_iter + 1):
+        last_rounds = rnd
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
+        stepped = (
+            labels.select("node", F.col("component").alias("_old"))
+            .join(neighbor_min, "node", "left")
             .select(
                 "node",
+                "_old",
                 F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                ).alias("component"),
+                    F.col("_old"),
+                    F.coalesce(F.col("nbr_min"), F.col("_old")),
+                ).alias("_c1"),
+            )
+        )
+        # Pointer jumping: follow the new label one more hop (label's
+        # label). Labels are min-monotone (label(x) <= x), so the
+        # looked-up value can only improve; every label IS a node id,
+        # so the left join misses nothing (coalesce is belt-and-
+        # braces for the first round's not-yet-checkpointed lineage).
+        parent = stepped.select(
+            F.col("node").alias("_pnode"), F.col("_c1").alias("_pc")
+        )
+        new_labels = (
+            stepped.join(parent, stepped["_c1"] == parent["_pnode"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_pc"), F.col("_c1")).alias("component"),
                 (
-                    F.coalesce(F.col("nbr_min"), F.col("component"))
-                    < F.col("component")
+                    F.coalesce(F.col("_pc"), F.col("_c1")) < F.col("_old")
                 ).alias("_changed"),
             )
             .localCheckpoint()

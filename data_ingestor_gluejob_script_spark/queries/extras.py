@@ -1,0 +1,128 @@
+"""Benchmark registry for the UNREGISTERED operator suite.
+
+The 50-query inventory in ``__spark_entry__.queries()`` is frozen
+(tests/test_inventory.py); everything else that matters at scale —
+corpus statistics, the quantize-then-rescore ANN family, Z-order
+layout, connected components, the composed curation pipeline — was
+until round 7 only timed ad-hoc in PLANS.md. ``extras()`` gives those
+operators the same bench treatment as the registered inventory:
+``bench.py`` times every entry per round into the ``extras`` block of
+BENCH_DETAIL.json / the summary line, so a regression in unregistered
+code shows up in the artifact, not just in a stale PLANS.md note.
+
+Entries are (spark, sf_dir) -> DataFrame, same contract as
+``queries()``; correctness for each lives in the pytest differentials
+(test_corpusstats / test_similarity_ivf / test_quantize / test_graph /
+test_corpus_pipeline / test_layout / test_skew) — this module is
+about TIME, not results.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import neardup_groups
+from ..operators.layout import zorder_layout
+from ..operators.skew import skew_report
+from ._util import load, spread
+from .corpusstats import (
+    cap_per_source_frame,
+    chunk_documents_frame,
+    corpus_summary,
+    duplicate_span_report,
+    negative_samples_frame,
+    repetition_frame,
+    tfidf_topk_frame,
+    vocab_frame,
+    weighted_sample_frame,
+)
+from .similarity import (
+    QUERY_VEC_ID,
+    _load_emb,
+    ivf_refine,
+    q_ivf_topk,
+    quantized_rescore_topk,
+    quantized_topk,
+)
+from .textops import contamination_report, q_simhash_neardup_pairs
+from .traindata import (
+    attrition_report,
+    pack_slices_frame,
+    prepare_training_corpus,
+    seq_pack_frame,
+    split_leakage_report,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(spark, load(spark, sf_dir, "documents"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # _load_emb normalizes the stored column to the (vec_id, emb)
+    # double-vector shape every similarity frame expects.
+    return spread(spark, _load_emb(spark, sf_dir))
+
+
+def _bench_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic stand-in benchmark corpus for decontamination:
+    # every 25th document — guaranteed overlap, dimension-sized.
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("text")
+    )
+
+
+def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """name -> (spark, sf_dir) -> DataFrame, for bench.py --extras."""
+    return {
+        "x_vocab": lambda s, d: vocab_frame(_docs(s, d)),
+        "x_repetition": lambda s, d: repetition_frame(_docs(s, d)),
+        "x_tfidf_topk": lambda s, d: tfidf_topk_frame(_docs(s, d)),
+        "x_dup_span_report": lambda s, d: duplicate_span_report(_docs(s, d)),
+        "x_chunk_documents": lambda s, d: chunk_documents_frame(_docs(s, d)),
+        "x_cap_per_source": lambda s, d: cap_per_source_frame(
+            _docs(s, d), cap=50
+        ),
+        "x_weighted_sample": lambda s, d: weighted_sample_frame(
+            _docs(s, d), {"src7": 1.0}, default=0.35
+        ),
+        "x_negative_samples": lambda s, d: negative_samples_frame(_docs(s, d)),
+        "x_corpus_summary": lambda s, d: corpus_summary(_docs(s, d)),
+        "x_pack_slices": lambda s, d: pack_slices_frame(
+            seq_pack_frame(_docs(s, d))
+        ),
+        "x_attrition_report": lambda s, d: attrition_report(_docs(s, d)),
+        "x_training_pipeline": lambda s, d: prepare_training_corpus(
+            _docs(s, d), benchmark=_bench_docs(s, d), max_repetition=0.1
+        ),
+        "x_contamination_report": lambda s, d: contamination_report(
+            _docs(s, d), _bench_docs(s, d)
+        ),
+        "x_split_leakage": lambda s, d: split_leakage_report(
+            q_simhash_neardup_pairs(s, d).select("doc_a", "doc_b"),
+            load(s, d, "documents"),
+        ),
+        "x_neardup_groups": lambda s, d: neardup_groups(
+            q_simhash_neardup_pairs(s, d).select("doc_a", "doc_b"),
+            load(s, d, "documents"),
+        ),
+        "x_zorder_layout": lambda s, d: zorder_layout(
+            load(s, d, "lineitem"), ["l_orderkey", "l_partkey"]
+        ),
+        "x_skew_report": lambda s, d: skew_report(
+            load(s, d, "lineitem"), "l_orderkey"
+        ),
+        "x_ivf_topk": q_ivf_topk,
+        "x_ivf_refine": lambda s, d: ivf_refine(_emb(s, d)),
+        "x_quantized_topk": lambda s, d: quantized_topk(
+            _emb(s, d), QUERY_VEC_ID, 5
+        ),
+        "x_quantized_rescore": lambda s, d: quantized_rescore_topk(
+            _emb(s, d), QUERY_VEC_ID, 5
+        ),
+    }

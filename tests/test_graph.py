@@ -59,6 +59,22 @@ def test_components_chain_and_clusters(spark):
     assert {got[n] for n in (20, 21)} == {20}
 
 
+def test_components_long_chain_converges_logarithmically(spark):
+    """A 64-node chain (diameter 63): pointer jumping must reach the
+    fixpoint in O(log diameter) rounds — well inside max_iter=10,
+    where propagation alone would need 63 rounds."""
+    from data_ingestor_gluejob_script_spark.operators import graph
+
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.component
+        for r in connected_components(df, max_iter=10).collect()
+    }
+    assert got == {n: 0 for n in range(64)}
+    assert graph.last_rounds <= 8  # log2(63) ≈ 6 + convergence round
+
+
 def test_components_max_iter_guard(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
     with pytest.raises(RuntimeError, match="fixpoint"):
