@@ -47,6 +47,7 @@ from .similarity import (
     quantized_rescore_topk,
     quantized_topk,
 )
+from .pq import pq_codebooks, pq_encode, pq_rescore_topk
 from .textops import contamination_report, q_simhash_neardup_pairs
 from .traindata import (
     attrition_report,
@@ -125,4 +126,8 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_quantized_rescore": lambda s, d: quantized_rescore_topk(
             _emb(s, d), QUERY_VEC_ID, 5
         ),
+        "x_pq_encode": lambda s, d: pq_encode(
+            _emb(s, d), pq_codebooks(_emb(s, d))
+        ),
+        "x_pq_rescore": lambda s, d: pq_rescore_topk(_emb(s, d)),
     }

@@ -1,0 +1,236 @@
+"""Product quantization (PQ) for the embedding ANN family.
+
+The int8 quantizer (`similarity.quantize_embeddings_frame`) cuts scan
+bytes 4×; PQ is the next rung on the same ladder (Jégou et al., "
+Product Quantization for Nearest Neighbor Search", TPAMI 2011; the
+IVF-ADC pairing FAISS popularized): split each vector into ``M_PQ``
+subvectors, quantize every subvector to its nearest entry in a
+per-subspace codebook of ``K_PQ`` centroids, and keep only the ``M_PQ``
+code bytes per vector — for the 64-float testdata embeddings that is
+256 bytes → 8 bytes, 32×. Queries never decode the corpus: an
+asymmetric-distance LUT of ``dot(query_subvec, centroid)`` per
+(subspace, centroid) is broadcast (M_PQ × K_PQ doubles — metadata) and
+each corpus row's approximate dot product is ``Σ_j lut[j][code_j]``, a
+pure map over the code column.
+
+Spark-first shapes, all frozen in tests/test_pq.py:
+
+- **Codebooks are a one-row broadcast** built like the IVF seed
+  (`similarity._ivf_centroid_row`): the first ``K_PQ`` vectors by
+  vec_id sliced per subspace — deterministic, one-pass, reproducible
+  across engines/partitionings. ``pq_refine`` layers Lloyd rounds per
+  subspace on the same shape when a tighter codebook is worth it.
+- **Encoding is map-only**: nested HOFs (transform over subspaces →
+  argmin over centroids) run JVM-side in whole-stage codegen; the
+  corpus never shuffles and never crosses into Python.
+- **Scoring is map + top-k**: LUT broadcast, per-row HOF sum,
+  ``orderBy().limit(k)`` → TakeOrderedAndProject, no global sort.
+- **Exactness ladder**: ``pq_rescore_topk`` ranks the corpus by ADC
+  cheaply, exact-rescores the top ``coarse_k`` in float64 cosine, and
+  returns the final top-``k`` — same contract as
+  ``quantized_rescore_topk`` (equality with brute force asserted on
+  testdata), with the coarse pass reading 8-byte codes instead of
+  64-byte int8 vectors.
+
+Reference parity note: the reference engine has no ANN surface at all
+(gluejob.py is row-store ingestion); this module is part of the
+LLM-training-data extension the brief adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import EMB_DIM, QUERY_VEC_ID, cosine
+
+M_PQ = 8  # subspaces
+SUB_DIM = EMB_DIM // M_PQ  # dims per subvector
+K_PQ = 16  # centroids per subspace (codes fit 4 bits; stored tinyint)
+
+
+def _subvec(vec: Column, j: Column | int) -> Column:
+    """slice of ``vec`` for subspace j (1-based slice under the hood)."""
+    start = (F.lit(j) if isinstance(j, int) else j) * SUB_DIM + 1
+    return F.slice(vec, start, SUB_DIM)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """squared L2 distance between two equal-length arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def pq_codebooks(emb: DataFrame) -> DataFrame:
+    """One-row codebook frame: ``books`` = array[M_PQ] of array[K_PQ]
+    of array<double>[SUB_DIM]. Seeded from the first ``K_PQ`` vectors
+    by vec_id, sliced per subspace — the same deterministic one-pass
+    seed rule as the IVF codebook (similarity.py), so results are
+    engine- and partitioning-independent. K_PQ rows is metadata-sized;
+    the ``collect_list`` runs over K_PQ rows, not the corpus."""
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(K_PQ)
+        .select(
+            F.col("vec_id").cast("long").alias("sid"),
+            F.col("emb").cast("array<double>").alias("v"),
+        )
+    )
+    # one row per seed: array[M_PQ] of subvectors
+    sliced = seeds.select(
+        "sid",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(M_PQ - 1)),
+            lambda j: _subvec(F.col("v"), j),
+        ).alias("subs"),
+    )
+    # transpose to subspace-major: books[j][c] = seed c's subvector j
+    packed = sliced.agg(
+        F.sort_array(F.collect_list(F.struct("sid", "subs"))).alias("rows")
+    )
+    return packed.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(M_PQ - 1)),
+            lambda j: F.transform(
+                F.col("rows"), lambda r: r["subs"][j]
+            ),
+        ).alias("books")
+    )
+
+
+def pq_encode(emb: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(vec_id, codes array<tinyint>[M_PQ]): each subvector replaced by
+    the index of its nearest (squared-L2) codebook centroid, first
+    index winning ties. Map-only: the one-row codebook broadcasts, the
+    corpus never shuffles, and the nested HOFs stay JVM-side."""
+    code_j = lambda v, j: (  # noqa: E731 — argmin over K_PQ distances
+        F.array_position(
+            F.transform(
+                F.col("books")[j], lambda c: _l2sq(_subvec(v, j), c)
+            ),
+            F.array_min(
+                F.transform(
+                    F.col("books")[j], lambda c: _l2sq(_subvec(v, j), c)
+                )
+            ),
+        )
+        - 1
+    ).cast("tinyint")
+    return emb.crossJoin(F.broadcast(codebooks)).select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(M_PQ - 1)),
+            lambda j: code_j(F.col("emb").cast("array<double>"), j),
+        ).alias("codes"),
+    )
+
+
+def _query_luts(emb: DataFrame, query_vec_id: int, codebooks: DataFrame) -> DataFrame:
+    """One-row broadcastable LUT frame for one query vector:
+    ``dlut[j][c]`` = dot(query subvector j, centroid c) and
+    ``nlut[j][c]`` = |centroid c of subspace j|² — M_PQ × K_PQ doubles
+    each, metadata-sized at any corpus scale."""
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("emb").cast("array<double>").alias("qv")
+    )
+    return q.crossJoin(F.broadcast(codebooks)).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(M_PQ - 1)),
+            lambda j: F.transform(
+                F.col("books")[j],
+                lambda c: _dot(_subvec(F.col("qv"), j), c),
+            ),
+        ).alias("dlut"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(M_PQ - 1)),
+            lambda j: F.transform(F.col("books")[j], lambda c: _dot(c, c)),
+        ).alias("nlut"),
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))).alias("q_norm"),
+    )
+
+
+def pq_adc_scores(
+    codes: DataFrame, emb: DataFrame, query_vec_id: int, codebooks: DataFrame
+) -> DataFrame:
+    """(vec_id, adc_sim): approximate cosine of every coded vector vs
+    the query — ``Σ_j dlut[j][code_j]`` over the reconstructed norm
+    ``sqrt(Σ_j nlut[j][code_j])``. Pure map over the 8-byte code
+    column with two broadcast one-row frames; the expensive float
+    corpus is never touched."""
+    idx = F.sequence(F.lit(0), F.lit(M_PQ - 1))
+    adc_dot = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.col("dlut")[j][F.col("codes")[j].cast("int")],
+    )
+    rnorm2 = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.col("nlut")[j][F.col("codes")[j].cast("int")],
+    )
+    return (
+        codes.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(_query_luts(emb, query_vec_id, codebooks)))
+        .select(
+            "vec_id",
+            (
+                adc_dot
+                / F.when(
+                    F.sqrt(rnorm2) * F.col("q_norm") > 0,
+                    F.sqrt(rnorm2) * F.col("q_norm"),
+                )
+            ).alias("adc_sim"),
+        )
+    )
+
+
+def pq_rescore_topk(
+    emb: DataFrame, query_vec_id: int = QUERY_VEC_ID, k: int = 5,
+    coarse_k: int = 50,
+) -> DataFrame:
+    """The PQ search ladder end-to-end: encode the corpus to 8-byte
+    codes, rank by ADC approximate cosine (map over codes), keep the
+    top ``coarse_k``, exact-rescore the survivors in float64 cosine,
+    return the exact top-``k`` of the rescue set — (vec_id,
+    cosine_sim), aliases matching the brute-force twin so results
+    compare row-for-row.
+
+    Scale shape: the coarse pass scans 8 bytes/vector (32× fewer than
+    float32); the coarse top-k is TakeOrderedAndProject (no global
+    sort); the rescore set is coarse_k rows → broadcast semi-join
+    prunes the float corpus before any expensive math."""
+    books = pq_codebooks(emb)
+    coarse = (
+        pq_adc_scores(pq_encode(emb, books), emb, query_vec_id, books)
+        .orderBy(F.col("adc_sim").desc(), F.col("vec_id"))
+        .limit(coarse_k)
+        .select("vec_id")
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("emb").alias("q_emb")
+    )
+    return (
+        emb.join(F.broadcast(coarse), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("emb"), F.col("q_emb")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )

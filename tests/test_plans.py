@@ -97,6 +97,23 @@ def test_no_cartesian_products_anywhere(plans):
         assert "CartesianProduct" not in plans(name), name
 
 
+def test_extras_no_cartesian_products(spark):
+    """Same pair-enumeration guard as the registered sweep, over the
+    benched unregistered suite (queries/extras.py). Building a plan is
+    driver-side only — except connected components, whose iterative
+    rounds run real (label-sized) jobs."""
+    import contextlib
+    import io
+
+    from data_ingestor_gluejob_script_spark.queries.extras import extras
+
+    for name, fn in extras().items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            fn(spark, SF).explain("formatted")
+        assert "CartesianProduct" not in buf.getvalue(), name
+
+
 def test_seq_pack_prefix_sum_shape(plans):
     """The distributed prefix sum's contract: the ONLY global-order
     (single-partition) exchange carries the per-block offsets (#blocks

@@ -1,0 +1,91 @@
+"""Product quantization: code shape/determinism, ADC exactness on
+centroid-aligned vectors (the analytic guarantee), and the
+rescore ladder's equality with brute-force top-k on testdata.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_ingestor_gluejob_script_spark.queries.pq import (
+    K_PQ,
+    M_PQ,
+    pq_adc_scores,
+    pq_codebooks,
+    pq_encode,
+    pq_rescore_topk,
+)
+from data_ingestor_gluejob_script_spark.queries.similarity import (
+    QUERY_VEC_ID,
+    _load_emb,
+    _scored,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pq_codes_shape_range_determinism(spark):
+    emb = _load_emb(spark, SF_DIR)
+    books = pq_codebooks(emb)
+    codes = pq_encode(emb, books)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r.codes) == M_PQ for r in rows)
+    assert all(0 <= c < K_PQ for r in rows for c in r.codes)
+    again = {r.vec_id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    assert {r.vec_id: list(r.codes) for r in rows} == again
+
+
+def test_pq_adc_exact_on_seed_vectors(spark):
+    """Vectors that ARE codebook seeds encode to their own centroids in
+    every subspace, so the ADC dot and reconstructed norm are EXACT —
+    adc_sim must equal true cosine to float precision. This is the
+    analytic contract that pins the LUT indexing (0- vs 1-based, the
+    classic off-by-one) and the norm reconstruction."""
+    emb = _load_emb(spark, SF_DIR)
+    seeds = emb.orderBy("vec_id").limit(K_PQ)
+    books = pq_codebooks(seeds)
+    codes = pq_encode(seeds, books)
+    got = {
+        r.vec_id: r.adc_sim
+        for r in pq_adc_scores(codes, seeds, QUERY_VEC_ID, books).collect()
+    }
+    exact = {
+        r.vec_id: r.cosine_sim for r in _scored(seeds).collect()
+    }
+    assert set(got) == set(exact)
+    for vid, sim in got.items():
+        assert abs(sim - exact[vid]) < 1e-6, (vid, sim, exact[vid])
+
+
+def test_pq_rescore_equals_bruteforce_topk(spark):
+    """Quantize-then-rescore exactness: with a reasonable coarse margin
+    the PQ ladder returns the SAME rows as exact brute force (same
+    contract the int8 rescore pins in test_quantize.py)."""
+    emb = _load_emb(spark, SF_DIR)
+    brute = (
+        _scored(emb)
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(5)
+        .collect()
+    )
+    got = pq_rescore_topk(emb, QUERY_VEC_ID, k=5, coarse_k=50).collect()
+    assert [(r.vec_id, r.cosine_sim) for r in got] == [
+        (r.vec_id, r.cosine_sim) for r in brute
+    ]
+
+
+def test_pq_rescore_plan_shape(spark):
+    """Coarse + final top-k both compile to TakeOrderedAndProject (no
+    global sort) and the only nested-loop joins are one-row codebook /
+    LUT / query broadcasts — never a pair enumeration."""
+    import contextlib
+    import io
+
+    emb = _load_emb(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pq_rescore_topk(emb).explain("formatted")
+    p = buf.getvalue()
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
