@@ -47,7 +47,7 @@ from .similarity import (
     quantized_rescore_topk,
     quantized_topk,
 )
-from .pq import pq_codebooks, pq_encode, pq_rescore_topk
+from .pq import ivfpq_topk, pq_codebooks, pq_encode, pq_rescore_topk
 from .textops import contamination_report, q_simhash_neardup_pairs
 from .traindata import (
     attrition_report,
@@ -130,4 +130,5 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), pq_codebooks(_emb(s, d))
         ),
         "x_pq_rescore": lambda s, d: pq_rescore_topk(_emb(s, d)),
+        "x_ivfpq_topk": lambda s, d: ivfpq_topk(_emb(s, d)),
     }

@@ -42,7 +42,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import EMB_DIM, QUERY_VEC_ID, cosine
+from .similarity import (
+    EMB_DIM,
+    IVF_NPROBE,
+    QUERY_VEC_ID,
+    _ivf_centroid_row,
+    cosine,
+    ivf_assign,
+    ivf_probe_cells,
+)
 
 M_PQ = 8  # subspaces
 SUB_DIM = EMB_DIM // M_PQ  # dims per subvector
@@ -224,6 +232,60 @@ def pq_rescore_topk(
     )
     return (
         emb.join(F.broadcast(coarse), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("emb"), F.col("q_emb")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame, query_vec_id: int = QUERY_VEC_ID, k: int = 5,
+    nprobe: int = IVF_NPROBE, coarse_k: int = 50,
+) -> DataFrame:
+    """IVF-PQ — the FAISS-style pairing of both index levels: the IVF
+    cell assignment prunes the corpus to the query's ``nprobe`` most
+    affine cells, ADC over 8-byte PQ codes ranks only those
+    candidates, and the top ``coarse_k`` are exact-rescored in float64
+    cosine. Returns (vec_id, cosine_sim), aliases matching the
+    brute-force twin.
+
+    Scale shape: both codebooks are one-row broadcasts; cell
+    assignment and PQ encoding are map-only over the corpus (with the
+    corpus persisted ``partitionBy("cell")`` the probe also
+    partition-prunes the scan, as in ``ivf_search_join``); the ADC
+    pass reads codes, not vectors, inside the probed cells; every
+    join is a broadcast of metadata-sized frames. The corpus never
+    hash-shuffles."""
+    ivf_book = _ivf_centroid_row(emb)
+    books = pq_codebooks(emb)
+    corpus = ivf_assign(emb, ivf_book)
+    probed = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .crossJoin(F.broadcast(ivf_book))
+        .select(
+            F.explode(
+                ivf_probe_cells(F.col("emb"), F.col("cents"), nprobe)
+            ).alias("cell")
+        )
+    )
+    cand = corpus.join(F.broadcast(probed), "cell").select("vec_id", "emb")
+    coarse = (
+        pq_adc_scores(pq_encode(cand, books), emb, query_vec_id, books)
+        .orderBy(F.col("adc_sim").desc(), F.col("vec_id"))
+        .limit(coarse_k)
+        .select("vec_id")
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("emb").alias("q_emb")
+    )
+    return (
+        cand.join(F.broadcast(coarse), "vec_id", "left_semi")
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",

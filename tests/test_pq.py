@@ -75,6 +75,23 @@ def test_pq_rescore_equals_bruteforce_topk(spark):
     ]
 
 
+def test_ivfpq_equals_ivf_exact_search(spark):
+    """IVF-PQ with a generous rescore margin returns exactly the IVF
+    search's result: same probed cells, ADC only reorders the coarse
+    pass, and the float rescore restores exact cosine ranking."""
+    from data_ingestor_gluejob_script_spark.queries.pq import ivfpq_topk
+    from data_ingestor_gluejob_script_spark.queries.similarity import (
+        q_ivf_topk,
+    )
+
+    emb = _load_emb(spark, SF_DIR)
+    ivf = q_ivf_topk(spark, SF_DIR).collect()
+    got = ivfpq_topk(emb, QUERY_VEC_ID, k=5, coarse_k=50).collect()
+    assert [(r.vec_id, r.cosine_sim) for r in got] == [
+        (r.vec_id, r.cosine_sim) for r in ivf
+    ]
+
+
 def test_pq_rescore_plan_shape(spark):
     """Coarse + final top-k both compile to TakeOrderedAndProject (no
     global sort) and the only nested-loop joins are one-row codebook /
