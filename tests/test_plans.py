@@ -161,6 +161,12 @@ GLOBAL_WINDOW_ALLOWLIST = {
         "queries/similarity.py",
         '(F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),',
     ),
+    # global_row_number offsets: runs over per-partition COUNTS
+    # (#partitions rows)
+    (
+        "operators/order.py",
+        'pid_running = Window.orderBy("_pid").rowsBetween(',
+    ),
 }
 
 
