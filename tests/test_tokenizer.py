@@ -51,6 +51,51 @@ def _assert_differential(got, sql):
     assert _multiset(s_cols, s_rows) == _multiset(o_cols, o_rows)
 
 
+def test_tokenizer_property_differential(spark):
+    """Property differential on RANDOM tiny corpora (empty docs, empty
+    tokens from double spaces, single words, ties everywhere): the id
+    assignment and flat encoding must agree with DuckDB cell-for-cell
+    — frequency TIES are the hard part (broken by token, a total
+    order), and the fixed corpus barely has any."""
+    import duckdb as _duck
+
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["the", "fast", "key", "sort", "a", "b3", ""])
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=st.lists(doc, min_size=1, max_size=10))
+    def run(texts):
+        pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        sdf = spark.createDataFrame(pdf)
+        con = _duck.connect()
+        con.register("documents", pdf)
+        for frame, sql in [
+            (vocab_with_ids(sdf), VOCAB_IDS_ORACLE),
+            (
+                encode_docs_flat(sdf, vocab_with_ids(sdf)),
+                ENCODE_FLAT_ORACLE,
+            ),
+        ]:
+            s_cols = frame.columns
+            s_rows = [tuple(r) for r in frame.collect()]
+            cur = con.execute(sql)
+            o_cols = [d[0] for d in cur.description]
+            assert sorted(o_cols) == sorted(s_cols)
+            assert _multiset(s_cols, s_rows) == _multiset(
+                o_cols, cur.fetchall()
+            )
+
+    run()
+
+
 def test_global_row_number_matches_sorted_enumeration(spark):
     """Compound ordering (desc count, asc string) over a deliberately
     badly-partitioned input equals the single-node sorted enumerate."""
