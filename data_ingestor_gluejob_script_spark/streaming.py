@@ -415,6 +415,83 @@ def stream_incremental_upsert(
     )
 
 
+def run_vocab_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    vocab_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming incremental corpus vocabulary: each micro-batch of
+    documents folds its token statistics into a persisted
+    (token, n_docs, n_occurrences) lake — the streaming twin of
+    ``corpusstats.vocab_frame`` for a corpus that arrives over time.
+    After any prefix of batches the lake equals the batch vocabulary
+    of the documents ingested so far (asserted in tests).
+
+    Scale shape: the per-batch delta is the same two partial-aggregated
+    shuffles as the batch operator, sized by the BATCH; the merge
+    unions two vocabulary-sized frames and re-aggregates — Heaps' law
+    keeps the vocabulary far smaller than the corpus, which is what
+    makes the rewrite-the-lake merge viable (a corpus-sized state
+    would need a partitioned upsert instead, like the K1 writer).
+
+    Exactly-once across restarts: the lake carries the last merged
+    ``_batch_id``; a replayed micro-batch (crash after write, before
+    checkpoint commit — or a rerun against a fresh checkpoint) sees
+    its id already merged and skips, so counts can never double. The
+    merged frame is ``localCheckpoint``-ed before the overwrite
+    because its lineage reads the same path it rewrites
+    (vocabulary-sized, so materializing is cheap).
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    from pyspark.errors import AnalysisException
+
+    from .queries.corpusstats import vocab_frame
+
+    batch0 = spark.read.parquet(docs_dir)
+    stream = (
+        spark.readStream.schema(batch0.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            cur = spark.read.parquet(vocab_dir)
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
+            cur = None
+        if cur is not None:
+            merged_through = cur.agg(F.max("_batch_id")).collect()[0][0]
+            if merged_through is not None and merged_through >= batch_id:
+                return  # replayed batch: already folded in
+        delta = vocab_frame(batch_df)
+        if cur is not None:
+            merged = (
+                cur.select("token", "n_docs", "n_occurrences")
+                .unionByName(delta)
+                .groupBy("token")
+                .agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    F.sum("n_occurrences").alias("n_occurrences"),
+                )
+            )
+        else:
+            merged = delta
+        out = merged.withColumn("_batch_id", F.lit(batch_id)).localCheckpoint()
+        out.write.mode("overwrite").parquet(vocab_dir)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_doc_dedup_ingest(
     spark: SparkSession,
     docs_dir: str,

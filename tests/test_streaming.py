@@ -284,6 +284,53 @@ def test_doc_dedup_ingest(spark, tmp_path):
     assert spark.read.parquet(lake).count() == 15
 
 
+def test_vocab_ingest_matches_batch_and_is_replay_safe(spark, tmp_path):
+    """Two document files ingested as two micro-batches: the vocab
+    lake must equal the batch vocabulary of the full corpus, and a
+    replay against a fresh checkpoint (redelivering both batches) must
+    change nothing — the _batch_id guard makes the merge exactly-once."""
+    import pandas as pd
+
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        vocab_frame,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["the fast key", "the the sort"]}
+    ).to_parquet(src / "a.parquet")
+    pd.DataFrame(
+        {"doc_id": [3], "text": ["fast fast key order"]}
+    ).to_parquet(src / "b.parquet")
+
+    vocab = str(tmp_path / "vocab")
+    q = streaming.run_vocab_ingest(
+        spark, str(src), vocab, str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.token: (r.n_docs, r.n_occurrences)
+        for r in spark.read.parquet(vocab).collect()
+    }
+    expected = {
+        r.token: (r.n_docs, r.n_occurrences)
+        for r in vocab_frame(spark.read.parquet(str(src))).collect()
+    }
+    assert got == expected
+
+    q2 = streaming.run_vocab_ingest(
+        spark, str(src), vocab, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    again = {
+        r.token: (r.n_docs, r.n_occurrences)
+        for r in spark.read.parquet(vocab).collect()
+    }
+    assert again == expected
+
+
 def test_doc_dedup_ingest_same_row_twice_in_one_batch(spark, tmp_path):
     """The most common redelivery case: the EXACT same (doc_id, text)
     row appears twice inside a single micro-batch (e.g. a source file
