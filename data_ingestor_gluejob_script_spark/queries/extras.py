@@ -49,7 +49,7 @@ from .similarity import (
 )
 from .pq import ivfpq_topk, pq_codebooks, pq_encode, pq_rescore_topk
 from .textops import contamination_report, q_simhash_neardup_pairs
-from .tokenizer import q_encode_corpus, vocab_with_ids
+from .tokenizer import pack_token_stream, q_encode_corpus, vocab_with_ids
 from .traindata import (
     attrition_report,
     pack_slices_frame,
@@ -134,4 +134,7 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ivfpq_topk": lambda s, d: ivfpq_topk(_emb(s, d)),
         "x_vocab_ids": lambda s, d: vocab_with_ids(_docs(s, d)),
         "x_encode_corpus": q_encode_corpus,
+        "x_pack_token_stream": lambda s, d: pack_token_stream(
+            _docs(s, d), vocab_with_ids(_docs(s, d))
+        ),
     }

@@ -133,3 +133,69 @@ def q_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary and encode every document (packed form)."""
     docs = load(spark, sf_dir, "documents")
     return encode_docs(docs, vocab_with_ids(docs))
+
+
+def pack_token_stream(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """The training-batch endpoint: the whole corpus as one contiguous
+    token-id stream cut into fixed ``PACK_TOKENS``-long sequences —
+    (pack_id, pack_pos, doc_id, token_id), every pack exactly full
+    except the last. Documents crossing a pack boundary are split
+    mid-document, exactly like a real pretraining loader's
+    concatenate-then-chunk.
+
+    Composition, not new machinery: per-token positions from
+    ``encode_docs_flat`` (same whitespace tokenization as the seq-pack
+    manifest, so counts agree token-for-token) + per-document stream
+    offsets from ``seq_pack_frame``'s distributed prefix sum; global
+    position = tokens_before + pos, then divmod by the pack length.
+    One keyed shuffle (the doc_id join between two already
+    partial-shaped frames); everything else is map-side arithmetic."""
+    from .traindata import PACK_TOKENS, seq_pack_frame
+
+    flat = encode_docs_flat(docs, vocab)
+    offsets = seq_pack_frame(docs).select("doc_id", "tokens_before")
+    gpos = F.col("tokens_before") + F.col("pos")
+    return flat.join(offsets, "doc_id").select(
+        F.floor(gpos / PACK_TOKENS).cast("long").alias("pack_id"),
+        (gpos % PACK_TOKENS).cast("long").alias("pack_pos"),
+        "doc_id",
+        "token_id",
+    )
+
+
+PACK_TOKEN_STREAM_ORACLE = """
+WITH tok AS (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+), tf AS (
+    SELECT doc_id, token, count(*) AS tf
+    FROM tok GROUP BY doc_id, token
+), v AS (
+    SELECT token, count(*) AS n_docs, sum(tf) AS n_occurrences
+    FROM tf GROUP BY token
+), ids AS (
+    SELECT token,
+           row_number() OVER (ORDER BY n_occurrences DESC, token)
+               AS token_id
+    FROM v
+), counts AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+), pre AS (
+    SELECT doc_id,
+           coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS tokens_before
+    FROM counts
+)
+SELECT (p.tokens_before + t.pos) // {pack} AS pack_id,
+       (p.tokens_before + t.pos) % {pack} AS pack_pos,
+       t.doc_id,
+       coalesce(i.token_id, 0) AS token_id
+FROM tok t
+JOIN pre p USING (doc_id)
+LEFT JOIN ids i USING (token)
+"""

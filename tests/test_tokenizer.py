@@ -165,6 +165,44 @@ def test_encode_flat_differential(spark):
     )
 
 
+def test_pack_token_stream_differential_and_pack_shape(spark):
+    """The concatenate-then-chunk endpoint agrees with the DuckDB CTE
+    (positions, ids, pack assignment) and obeys the pack laws: every
+    pack except the last is exactly full, positions within a pack are
+    a distinct 0..2047 prefix, rows == total tokens."""
+    from data_ingestor_gluejob_script_spark.queries.tokenizer import (
+        PACK_TOKEN_STREAM_ORACLE,
+        pack_token_stream,
+    )
+    from data_ingestor_gluejob_script_spark.queries.traindata import (
+        PACK_TOKENS,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    got = pack_token_stream(docs, vocab_with_ids(docs))
+    _assert_differential(
+        got, PACK_TOKEN_STREAM_ORACLE.format(pack=PACK_TOKENS)
+    )
+    sizes = {
+        r.pack_id: (r.n, r.npos)
+        for r in got.groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("pack_pos").alias("npos"),
+        )
+        .collect()
+    }
+    last = max(sizes)
+    for pid, (n, npos) in sizes.items():
+        assert n == npos  # positions distinct within the pack
+        if pid != last:
+            assert n == PACK_TOKENS
+    n_tokens = docs.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).collect()[0][0]
+    assert sum(n for n, _ in sizes.values()) == n_tokens
+
+
 def test_encode_packed_consistent_with_flat_and_oov(spark):
     docs = load(spark, SF_DIR, "documents")
     vocab = vocab_with_ids(docs, v_max=5)  # tiny vocab → real OOV
