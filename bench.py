@@ -270,10 +270,10 @@ def main() -> int:
     }
     # Full per-rep evidence goes to a side file; the stdout line must
     # stay under the consumer's 2,000-char tail window (see module
-    # docstring), so it carries the best-of-reps numbers only — and at
-    # 50 queries + 26 extras it needs 2-decimal rounding to fit
-    # (measured: 1978 chars at 3 decimals, 1902 at 2; BENCH_DETAIL
-    # keeps the 3-decimal values).
+    # docstring), so it carries the best-of-reps numbers only, rounded
+    # to 2 decimals (BENCH_DETAIL keeps 3). Measured at 50 queries +
+    # 27 extras: ~1925 chars; ~75 spare — check the line length before
+    # growing the extras registry much further.
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(
             {

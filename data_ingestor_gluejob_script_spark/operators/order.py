@@ -51,6 +51,12 @@ def global_row_number(
     vocabulary/sample/manifest-scale frames; to number a full 100 TB
     corpus, prefer sorting on write and deriving ids from file+offset.
     """
+    reserved = {"_pid", "_local", "_before"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"global_row_number: input columns collide with internal "
+            f"names {sorted(reserved)}; rename them first"
+        )
     n = df.sparkSession.sparkContext.defaultParallelism
     part = df.repartitionByRange(n, *order_cols).localCheckpoint()
     with_pid = part.withColumn("_pid", F.spark_partition_id())

@@ -127,14 +127,14 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_quantized_rescore": lambda s, d: quantized_rescore_topk(
             _emb(s, d), QUERY_VEC_ID, 5
         ),
-        "x_pq_encode": lambda s, d: pq_encode(
-            _emb(s, d), pq_codebooks(_emb(s, d))
-        ),
+        "x_pq_encode": lambda s, d: (
+            lambda e: pq_encode(e, pq_codebooks(e))
+        )(_emb(s, d)),
         "x_pq_rescore": lambda s, d: pq_rescore_topk(_emb(s, d)),
         "x_ivfpq_topk": lambda s, d: ivfpq_topk(_emb(s, d)),
         "x_vocab_ids": lambda s, d: vocab_with_ids(_docs(s, d)),
         "x_encode_corpus": q_encode_corpus,
-        "x_pack_token_stream": lambda s, d: pack_token_stream(
-            _docs(s, d), vocab_with_ids(_docs(s, d))
-        ),
+        "x_pack_token_stream": lambda s, d: (
+            lambda docs: pack_token_stream(docs, vocab_with_ids(docs))
+        )(_docs(s, d)),
     }

@@ -121,25 +121,35 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame) -> DataFrame:
     """(vec_id, codes array<tinyint>[M_PQ]): each subvector replaced by
     the index of its nearest (squared-L2) codebook centroid, first
     index winning ties. Map-only: the one-row codebook broadcasts, the
-    corpus never shuffles, and the nested HOFs stay JVM-side."""
-    code_j = lambda v, j: (  # noqa: E731 — argmin over K_PQ distances
-        F.array_position(
-            F.transform(
-                F.col("books")[j], lambda c: _l2sq(_subvec(v, j), c)
-            ),
-            F.array_min(
-                F.transform(
-                    F.col("books")[j], lambda c: _l2sq(_subvec(v, j), c)
-                )
-            ),
-        )
-        - 1
-    ).cast("tinyint")
-    return emb.crossJoin(F.broadcast(codebooks)).select(
+    corpus never shuffles, and the nested HOFs stay JVM-side.
+
+    The per-subspace distance arrays are PROJECTED first and the
+    argmin reads the bound ``_dists`` attribute: HOF lambdas are
+    interpreted with no common-subexpression elimination (the
+    ngrams_col lesson, textops.py), so inlining the transform into
+    both ``array_position`` and ``array_min`` would compute every
+    subvector-centroid distance twice. CollapseProject keeps the
+    split: ``_dists`` is referenced twice, so Catalyst won't re-inline
+    a non-cheap expression."""
+    with_dists = emb.crossJoin(F.broadcast(codebooks)).select(
         "vec_id",
         F.transform(
             F.sequence(F.lit(0), F.lit(M_PQ - 1)),
-            lambda j: code_j(F.col("emb").cast("array<double>"), j),
+            lambda j: F.transform(
+                F.col("books")[j],
+                lambda c: _l2sq(
+                    _subvec(F.col("emb").cast("array<double>"), j), c
+                ),
+            ),
+        ).alias("_dists"),
+    )
+    return with_dists.select(
+        "vec_id",
+        F.transform(
+            F.col("_dists"),
+            lambda d: (F.array_position(d, F.array_min(d)) - 1).cast(
+                "tinyint"
+            ),
         ).alias("codes"),
     )
 

@@ -436,13 +436,20 @@ def run_vocab_ingest(
     makes the rewrite-the-lake merge viable (a corpus-sized state
     would need a partitioned upsert instead, like the K1 writer).
 
-    Exactly-once across restarts: the lake carries the last merged
-    ``_batch_id``; a replayed micro-batch (crash after write, before
-    checkpoint commit — or a rerun against a fresh checkpoint) sees
-    its id already merged and skips, so counts can never double. The
-    merged frame is ``localCheckpoint``-ed before the overwrite
-    because its lineage reads the same path it rewrites
-    (vocabulary-sized, so materializing is cheap).
+    Exactly-once by CONTENT, not batch position: the lake carries a
+    ledger of merged doc_ids alongside the token rows (token rows have
+    ``doc_id`` null, ledger rows have ``token`` null — one frame, one
+    overwrite, so the two sections can never diverge). Each batch
+    anti-joins the ledger and folds in only unseen documents, so a
+    replayed batch (crash between write and checkpoint commit), a
+    rerun against a fresh checkpoint, OR a rerun whose batches GROUP
+    the files differently all merge each document exactly once. (A
+    batch-id guard — the first design here — breaks on regrouping:
+    batch 0 of a fresh checkpoint can contain new files, and skipping
+    "already-merged batch 0" silently drops them.) The merged frame is
+    ``localCheckpoint``-ed before the overwrite because its lineage
+    reads the same path it rewrites; the ledger is doc-id-sized, the
+    vocabulary Heaps-law-sized — both far smaller than the corpus.
 
     Returns the started StreamingQuery (caller awaits/stops).
     """
@@ -459,29 +466,44 @@ def run_vocab_ingest(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         try:
-            cur = spark.read.parquet(vocab_dir)
+            lake = spark.read.parquet(vocab_dir)
         except AnalysisException as ex:
             if "PATH_NOT_FOUND" not in str(ex):
                 raise
-            cur = None
-        if cur is not None:
-            merged_through = cur.agg(F.max("_batch_id")).collect()[0][0]
-            if merged_through is not None and merged_through >= batch_id:
-                return  # replayed batch: already folded in
-        delta = vocab_frame(batch_df)
+            lake = None
+        if lake is not None:
+            cur = lake.filter(F.col("doc_id").isNull()).select(
+                "token", "n_docs", "n_occurrences"
+            )
+            ledger = lake.filter(F.col("doc_id").isNotNull()).select("doc_id")
+            fresh = batch_df.join(ledger, "doc_id", "left_anti")
+        else:
+            cur, ledger, fresh = None, None, batch_df
+        merged = vocab_frame(fresh)
         if cur is not None:
             merged = (
-                cur.select("token", "n_docs", "n_occurrences")
-                .unionByName(delta)
+                cur.unionByName(merged)
                 .groupBy("token")
                 .agg(
                     F.sum("n_docs").alias("n_docs"),
                     F.sum("n_occurrences").alias("n_occurrences"),
                 )
             )
-        else:
-            merged = delta
-        out = merged.withColumn("_batch_id", F.lit(batch_id)).localCheckpoint()
+        new_ledger = fresh.select("doc_id").distinct()
+        if ledger is not None:
+            new_ledger = ledger.unionByName(new_ledger)
+        out = (
+            merged.withColumn("doc_id", F.lit(None).cast("long"))
+            .unionByName(
+                new_ledger.select(
+                    F.lit(None).cast("string").alias("token"),
+                    F.lit(None).cast("long").alias("n_docs"),
+                    F.lit(None).cast("long").alias("n_occurrences"),
+                    "doc_id",
+                )
+            )
+            .localCheckpoint()
+        )
         out.write.mode("overwrite").parquet(vocab_dir)
 
     return (

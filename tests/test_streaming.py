@@ -284,11 +284,22 @@ def test_doc_dedup_ingest(spark, tmp_path):
     assert spark.read.parquet(lake).count() == 15
 
 
+def _vocab_lake(spark, path):
+    return {
+        r.token: (r.n_docs, r.n_occurrences)
+        for r in spark.read.parquet(path)
+        .filter("doc_id IS NULL")
+        .collect()
+    }
+
+
 def test_vocab_ingest_matches_batch_and_is_replay_safe(spark, tmp_path):
     """Two document files ingested as two micro-batches: the vocab
-    lake must equal the batch vocabulary of the full corpus, and a
-    replay against a fresh checkpoint (redelivering both batches) must
-    change nothing — the _batch_id guard makes the merge exactly-once."""
+    lake must equal the batch vocabulary of the full corpus; a replay
+    against a fresh checkpoint must change nothing; and — the case a
+    batch-id guard gets WRONG — a fresh-checkpoint rerun whose first
+    batch regroups old files WITH a new one must fold in exactly the
+    new documents (content-keyed idempotence via the doc ledger)."""
     import pandas as pd
 
     from data_ingestor_gluejob_script_spark.queries.corpusstats import (
@@ -310,25 +321,34 @@ def test_vocab_ingest_matches_batch_and_is_replay_safe(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    got = {
-        r.token: (r.n_docs, r.n_occurrences)
-        for r in spark.read.parquet(vocab).collect()
-    }
     expected = {
         r.token: (r.n_docs, r.n_occurrences)
         for r in vocab_frame(spark.read.parquet(str(src))).collect()
     }
-    assert got == expected
+    assert _vocab_lake(spark, vocab) == expected
 
+    # fresh checkpoint, same files: nothing changes
     q2 = streaming.run_vocab_ingest(
         spark, str(src), vocab, str(tmp_path / "ckpt2")
     )
     q2.awaitTermination(120)
-    again = {
+    assert _vocab_lake(spark, vocab) == expected
+
+    # new file + fresh checkpoint + everything regrouped into ONE
+    # batch: old docs must not double, the new doc must not be lost
+    pd.DataFrame(
+        {"doc_id": [4], "text": ["order order delta"]}
+    ).to_parquet(src / "c.parquet")
+    q3 = streaming.run_vocab_ingest(
+        spark, str(src), vocab, str(tmp_path / "ckpt3"),
+        max_files_per_trigger=10,
+    )
+    q3.awaitTermination(120)
+    expected_all = {
         r.token: (r.n_docs, r.n_occurrences)
-        for r in spark.read.parquet(vocab).collect()
+        for r in vocab_frame(spark.read.parquet(str(src))).collect()
     }
-    assert again == expected
+    assert _vocab_lake(spark, vocab) == expected_all
 
 
 def test_doc_dedup_ingest_same_row_twice_in_one_batch(spark, tmp_path):
