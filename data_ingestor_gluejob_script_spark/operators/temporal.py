@@ -20,7 +20,16 @@ MICRO_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
 def parse_ts(col: Column) -> Column:
-    """O2 (gluejob.py:182)."""
+    """O2 (gluejob.py:182).
+
+    A plain cast on purpose: under the engine session (Spark 4 ANSI
+    default) an unparseable non-null string THROWS
+    (CAST_INVALID_INPUT) — matching pd.to_datetime's errors='raise' —
+    while NULL stays NULL, matching pandas' NaT for missing values
+    (those rows land in the __HIVE_DEFAULT_PARTITION__ directory,
+    which the upsert merge predicate handles null-safely). Only a
+    caller-supplied non-ANSI session degrades garbage to silent
+    NULLs."""
     return col.cast("timestamp")
 
 

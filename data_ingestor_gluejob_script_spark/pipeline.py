@@ -40,7 +40,7 @@ from dataclasses import dataclass, field
 from datetime import datetime, timezone
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.normalize import normalize_booleans
@@ -108,10 +108,18 @@ def write_partitioned_upsert(
         ]
     if existing is not None:
         # Partition-scoped merge (gluejob.py:190-205): only read lake
-        # partitions the batch touches.
+        # partitions the batch touches. Null partition values (a NULL
+        # event time → __HIVE_DEFAULT_PARTITION__) need isNull terms:
+        # `col == None` is SQL NULL — never true — so the existing
+        # null-partition rows would be excluded from the merge while
+        # dynamic overwrite still REPLACES that directory, silently
+        # deleting them.
+        def _term(col: str, v) -> F.Column:
+            return F.col(col).isNull() if v is None else (F.col(col) == v)
+
         pred = reduce(
             lambda a, b: a | b,
-            [(F.col(ycol) == y) & (F.col(mcol) == m) for y, m in touched],
+            [_term(ycol, y) & _term(mcol, m) for y, m in touched],
         )
         existing = existing.filter(pred)  # pushed as partition pruning
         # Schema evolution: a registry column added AFTER these lake
@@ -133,8 +141,14 @@ def write_partitioned_upsert(
         )
 
     merged = upsert_dedup(prepared, existing, spec.id_col)  # O6+O7
-    n = merged.count()
-    out = merged.withColumn("company", F.lit(company))
+    # Row count via an Observation on the write itself: a separate
+    # .count() would execute the full merge plan (pruned lake scan +
+    # union + window dedup — and re-extract a JDBC source) a second
+    # time just for the number.
+    obs = Observation(f"upsert_{spec.name}")
+    out = merged.observe(obs, F.count(F.lit(1)).alias("n")).withColumn(
+        "company", F.lit(company)
+    )
     if single_object_compat:
         # Hash-partition on the partition columns so each (company,
         # year, month) combination lands in exactly one task → exactly
@@ -159,6 +173,7 @@ def write_partitioned_upsert(
         .partitionBy("company", ycol, mcol)
         .parquet(root)
     )
+    n = int(obs.get["n"])
     if single_object_compat:
         _rename_to_single_objects(spark, root, spec.name, company, touched)
     log.info("upserted %d rows into %s", n, root)
@@ -245,14 +260,39 @@ def compact_partitions(
     # as the upsert writer's existing-lake read).
     df = spark.read.option("mergeSchema", "true").parquet(table_root)
     part_cols = _partition_cols(spark, df, table_root)
-    n = df.count()
+    obs = Observation("compact_rows")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    if target_files_per_partition > 1:
+        # Hashing on the partition columns alone puts ALL of a
+        # partition's rows in one task → always one file; a salt
+        # derived from the data columns spreads each partition over up
+        # to `target` tasks. The partition count is EXPLICIT — with no
+        # number, AQE's coalescing is free to merge the small salted
+        # partitions straight back into one task, silently undoing the
+        # spread (observed on a small table).
+        data_cols = [c for c in df.columns if c not in part_cols]
+        salt = F.pmod(
+            F.xxhash64(*data_cols), F.lit(target_files_per_partition)
+        )
+        n_parts = max(
+            spark.sparkContext.defaultParallelism,
+            target_files_per_partition * 4,
+        )
+        reparted = observed.repartition(n_parts, *part_cols, salt)
+    else:
+        reparted = observed.repartition(*part_cols)
     (
-        df.repartition(target_files_per_partition, *part_cols)
-        .write.mode("overwrite")
+        reparted.write.mode("overwrite")
+        # Per-writer dynamic overwrite, NOT inherited from the session:
+        # under a vanilla session (static default) Spark would delete
+        # the whole table root before the write job reads the input
+        # files it is compacting — total loss of the table. Same
+        # contract (and comment) as the upsert writer above.
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*part_cols)
         .parquet(table_root)
     )
-    return n
+    return int(obs.get["n"])
 
 
 def _partition_cols(spark: SparkSession, df, table_root: str) -> list[str]:

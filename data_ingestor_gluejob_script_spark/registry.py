@@ -39,6 +39,17 @@ class TableSpec:
     #: table (filter on own wm_col). Mirrors the reference's 9 JOIN
     #: templates (gluejob.py:521-600) as data instead of SQL strings.
     chain: tuple[tuple[str, str, str], ...] = ()
+    #: Physical table name in the source database when it differs from
+    #: the lake name (``name``). The reference's checkout extraction
+    #: queries ``[TB_Checkout_Orders]`` (gluejob.py:525) but lands in
+    #: lake table ``checkout_orders``; PostgreSQL tables share their
+    #: lake name.
+    source_table: str | None = None
+
+    @property
+    def src_table(self) -> str:
+        """Name to use in source-DB SQL (FROM/JOIN clauses)."""
+        return self.source_table or self.name
 
     @property
     def spark_schema(self) -> T.StructType:
@@ -150,6 +161,7 @@ _SPECS: tuple[TableSpec, ...] = (
         source_db="checkout",
         active=False,  # disabled in the reference (gluejob.py:315-317)
         wm_col="DT_UpdatedAt",  # gluejob.py:526
+        source_table="TB_Checkout_Orders",  # gluejob.py:525
     ),
 )
 

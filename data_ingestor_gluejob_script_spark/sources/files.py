@@ -39,9 +39,23 @@ def read_csv_table(spark: SparkSession, path: str, spec: TableSpec) -> DataFrame
 
     A missing file returns ``None`` so the caller can log-and-continue
     (gluejob.py:167-169,238-240).
+
+    Dialect matches pandas' (the reference parser): ``escape='"'`` for
+    the doubled-quote convention (Spark's default escape is backslash)
+    and ``multiLine`` so quoted fields containing newlines — XML/JSON
+    blobs like retail_orders.checkout_order_xml — stay one record
+    instead of splitting into malformed rows. multiLine makes each
+    FILE unsplittable; the reference's layout is one CSV per table, so
+    nothing is lost, and a huge multi-line CSV should be re-staged as
+    parquet anyway.
     """
     try:
-        df = spark.read.options(sep=spec.csv_sep, header=True).csv(path)
+        df = spark.read.options(
+            sep=spec.csv_sep,
+            header=True,
+            escape='"',
+            multiLine=True,
+        ).csv(path)
         header = set(df.columns)  # resolution forces a missing path to fail
     except AnalysisException:
         return None

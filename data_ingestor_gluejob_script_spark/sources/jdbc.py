@@ -44,8 +44,12 @@ from ..registry import TableSpec
 from ..watermarks import WATERMARK_FORMAT
 
 _CLOCK_SQL = {
-    "psql": "SELECT NOW()",       # gluejob.py:287-292
-    "sqlserver": "SELECT GETDATE()",  # gluejob.py:294-299
+    # Explicit aliases: Spark wraps the query option as
+    # SELECT * FROM (<sql>) SPARK_GEN_SUBQ_n, and SQL Server rejects a
+    # derived table with an unnamed column (error 8155); PostgreSQL's
+    # NOW() gets an implicit name but gains nothing from relying on it.
+    "psql": "SELECT NOW() AS now",           # gluejob.py:287-292
+    "sqlserver": "SELECT GETDATE() AS now",  # gluejob.py:294-299
 }
 
 
@@ -64,12 +68,20 @@ def incremental_sql(spec: TableSpec, watermark: str) -> str:
     9 hand-written templates (gluejob.py:521-600), from registry data.
 
     Direct tables filter on their own ``wm_col``; chained tables join
-    child→…→anchor and filter on the anchor's ``wm_col``. Only child
-    columns are projected (the reference's ``child.*``), which with
-    PK right sides makes every join a semi-join in effect.
+    child→…→anchor and filter on the ANCHOR's ``wm_col`` — resolved
+    from the anchor's own registry entry, the same rule the file-backed
+    source applies (pipeline.py), so the two source implementations
+    cannot diverge on which column governs a chained table. Physical
+    source-table names come from ``spec.src_table`` (the reference's
+    checkout extraction reads ``[TB_Checkout_Orders]``, not the lake
+    name). Only child columns are projected (the reference's
+    ``child.*``), which with PK right sides makes every join a
+    semi-join in effect.
     """
+    from ..registry import CATALOG
+
     wm = validate_watermark(watermark)
-    child = spec.name
+    child = spec.src_table
     if not spec.chain:
         return (
             f"SELECT {child}.* FROM {child} "
@@ -78,13 +90,19 @@ def incremental_sql(spec: TableSpec, watermark: str) -> str:
     joins = []
     left = child
     for fk, parent, pk in spec.chain:
-        joins.append(f"JOIN {parent} ON {parent}.{pk} = {left}.{fk}")
-        left = parent
+        parent_src = (
+            CATALOG[parent].src_table if parent in CATALOG else parent
+        )
+        joins.append(f"JOIN {parent_src} ON {parent_src}.{pk} = {left}.{fk}")
+        left = parent_src
     anchor = spec.chain[-1][1]
+    anchor_spec = CATALOG.get(anchor)
+    anchor_src = anchor_spec.src_table if anchor_spec else anchor
+    anchor_wm = anchor_spec.wm_col if anchor_spec else spec.wm_col
     return (
         f"SELECT {child}.* FROM {child} "
         + " ".join(joins)
-        + f" WHERE {anchor}.{spec.wm_col} >= '{wm}'"
+        + f" WHERE {anchor_src}.{anchor_wm} >= '{wm}'"
     )
 
 

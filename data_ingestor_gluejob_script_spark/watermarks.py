@@ -63,10 +63,23 @@ class WatermarkStore:
         self._pending[table] = t0
 
     def commit(self) -> None:
-        """Single atomic persist at job end (gluejob.py:120-134,623)."""
+        """Single atomic persist at job end (gluejob.py:120-134,623).
+
+        Merges over whatever the file holds NOW rather than rewriting
+        it with only this store's tables: a store constructed for a
+        subset (a single-table run) must not erase the other tables'
+        persisted watermarks — losing a watermark silently resets that
+        table to the yesterday-midnight default and skips every older
+        change. The reference re-persists its whole dict wholesale
+        (gluejob.py:120-134), which has the same preserving effect."""
+        on_disk: dict[str, str] = {}
+        if os.path.exists(self._path):
+            with open(self._path) as f:
+                on_disk = json.load(f)
+        merged = {**on_disk, **self._pending}
         tmp = self._path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(self._pending, f, indent=2, sort_keys=True)
+            json.dump(merged, f, indent=2, sort_keys=True)
         os.replace(tmp, self._path)
         self._committed = dict(self._pending)
 

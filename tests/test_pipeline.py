@@ -479,6 +479,62 @@ def test_compaction_via_hadoop_scheme_path(spark, tmp_path, lake):
     assert stats == {(2024, 1): 60, (2024, 2): 40}
 
 
+def test_null_event_time_partition_survives_reupsert(spark, lake):
+    """Rows with a NULL event time land in __HIVE_DEFAULT_PARTITION__;
+    a later batch touching that partition must MERGE with them, not
+    replace them — `col == None` is SQL NULL, so a non-null-safe
+    pruning predicate excludes the existing rows from the merge while
+    dynamic overwrite still rewrites the directory (silent delete)."""
+    from data_ingestor_gluejob_script_spark.pipeline import (
+        write_partitioned_upsert,
+    )
+
+    def batch(id_):
+        r = _row(SUBS, id=id_, updated_at="2024-01-01 00:00:00")
+        r["created_at"] = None
+        return spark.createDataFrame(
+            [tuple(r[c] for c in SUBS.columns)], SUBS.spark_schema
+        )
+
+    assert write_partitioned_upsert(spark, batch("n1"), SUBS, lake) == 1
+    assert write_partitioned_upsert(spark, batch("n2"), SUBS, lake) == 2
+    got = _read_lake(spark, lake, SUBS.name)
+    null_part = got.filter("retail_subscriptions_year IS NULL")
+    assert {r.id for r in null_part.collect()} == {"n1", "n2"}
+
+
+def test_compaction_target_files_spreads_partitions(spark, tmp_path, lake):
+    """target_files_per_partition > 1 must actually produce multiple
+    files per partition directory (hashing on the partition key alone
+    funnels each partition through one task → always one file)."""
+    from data_ingestor_gluejob_script_spark.pipeline import (
+        compact_partitions,
+        lake_table_root,
+        write_partitioned_upsert,
+    )
+
+    rows = [
+        _sub(f"s{i}", "2024-01-10 10:00:00", "2024-01-10 10:00:00")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [tuple(r[c] for c in SUBS.columns) for r in rows], SUBS.spark_schema
+    )
+    write_partitioned_upsert(spark, df, SUBS, lake)
+    n = compact_partitions(
+        spark, lake_table_root(lake, SUBS.name), target_files_per_partition=4
+    )
+    assert n == 40
+    part_dir = (
+        f"{lake_table_root(lake, SUBS.name)}/company=Locaweb/"
+        f"retail_subscriptions_year=2024/retail_subscriptions_month=1"
+    )
+    files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    assert len(files) > 1
+    got = spark.read.parquet(lake_table_root(lake, SUBS.name))
+    assert got.count() == 40
+
+
 def test_upsert_schema_evolution_backfills_new_column(spark, tmp_path, lake):
     """A registry column added after the lake was first written: the
     next upsert must read the old files (mergeSchema), backfill the new

@@ -78,6 +78,70 @@ def test_incremental_sql_three_hop_chain():
     assert sql.startswith("SELECT retail_provisionings.* ")
 
 
+def test_incremental_sql_uses_anchor_wm_col_not_childs():
+    """Chained tables must filter on the ANCHOR's watermark column,
+    resolved from the anchor's registry entry — a chained spec whose
+    own wm_col differs must not leak it into the WHERE clause (it may
+    not even exist on the anchor)."""
+    from data_ingestor_gluejob_script_spark.registry import TableSpec
+
+    odd = TableSpec(
+        "odd_child",
+        ("id", "retail_subscription_id", "created_at", "updated_at"),
+        wm_col="modified_at",  # child's own column; anchor has updated_at
+        chain=(("retail_subscription_id", "retail_subscriptions", "id"),),
+    )
+    sql = incremental_sql(odd, "2024-01-01 00:00:00")
+    assert sql.endswith(
+        "WHERE retail_subscriptions.updated_at >= '2024-01-01 00:00:00'"
+    )
+    assert "modified_at" not in sql
+
+
+def test_incremental_sql_checkout_uses_physical_source_table():
+    """checkout_orders extracts from the SQL Server table
+    TB_Checkout_Orders (gluejob.py:525), not the lake name."""
+    sql = incremental_sql(spec("checkout_orders"), "2024-01-01 00:00:00")
+    assert "FROM TB_Checkout_Orders" in sql
+    assert sql.endswith(
+        "WHERE TB_Checkout_Orders.DT_UpdatedAt >= '2024-01-01 00:00:00'"
+    )
+
+
+def test_clock_sql_aliases_survive_sparks_subquery_wrapping():
+    """Spark wraps the query option as SELECT * FROM (<sql>) t; SQL
+    Server rejects derived tables with unnamed columns, so both clock
+    statements must alias their single column."""
+    from data_ingestor_gluejob_script_spark.sources.jdbc import _CLOCK_SQL
+
+    for sql in _CLOCK_SQL.values():
+        assert " AS " in sql
+
+
+def test_read_csv_multiline_quoted_fields(spark, tmp_path):
+    """A quoted field with an embedded newline and doubled quotes (the
+    pandas dialect the reference parses, e.g. checkout_order_xml blobs)
+    must stay ONE intact record, not split into malformed rows."""
+    from data_ingestor_gluejob_script_spark.registry import CATALOG
+    from data_ingestor_gluejob_script_spark.sources.files import (
+        read_csv_table,
+    )
+
+    orders = CATALOG["retail_orders"]
+    path = str(tmp_path / "retail_orders.csv")
+    xml = '<a attr=""q"">line1\nline2</a>'
+    with open(path, "w") as f:
+        f.write(";".join(orders.columns) + "\n")
+        row = {c: f"v_{c}" for c in orders.columns}
+        row["checkout_order_xml"] = f'"{xml}"'
+        f.write(";".join(row[c] for c in orders.columns) + "\n")
+    df = read_csv_table(spark, path, orders)
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].checkout_order_xml == '<a attr="q">line1\nline2</a>'
+    assert rows[0].id == "v_id"
+
+
 def test_partition_options_full_quartet_as_dbtable_subquery():
     # Spark's JDBC source forbids partitionColumn alongside `query` and
     # requires all four range options together — assert the exact dict.

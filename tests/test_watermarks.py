@@ -46,6 +46,25 @@ def test_crash_before_commit_loses_nothing(tmp_path):
     assert s2.get("t1") == "2024-05-15 00:00:00"
 
 
+def test_commit_preserves_tables_outside_this_store(tmp_path):
+    """A store constructed for a SUBSET of tables must not erase other
+    tables' persisted watermarks on commit — losing one silently
+    resets that table to the yesterday-midnight default and skips
+    every older change on its next run."""
+    import json
+
+    path = str(tmp_path / "wm.json")
+    with open(path, "w") as f:
+        json.dump({"other_table": "2024-03-03 03:03:03"}, f)
+    store = WatermarkStore(path, ["retail_orders"])
+    store.advance("retail_orders", "2024-05-05 05:05:05")
+    store.commit()
+    with open(path) as f:
+        persisted = json.load(f)
+    assert persisted["other_table"] == "2024-03-03 03:03:03"
+    assert persisted["retail_orders"] == "2024-05-05 05:05:05"
+
+
 def test_commit_roundtrip_across_instances(tmp_path):
     path = str(tmp_path / "wm.json")
     s1 = WatermarkStore(path, ["t1", "t2"], now=datetime(2024, 5, 15))
