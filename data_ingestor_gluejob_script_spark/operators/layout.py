@@ -62,9 +62,16 @@ def zorder_layout(
             return c.cast("timestamp").cast("double")  # epoch seconds
         return c.cast("double")
 
+    def _finite(col: str) -> Column:
+        # NaN sorts greatest in Spark, so a single NaN row would make
+        # F.max return NaN and poison the whole column's scale; probe
+        # over finite values only (NaN ROWS bucket to 0 below).
+        v = _num(col)
+        return F.when(~F.isnan(v), v)
+
     stats = df.agg(
-        *[F.min(_num(c)).alias(f"mn_{c}") for c in cols],
-        *[F.max(_num(c)).alias(f"mx_{c}") for c in cols],
+        *[F.min(_finite(c)).alias(f"mn_{c}") for c in cols],
+        *[F.max(_finite(c)).alias(f"mx_{c}") for c in cols],
     ).collect()[0]
 
     top = float(2**bits - 1)
@@ -75,6 +82,8 @@ def zorder_layout(
             buckets.append(F.lit(0))
             continue
         scaled = F.floor((_num(c) - F.lit(mn)) / F.lit(mx - mn) * F.lit(top))
+        # NaN rows (excluded from the probe) bucket to 0.
+        scaled = F.when(F.isnan(_num(c)), F.lit(0)).otherwise(scaled)
         buckets.append(F.least(F.greatest(scaled, F.lit(0)), F.lit(int(top))))
     key = morton_key(buckets, bits)
     return (

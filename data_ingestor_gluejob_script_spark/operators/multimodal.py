@@ -43,8 +43,16 @@ _MAGIC = (
     ("89504E47", "image/png"),
     ("FFD8FF", "image/jpeg"),
     ("47494638", "image/gif"),
-    ("52494646", "audio/wav"),  # RIFF container
     ("1A45DFA3", "video/webm"),
+)
+
+#: RIFF is a CONTAINER magic shared by WAV, WebP, and AVI; bytes 9-12
+#: carry the actual form type, so classifying on the 4-byte prefix
+#: alone would route WebP images and AVI videos down an audio path.
+_RIFF_FORMS = (
+    ("WAVE", "audio/wav"),
+    ("WEBP", "image/webp"),
+    ("AVI ", "video/x-msvideo"),
 )
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -58,12 +66,18 @@ MEDIA_META_SCHEMA = T.StructType(
 
 def sniff_mime(payload: Column) -> Column:
     """Mime from magic bytes — a chained CASE over hex prefixes, pure
-    Catalyst (no decode)."""
+    Catalyst (no decode). RIFF payloads are disambiguated by the form
+    type at bytes 9-12 (WAVE/WEBP/AVI); an unknown RIFF form falls
+    through to octet-stream rather than guessing."""
     head = F.upper(F.hex(F.substring(payload, 1, 4)))
+    riff_form = F.substring(payload, 9, 4).cast("string")
     expr = None
     for magic, mime in _MAGIC:
         cond = head.startswith(magic)
         expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
+    for form, mime in _RIFF_FORMS:
+        cond = head.startswith("52494646") & (riff_form == form)
+        expr = expr.when(cond, mime)
     return expr.otherwise("application/octet-stream")
 
 

@@ -58,14 +58,25 @@ def asof_join(
     O(|left| × |right-per-key|) intermediate rows. This is the
     union + carry-forward shape instead: tag both sides, sort each key
     group by (ts, side) with right rows first at equal timestamps, and
-    carry the last-seen right values forward with
+    carry the last-seen right ROW forward with
     ``last(..., ignorenulls)`` over rows UNBOUNDED PRECEDING..CURRENT.
     One shuffle on the key, linear in |left|+|right| — survives 100 TB
     where the range join does not.
 
+    The right row's values travel as ONE struct, not per-column
+    carries: ``ignorenulls`` must skip the left rows' placeholder
+    NULLs, and with independent per-column carries it would also skip
+    a GENUINE NULL inside a right row, splicing that column from an
+    older right row into the result — a chimera row that never
+    existed. The struct is NULL only for placeholders, so genuine
+    NULL fields inside a carried right row survive intact (pinned in
+    tests/test_asof.py).
+
     ``right`` must be unique per (on, right_ts); pre-aggregate
     otherwise (ties would be winner-nondeterministic).
     """
+    from pyspark.sql import types as T
+
     rcols = [c for c in right.columns if c not in (on, right_ts)]
     overlap = set(left.columns) & {right_ts, *rcols}
     if overlap:
@@ -73,12 +84,18 @@ def asof_join(
             f"asof_join output would duplicate columns {sorted(overlap)}; "
             "rename the right side first"
         )
+    r_struct_type = T.StructType(
+        [T.StructField(right_ts, right.schema[right_ts].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in rcols]
+    )
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.col(right_ts).alias(f"_r_{right_ts}"),
-        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+        F.struct(
+            F.col(right_ts).alias(right_ts),
+            *[F.col(c).alias(c) for c in rcols],
+        ).alias("_r"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
             for c in left.columns
@@ -88,11 +105,7 @@ def asof_join(
         F.col(on),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(f"_r_{right_ts}"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-            for c in rcols
-        ],
+        F.lit(None).cast(r_struct_type).alias("_r"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
     w = (
@@ -101,15 +114,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = r.unionByName(l).select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in [right_ts, *rcols]
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_c")
     )
     return carried.filter(F.col("_side") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns],
-        *[F.col(f"_c_{c}").alias(f"{c}") for c in [right_ts, *rcols]],
+        *[F.col("_c")[c].alias(c) for c in [right_ts, *rcols]],
     )
 
 

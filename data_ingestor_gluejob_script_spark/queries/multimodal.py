@@ -29,8 +29,10 @@ from ._util import load
 CHUNK_BYTES = 256
 CHUNK_STRIDE = 4
 
-# doc_id % 3 → ASCII magic prefix: GIF87a header, RIFF container, bare.
-_PREFIXES = ("GIF87a", "RIFF", "")
+# doc_id % 3 → ASCII magic prefix: GIF87a header, RIFF/WAVE container
+# (the form type at bytes 9-12 is what sniff_mime disambiguates — bare
+# 'RIFF' alone is an ambiguous container, not a WAV), bare.
+_PREFIXES = ("GIF87a", "RIFFxxxxWAVE", "")
 
 
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,7 +92,7 @@ QUERIES = {
 _PAYLOAD_CTE = """
     p AS (SELECT doc_id,
                  CASE WHEN doc_id % 3 = 0 THEN 'GIF87a' || text
-                      WHEN doc_id % 3 = 1 THEN 'RIFF' || text
+                      WHEN doc_id % 3 = 1 THEN 'RIFFxxxxWAVE' || text
                       ELSE text END AS payload
           FROM documents)
 """
@@ -105,7 +107,15 @@ ORACLES = {
         WITH {_PAYLOAD_CTE}
         SELECT doc_id,
                CASE WHEN starts_with(payload, 'GIF8') THEN 'image/gif'
-                    WHEN starts_with(payload, 'RIFF') THEN 'audio/wav'
+                    WHEN starts_with(payload, 'RIFF')
+                         AND substr(payload, 9, 4) = 'WAVE'
+                         THEN 'audio/wav'
+                    WHEN starts_with(payload, 'RIFF')
+                         AND substr(payload, 9, 4) = 'WEBP'
+                         THEN 'image/webp'
+                    WHEN starts_with(payload, 'RIFF')
+                         AND substr(payload, 9, 4) = 'AVI '
+                         THEN 'video/x-msvideo'
                     ELSE 'application/octet-stream' END AS mime,
                CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
                md5(payload) AS content_md5

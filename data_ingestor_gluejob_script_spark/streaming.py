@@ -40,7 +40,11 @@ from .registry import TableSpec
 from .watermarks import WatermarkStore
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming read of the events table (parquet directory). The
     schema is discovered from a one-file batch read; the ns→µs rebuild
     matches queries/_util.load. A single-file path is wrapped in a
@@ -50,10 +54,18 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         # The stream reads this lazily, so the wrapper can only be
         # reclaimed at interpreter exit, not here.
         atexit.register(shutil.rmtree, d, ignore_errors=True)
-        os.symlink(events_dir, os.path.join(d, os.path.basename(events_dir)))
+        # abspath: a relative target would resolve against the temp
+        # dir, leaving a dangling link.
+        os.symlink(
+            os.path.abspath(events_dir),
+            os.path.join(d, os.path.basename(events_dir)),
+        )
         events_dir = d
     batch = spark.read.parquet(events_dir)
-    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    reader = spark.readStream.schema(batch.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_dir)
     ts_type = dict(batch.dtypes).get("ts")
     if ts_type == "bigint":  # TIMESTAMP(NANOS) as long
         stream = stream.withColumn(
@@ -276,12 +288,23 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
 
 
 def run_stateful_totals(
-    spark: SparkSession, events_dir: str, query_name: str = "user_totals"
+    spark: SparkSession,
+    events_dir: str,
+    query_name: str = "user_totals",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Drive the stateful operator over the events table with an
-    availableNow trigger into a memory sink; returns the final emitted
-    totals (one row per user per batch — last emission wins)."""
-    agg = stateful_user_totals(read_events_stream(spark, events_dir))
+    availableNow trigger into a memory sink; returns one FINAL row per
+    user. The update-mode memory sink accumulates one row per user per
+    micro-batch with no batch column, so "last emission wins" must be
+    computed: the per-user counters are cumulative (monotone), so the
+    row with the greatest ``n_events`` (tie: greatest ``sum_value``)
+    IS the final state — selected with a per-user window."""
+    agg = stateful_user_totals(
+        read_events_stream(
+            spark, events_dir, max_files_per_trigger=max_files_per_trigger
+        )
+    )
     q = (
         agg.writeStream.format("memory")
         .queryName(query_name)
@@ -290,7 +313,15 @@ def run_stateful_totals(
         .start()
     )
     q.awaitTermination()
-    return spark.table(query_name)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n_events").desc(), F.col("sum_value").desc()
+    )
+    return (
+        spark.table(query_name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def stream_exact_dedup(
@@ -415,6 +446,18 @@ def stream_incremental_upsert(
     )
 
 
+def read_vocab_lake(spark: SparkSession, vocab_dir: str) -> DataFrame | None:
+    """Read the current version of a ``run_vocab_ingest`` lake (token
+    rows + doc-id ledger rows) via its ``_CURRENT`` pointer; ``None``
+    when no version has been published yet."""
+    cur = os.path.join(vocab_dir, "_CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        version = f.read().strip()
+    return spark.read.parquet(os.path.join(vocab_dir, version))
+
+
 def run_vocab_ingest(
     spark: SparkSession,
     docs_dir: str,
@@ -439,22 +482,30 @@ def run_vocab_ingest(
     Exactly-once by CONTENT, not batch position: the lake carries a
     ledger of merged doc_ids alongside the token rows (token rows have
     ``doc_id`` null, ledger rows have ``token`` null — one frame, one
-    overwrite, so the two sections can never diverge). Each batch
+    write, so the two sections can never diverge). Each batch
     anti-joins the ledger and folds in only unseen documents, so a
     replayed batch (crash between write and checkpoint commit), a
     rerun against a fresh checkpoint, OR a rerun whose batches GROUP
     the files differently all merge each document exactly once. (A
     batch-id guard — the first design here — breaks on regrouping:
     batch 0 of a fresh checkpoint can contain new files, and skipping
-    "already-merged batch 0" silently drops them.) The merged frame is
-    ``localCheckpoint``-ed before the overwrite because its lineage
-    reads the same path it rewrites; the ledger is doc-id-sized, the
-    vocabulary Heaps-law-sized — both far smaller than the corpus.
+    "already-merged batch 0" silently drops them.) The ledger is
+    doc-id-sized, the vocabulary Heaps-law-sized — both far smaller
+    than the corpus.
+
+    Crash-safe publication: each merge writes a NEW versioned
+    directory (``v{batch_id}``) and then atomically flips the
+    ``_CURRENT`` pointer file (write-temp + rename). A crash mid-write
+    leaves the pointer on the previous version — an in-place
+    ``mode("overwrite")`` of the lake would instead delete the
+    accumulated state first and let a restart mistake the wreckage
+    for "no lake yet". The pointer swap is a local-filesystem
+    primitive; on an object store, publish the version through a
+    manifest/metastore entry instead. Read the lake through
+    ``read_vocab_lake``.
 
     Returns the started StreamingQuery (caller awaits/stops).
     """
-    from pyspark.errors import AnalysisException
-
     from .queries.corpusstats import vocab_frame
 
     batch0 = spark.read.parquet(docs_dir)
@@ -465,12 +516,7 @@ def run_vocab_ingest(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            lake = spark.read.parquet(vocab_dir)
-        except AnalysisException as ex:
-            if "PATH_NOT_FOUND" not in str(ex):
-                raise
-            lake = None
+        lake = read_vocab_lake(spark, vocab_dir)
         if lake is not None:
             cur = lake.filter(F.col("doc_id").isNull()).select(
                 "token", "n_docs", "n_occurrences"
@@ -492,19 +538,25 @@ def run_vocab_ingest(
         new_ledger = fresh.select("doc_id").distinct()
         if ledger is not None:
             new_ledger = ledger.unionByName(new_ledger)
-        out = (
-            merged.withColumn("doc_id", F.lit(None).cast("long"))
-            .unionByName(
-                new_ledger.select(
-                    F.lit(None).cast("string").alias("token"),
-                    F.lit(None).cast("long").alias("n_docs"),
-                    F.lit(None).cast("long").alias("n_occurrences"),
-                    "doc_id",
-                )
+        out = merged.withColumn("doc_id", F.lit(None).cast("long")).unionByName(
+            new_ledger.select(
+                F.lit(None).cast("string").alias("token"),
+                F.lit(None).cast("long").alias("n_docs"),
+                F.lit(None).cast("long").alias("n_occurrences"),
+                "doc_id",
             )
-            .localCheckpoint()
         )
-        out.write.mode("overwrite").parquet(vocab_dir)
+        version = f"v{batch_id}"
+        out.write.mode("overwrite").parquet(os.path.join(vocab_dir, version))
+        tmp = os.path.join(vocab_dir, "_CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, os.path.join(vocab_dir, "_CURRENT"))
+        # Best-effort prune of superseded versions (post-publication,
+        # so a failure here can't lose the current one).
+        for d in os.listdir(vocab_dir):
+            if d.startswith("v") and d != version:
+                shutil.rmtree(os.path.join(vocab_dir, d), ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(sink)
@@ -549,17 +601,35 @@ def run_doc_dedup_ingest(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
-        hashed = batch_df.withColumn("text_md5", F.md5("text"))
-        keep = hashed.groupBy("text_md5").agg(
-            F.min("doc_id").alias("doc_id")
+        # Null-safe digest: md5(NULL) is NULL and every equality join
+        # on it silently drops the row — a missing-text document would
+        # never be ingested at all. NULL text hashes like empty text
+        # (deterministic; such documents dedup together, which is the
+        # honest exact-dedup reading of "no text").
+        hashed = batch_df.withColumn(
+            "text_md5", F.md5(F.coalesce(F.col("text"), F.lit("")))
         )
-        # Semi-join keeps the min-doc_id row per digest, then collapse
-        # to exactly one row per digest: the same (doc_id, text) row
-        # redelivered twice INSIDE one micro-batch survives the semi
-        # join as two identical copies.
-        fresh = hashed.join(
-            keep, ["text_md5", "doc_id"], "left_semi"
-        ).dropDuplicates(["text_md5"])
+        # One deterministic survivor per digest: min doc_id, remaining
+        # columns tie-broken by hash (a bare dropDuplicates keeps a
+        # partitioning-dependent row — the nondeterminism the batch
+        # dedup twin's docstring warns against). Also collapses the
+        # same row redelivered twice INSIDE one micro-batch.
+        payload = [
+            c for c in hashed.columns if c not in ("text_md5", "doc_id")
+        ]
+        tie = (
+            F.xxhash64(*[F.col(c).cast("string") for c in payload])
+            if payload
+            else F.lit(0)
+        )
+        w = Window.partitionBy("text_md5").orderBy(
+            F.col("doc_id").asc_nulls_last(), tie.asc_nulls_last()
+        )
+        fresh = (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         try:
             seen = spark.read.parquet(lake_dir).select("text_md5")
         except AnalysisException as ex:

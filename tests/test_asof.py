@@ -15,6 +15,30 @@ def _ts(s):
     return datetime.fromisoformat(s)
 
 
+def test_asof_genuine_null_in_right_row_is_not_backfilled(spark):
+    """A genuine NULL inside the as-of right row must come through as
+    NULL — per-column carry-forward with ignorenulls would splice the
+    older right row's value into that column, producing a row that
+    never existed (the struct-carry contract)."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01T13:00:00"))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T10:00:00"), 5, 7),
+            ("u1", _ts("2024-01-01T12:00:00"), None, 9),  # x genuinely NULL
+        ],
+        ["user_id", "purchase_ts", "x", "y"],
+    )
+    row = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="purchase_ts"
+    ).collect()[0]
+    assert row.purchase_ts == _ts("2024-01-01T12:00:00")
+    assert row.y == 9
+    assert row.x is None  # NOT 5 — no chimera of the two right rows
+
+
 def test_asof_basic_boundary_and_nulls(spark):
     left = spark.createDataFrame(
         [

@@ -52,9 +52,12 @@ def test_sniff_mime_magic_bytes(spark):
         [
             (1, b"\x89PNG\r\n\x1a\n...."),
             (2, b"\xff\xd8\xff\xe0jfif"),
-            (3, b"RIFF....WAVE"),
+            (3, b"RIFF....WAVEdata"),
             (4, b"plain text bytes"),
             (5, b""),
+            (6, b"RIFF....WEBPdata"),
+            (7, b"RIFF....AVI data"),
+            (8, b"RIFFabcd"),  # ambiguous/truncated RIFF container
         ],
     )
     got = {
@@ -67,17 +70,20 @@ def test_sniff_mime_magic_bytes(spark):
         3: "audio/wav",
         4: "application/octet-stream",
         5: "application/octet-stream",
+        6: "image/webp",
+        7: "video/x-msvideo",
+        8: "application/octet-stream",
     }
 
 
 def test_media_metadata_struct(spark):
-    df = _payload_df(spark, [(1, b"RIFFabcd")])
+    df = _payload_df(spark, [(1, b"RIFFxxxxWAVEabcd")])
     row = with_media_metadata(df).select("media_meta.*").collect()[0]
     assert row.mime == "audio/wav"
-    assert row.n_bytes == 8
+    assert row.n_bytes == 16
     import hashlib
 
-    assert row.content_md5 == hashlib.md5(b"RIFFabcd").hexdigest()
+    assert row.content_md5 == hashlib.md5(b"RIFFxxxxWAVEabcd").hexdigest()
 
 
 def test_decode_features_schema_and_determinism(spark):

@@ -287,7 +287,7 @@ def test_doc_dedup_ingest(spark, tmp_path):
 def _vocab_lake(spark, path):
     return {
         r.token: (r.n_docs, r.n_occurrences)
-        for r in spark.read.parquet(path)
+        for r in streaming.read_vocab_lake(spark, path)
         .filter("doc_id IS NULL")
         .collect()
     }
@@ -349,6 +349,67 @@ def test_vocab_ingest_matches_batch_and_is_replay_safe(spark, tmp_path):
         for r in vocab_frame(spark.read.parquet(str(src))).collect()
     }
     assert _vocab_lake(spark, vocab) == expected_all
+
+
+def test_stateful_totals_multibatch_one_final_row_per_user(spark, tmp_path):
+    """Two event files driven as two micro-batches: the update-mode
+    memory sink holds one emission per user per batch, and the driver
+    must still return exactly one FINAL row per user (max cumulative
+    counter), matching the batch aggregate over all files."""
+    import pandas as pd
+
+    d = tmp_path / "events"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 10:00:00"] * 2),
+            "user_id": [7, 7],
+            "event_type": ["view", "view"],
+            "value": [1.0, 2.0],
+            "props": ["{}", "{}"],
+        }
+    ).to_parquet(d / "a.parquet")
+    pd.DataFrame(
+        {
+            "event_id": [3],
+            "ts": pd.to_datetime(["2024-01-01 11:00:00"]),
+            "user_id": [7],
+            "event_type": ["view"],
+            "value": [4.0],
+            "props": ["{}"],
+        }
+    ).to_parquet(d / "b.parquet")
+
+    got = streaming.run_stateful_totals(
+        spark, str(d), query_name="totals_multibatch", max_files_per_trigger=1
+    ).collect()
+    assert len(got) == 1
+    assert got[0].user_id == 7
+    assert got[0].n_events == 3
+    assert got[0].sum_value == 7.0
+
+
+def test_doc_dedup_ingest_null_text_not_dropped(spark, tmp_path):
+    """Documents with NULL text must still be ingested (md5(NULL) is
+    NULL, and equality joins on a NULL digest silently drop the row);
+    they hash like empty text, so all NULL/empty-text docs dedup to
+    one deterministic survivor."""
+    import pandas as pd
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["real text", None, None]}
+    ).to_parquet(src / "a.parquet")
+
+    lake = str(tmp_path / "lake")
+    q = streaming.run_doc_dedup_ingest(
+        spark, str(src), lake, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(lake)
+    assert {r.doc_id for r in got.collect()} == {1, 2}  # min null-text doc
 
 
 def test_doc_dedup_ingest_same_row_twice_in_one_batch(spark, tmp_path):
