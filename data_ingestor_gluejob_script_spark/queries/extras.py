@@ -46,6 +46,7 @@ from .similarity import (
     q_ivf_topk,
     quantized_rescore_topk,
     quantized_topk,
+    semantic_dedup_frame,
 )
 from .pq import ivfpq_topk, pq_codebooks, pq_encode, pq_rescore_topk
 from .textops import contamination_report, q_simhash_neardup_pairs
@@ -121,6 +122,7 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "x_ivf_topk": q_ivf_topk,
         "x_ivf_refine": lambda s, d: ivf_refine(_emb(s, d)),
+        "x_semantic_dedup": lambda s, d: semantic_dedup_frame(_emb(s, d)),
         "x_quantized_topk": lambda s, d: quantized_topk(
             _emb(s, d), QUERY_VEC_ID, 5
         ),

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.graph import connected_components
 from ._util import load
 
 EMB_DIM = 64  # testdata embeddings.embedding is array<float>[64]
@@ -598,4 +599,95 @@ def quantized_rescore_topk(
         .select("vec_id", F.round(sim, 6).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
         .limit(k)
+    )
+
+
+# SemDeDup blocking threshold: like NEARDUP_COSINE this is tuned DOWN
+# for the near-uniform synthetic embeddings (a real-corpus 0.95 would
+# never fire here); the algorithm is threshold-agnostic.
+SEMANTIC_DEDUP_COSINE = 0.35
+
+
+def semantic_dedup_frame(
+    emb: DataFrame,
+    threshold: float = SEMANTIC_DEDUP_COSINE,
+    refine_iters: int = 1,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with spherical k-means, then
+    inside each cluster collapse every transitive group of vectors
+    whose pairwise cosine >= ``threshold`` down to one representative.
+    Near-dup detection by MEANING (embedding proximity), complementing
+    the lexical families (MinHash / SimHash / n-gram Jaccard).
+
+    Returns (vec_id, cell, group_id, is_representative): group_id is
+    the minimum vec_id of the vector's semantic-dup group (itself when
+    it has no in-cell near-dup), is_representative marks the one row
+    per group to KEEP — the same keep-lowest contract as
+    ``neardup_groups``.
+
+    Scale shape (the paper's recipe, distributed):
+    - Clustering is ``ivf_refine`` — per round one broadcast-codebook
+      map + one K-key groupBy; the codebook never exceeds K×dim.
+    - The pairwise step is BLOCKED BY CELL: a self-equi-join on the
+      cell id, never all-pairs. Cost is Σ|cell|², so K must grow with
+      the corpus to keep cells bounded (the paper uses K ≈ 11k for
+      100M docs; rule of thumb K ≈ n/target_cell_size). Locally
+      N_IVF_CELLS=16 over the sf embeddings keeps cells ~n/16.
+    - Norms are computed once per VECTOR before the join (same
+      optimization as q_embed_neardup_pairs); one explicit
+      repartition on cell is read by both self-join sides as a
+      ReusedExchange.
+    - Transitive closure runs on the PAIR LIST ONLY (labels shuffle,
+      embeddings don't) via pointer-jumping connected components.
+    Cross-cell near-dups are invisible by construction — the paper's
+    documented approximation, traded for never comparing across
+    cells.
+
+    Determinism: cosine rounded to 6 dp before thresholding, k-means
+    seeded from the deterministic hyperplane codebook — identical
+    output across runs/partitionings, so the brute-force differential
+    in tests/test_semdedup.py is exact, not tolerance-based.
+    """
+    codebook = ivf_refine(emb, iters=refine_iters)
+    assigned = ivf_assign(emb, codebook)
+    blocked = assigned.withColumn(
+        "norm", F.sqrt(dot(F.col("emb"), F.col("emb")))
+    ).repartition("cell")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    sim = F.round(
+        dot(F.col("a.emb"), F.col("b.emb"))
+        / (F.col("a.norm") * F.col("b.norm")),
+        6,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            "inner",
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("vec_a", "vec_b")
+    )
+    comp = connected_components(pairs)
+    return (
+        assigned.select("vec_id", "cell")
+        .join(comp, assigned["vec_id"] == comp["node"], "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias(
+                "group_id"
+            ),
+            (
+                F.coalesce(F.col("component"), F.col("vec_id"))
+                == F.col("vec_id")
+            ).alias("is_representative"),
+        )
     )
