@@ -25,6 +25,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.graph import neardup_groups
+from .audit import (
+    accepted_values,
+    audit_report,
+    in_range,
+    matches_regex,
+    not_null,
+    referential_check,
+    unique_key,
+)
 from ..operators.layout import zorder_layout
 from ..operators.skew import skew_report
 from ._util import load, spread
@@ -123,6 +132,24 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ivf_topk": q_ivf_topk,
         "x_ivf_refine": lambda s, d: ivf_refine(_emb(s, d)),
         "x_semantic_dedup": lambda s, d: semantic_dedup_frame(_emb(s, d)),
+        "x_quality_audit": lambda s, d: audit_report(
+            load(s, d, "orders"),
+            [
+                not_null("o_custkey"),
+                in_range("o_totalprice", 0.0, 1_000_000.0),
+                accepted_values("o_orderstatus", ["O", "F", "P"]),
+                matches_regex("o_orderpriority", "^[1-5]-"),
+                unique_key("o_orderkey"),
+            ],
+            referential=[
+                referential_check(
+                    load(s, d, "orders"),
+                    "o_custkey",
+                    load(s, d, "customer"),
+                    "c_custkey",
+                )
+            ],
+        ),
         "x_quantized_topk": lambda s, d: quantized_topk(
             _emb(s, d), QUERY_VEC_ID, 5
         ),
