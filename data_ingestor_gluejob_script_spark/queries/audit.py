@@ -160,6 +160,45 @@ def referential_check(
     )
 
 
+def flag_violations(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """Row-level quarantine flagging: adds ``_violations`` — the array
+    of check names each row fails (empty = clean). Only ROW-LOCAL
+    checks apply; aggregated rules (unique:*) raise, because a row
+    can't know about its duplicates without a shuffle — dedup belongs
+    to the upsert/dedup operators, not the quarantine gate.
+
+    Pure map (one projection, no shuffle): the ingestion path can
+    split a 100 TB batch into lake + quarantine in the same scan that
+    wrote it."""
+    agg_only = [c.name for c in checks if c.name.startswith("unique:")]
+    if agg_only:
+        raise ValueError(
+            f"aggregated checks are not row-local: {agg_only}"
+        )
+    arr = F.array_compact(
+        F.array(
+            *[
+                F.when(ck.violated, F.lit(ck.name))
+                for ck in checks
+            ]
+        )
+    )
+    return df.withColumn("_violations", arr)
+
+
+def split_quarantine(
+    df: DataFrame, checks: Sequence[Check]
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined): every input row lands in exactly one side;
+    quarantined rows keep their ``_violations`` diagnosis, clean rows
+    come back unchanged. Both sides derive from one flagged frame —
+    persist it if materializing both at scale, so the scan runs once."""
+    flagged = flag_violations(df, checks)
+    clean = flagged.filter(F.size("_violations") == 0).drop("_violations")
+    bad = flagged.filter(F.size("_violations") > 0)
+    return clean, bad
+
+
 def audit_report(
     df: DataFrame,
     checks: Sequence[Check],

@@ -67,6 +67,7 @@ from .traindata import (
     seq_pack_frame,
     split_leakage_report,
 )
+from ..shards import write_training_shards
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,6 +133,15 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ivf_topk": q_ivf_topk,
         "x_ivf_refine": lambda s, d: ivf_refine(_emb(s, d)),
         "x_semantic_dedup": lambda s, d: semantic_dedup_frame(_emb(s, d)),
+        # real write: shards + manifest land under /tmp, the returned
+        # manifest frame is what the bench's noop sink consumes
+        "x_shard_export": lambda s, d: write_training_shards(
+            seq_pack_frame(_docs(s, d)),
+            "/tmp/spark_graft_shard_export",
+            shard_key="pack_id",
+            max_records_per_file=5000,
+            token_col="n_tokens",
+        ),
         "x_quality_audit": lambda s, d: audit_report(
             load(s, d, "orders"),
             [
