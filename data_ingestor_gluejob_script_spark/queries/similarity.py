@@ -649,7 +649,13 @@ def semantic_dedup_frame(
     output across runs/partitionings, so the brute-force differential
     in tests/test_semdedup.py is exact, not tolerance-based.
     """
-    codebook = ivf_refine(emb, iters=refine_iters)
+    # The refined codebook is ONE K×dim row but its lineage is
+    # refine_iters join+agg rounds over the corpus; every consumer
+    # below (pair join sides, the final labeling join, each CC round's
+    # action) would re-execute that lineage. localCheckpoint pins the
+    # row — the "checkpoint the K-row codebook" note in ivf_refine's
+    # docstring, applied (measured 12.2 s → ~7 s at sf0.1).
+    codebook = ivf_refine(emb, iters=refine_iters).localCheckpoint()
     assigned = ivf_assign(emb, codebook)
     blocked = assigned.withColumn(
         "norm", F.sqrt(dot(F.col("emb"), F.col("emb")))

@@ -69,7 +69,9 @@ def test_components_long_chain_converges_logarithmically(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {
         r.node: r.component
-        for r in connected_components(df, max_iter=10).collect()
+        for r in connected_components(
+            df, max_iter=10, small_graph_edges=0
+        ).collect()
     }
     assert got == {n: 0 for n in range(64)}
     assert graph.last_rounds <= 8  # log2(63) ≈ 6 + convergence round
@@ -78,7 +80,29 @@ def test_components_long_chain_converges_logarithmically(spark):
 def test_components_max_iter_guard(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
     with pytest.raises(RuntimeError, match="fixpoint"):
-        connected_components(df, max_iter=1)
+        connected_components(df, max_iter=1, small_graph_edges=0)
+
+
+def test_components_strategies_agree(spark):
+    """The driver-side union-find and the distributed pointer-jumping
+    paths must produce the identical labeling on the same graph (the
+    size switch is a strategy choice, never a semantics choice)."""
+    from data_ingestor_gluejob_script_spark.operators import graph
+
+    edges = [(i, i + 1) for i in range(40)] + [
+        (100, 101), (101, 102), (100, 102), (200, 201)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    assert graph.last_rounds == 0  # small graph took the driver path
+    dist = {
+        r.node: r.component
+        for r in connected_components(df, small_graph_edges=0).collect()
+    }
+    assert graph.last_rounds > 0
+    assert local == dist == _uf_components(edges)
 
 
 def test_components_on_simhash_pairs(spark):
