@@ -650,3 +650,77 @@ def run_doc_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_audited_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    lake_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    checks,
+    id_col: str,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming ingestion with a data-quality gate: each micro-batch
+    is split by the declarative row-level ``checks`` (queries/audit.py)
+    — clean rows append to the lake, failing rows append to a
+    quarantine lake WITH their ``_violations`` diagnosis column, so
+    nothing is silently dropped and nothing bad is published. The
+    streaming composition of ``split_quarantine``.
+
+    Scale shape: the split is one map over the batch (flag column +
+    two filters off one persisted frame — the batch scans once, not
+    once per side); the idempotence anti-joins read only the ``id_col``
+    column of each destination (column-pruned digest-style scan, the
+    run_doc_dedup_ingest pattern).
+
+    Exactly-once by CONTENT: each side anti-joins its destination's
+    existing ids before appending, so a replayed batch (crash between
+    the two writes, or between write and checkpoint commit) re-appends
+    nothing — including the half-written case where only one side
+    landed. A quarantined id does NOT block later clean ingestion of a
+    corrected redelivery with the same id: the lake and quarantine
+    guards are independent.
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    from .queries.audit import split_quarantine
+
+    batch0 = spark.read.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(batch0.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        batch_df = batch_df.persist()
+        try:
+            clean, bad = split_quarantine(batch_df, checks)
+            for side_df, out_dir in ((clean, lake_dir), (bad, quarantine_dir)):
+                try:
+                    seen = spark.read.parquet(out_dir).select(id_col)
+                except AnalysisException as ex:
+                    # only "no destination yet" may skip the guard —
+                    # anything else must abort, not double-ingest
+                    if "PATH_NOT_FOUND" not in str(ex):
+                        raise
+                    seen = None
+                fresh = (
+                    side_df
+                    if seen is None
+                    else side_df.join(seen, id_col, "left_anti")
+                )
+                fresh.write.mode("append").parquet(out_dir)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -473,3 +473,90 @@ def test_doc_dedup_ingest_corrupt_lake_aborts_batch(spark, tmp_path):
         f for f in os.listdir(lake) if not f.startswith(("part-00000", "."))
     ]
     assert leftover == []
+
+
+def test_audited_ingest_splits_and_is_idempotent(spark, tmp_path):
+    """Two arriving order files with seeded violations: clean rows
+    land in the lake, bad rows land in quarantine WITH their
+    diagnosis, every row lands on exactly one side, and a replay with
+    a fresh checkpoint (same destinations) appends nothing."""
+    import pandas as pd
+    import time as _time
+
+    from data_ingestor_gluejob_script_spark.queries.audit import (
+        accepted_values,
+        not_null,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    a = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [10.0, None, 11.0],       # 2 → null custkey
+            "o_orderstatus": ["O", "F", "X"],       # 3 → bad status
+        }
+    )
+    b = pd.DataFrame(
+        {
+            "o_orderkey": [4, 5],
+            "o_custkey": [12.0, 13.0],
+            "o_orderstatus": ["P", "O"],
+        }
+    )
+    a.to_parquet(src / "a.parquet")
+    _time.sleep(0.05)
+    b.to_parquet(src / "b.parquet")
+
+    lake = str(tmp_path / "lake")
+    quarantine = str(tmp_path / "quarantine")
+
+    def checks():
+        return [
+            not_null("o_custkey"),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+        ]
+
+    q = streaming.run_audited_ingest(
+        spark, str(src), lake, quarantine, str(tmp_path / "ck1"),
+        checks(), id_col="o_orderkey",
+    )
+    q.awaitTermination(120)
+
+    got_lake = spark.read.parquet(lake)
+    got_bad = spark.read.parquet(quarantine)
+    assert {r.o_orderkey for r in got_lake.collect()} == {1, 4, 5}
+    assert "_violations" not in got_lake.columns
+    diag = {r.o_orderkey: sorted(r._violations) for r in got_bad.collect()}
+    assert diag == {
+        2: ["not_null:o_custkey"],
+        3: ["accepted:o_orderstatus"],
+    }
+
+    # replay with a fresh checkpoint: the id guards absorb everything
+    q2 = streaming.run_audited_ingest(
+        spark, str(src), lake, quarantine, str(tmp_path / "ck2"),
+        checks(), id_col="o_orderkey",
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(lake).count() == 3
+    assert spark.read.parquet(quarantine).count() == 2
+
+    # a CORRECTED redelivery of a quarantined id is clean-ingested:
+    # the quarantine guard must not block the lake side
+    pd.DataFrame(
+        {
+            "o_orderkey": [2],
+            "o_custkey": [14.0],
+            "o_orderstatus": ["O"],
+        }
+    ).to_parquet(src / "c.parquet")
+    q3 = streaming.run_audited_ingest(
+        spark, str(src), lake, quarantine, str(tmp_path / "ck3"),
+        checks(), id_col="o_orderkey",
+    )
+    q3.awaitTermination(120)
+    assert {r.o_orderkey for r in spark.read.parquet(lake).collect()} == {
+        1, 2, 4, 5
+    }
+    assert spark.read.parquet(quarantine).count() == 2
