@@ -592,3 +592,85 @@ FROM (
     SELECT count(DISTINCT md5(text)) AS n_distinct_texts FROM documents
 ) d
 """
+
+
+def unigram_logprob_frame(
+    docs: DataFrame, vocab: DataFrame | None = None
+) -> DataFrame:
+    """CCNet-style language-model quality signal with a unigram model
+    standing in for the n-gram LM: per document the mean natural-log
+    probability of its tokens under the corpus unigram distribution
+    (or a supplied ``vocab`` frame — score web text under a Wikipedia
+    vocabulary, exactly the CCNet setup), plus the perplexity
+    ``exp(-avg_logprob)``. Low-probability-token documents (gibberish,
+    boilerplate symbol soup) surface with high perplexity — the
+    standard LM quality filter, fully JVM-side.
+
+    OOV tokens (only possible with an external ``vocab``) get a
+    0.5-count Laplace floor, so scores stay finite and deterministic.
+
+    Scale shape: the vocabulary BROADCASTS (Heaps' law keeps it far
+    below the corpus); scoring is explode → broadcast-join → one
+    partial-aggregated groupBy(doc_id). The total-token count rides
+    the same broadcast as a literal column folded into the vocab
+    frame, so no second pass over the corpus.
+
+    Differential: UNIGRAM_LOGPROB_ORACLE (tests/test_corpusstats.py);
+    logs and the division are double-precision in both engines, and
+    avg/ppl are rounded to 6 dp before comparison.
+    """
+    if vocab is None:
+        vocab = vocab_frame(docs)
+    total = vocab.agg(
+        F.sum("n_occurrences").cast("double").alias("_total")
+    )
+    probs = (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.log(F.col("n_occurrences") / F.col("_total")).alias("_lp"),
+            "_total",
+        )
+    )
+    toks = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("token")
+    )
+    scored = toks.join(F.broadcast(probs), "token", "left")
+    # OOV floor needs the total; take it from any joined row — for OOV
+    # rows it is null, so fold it in via a 1-row broadcast instead.
+    scored = scored.crossJoin(
+        F.broadcast(total.select(F.col("_total").alias("_t")))
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("_lp"), F.log(F.lit(0.5) / F.col("_t"))).alias(
+            "lp"
+        ),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+            F.round(F.exp(-F.avg("lp")), 6).alias("ppl"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), vocab AS (
+    SELECT token, count(*) AS n_occ FROM tok GROUP BY token
+), tot AS (
+    SELECT sum(n_occ)::DOUBLE AS total FROM vocab
+), lp AS (
+    SELECT t.doc_id, ln(v.n_occ / tot.total) AS lp
+    FROM tok t JOIN vocab v USING (token) CROSS JOIN tot
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(avg(lp), 6) AS avg_logprob,
+       round(exp(-avg(lp)), 6) AS ppl
+FROM lp GROUP BY doc_id
+"""

@@ -39,6 +39,7 @@ from ..operators.skew import skew_report
 from ._util import load, spread
 from .corpusstats import (
     cap_per_source_frame,
+    unigram_logprob_frame,
     chunk_documents_frame,
     corpus_summary,
     duplicate_span_report,
@@ -95,6 +96,7 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "x_vocab": lambda s, d: vocab_frame(_docs(s, d)),
         "x_repetition": lambda s, d: repetition_frame(_docs(s, d)),
+        "x_unigram_logprob": lambda s, d: unigram_logprob_frame(_docs(s, d)),
         "x_tfidf_topk": lambda s, d: tfidf_topk_frame(_docs(s, d)),
         "x_dup_span_report": lambda s, d: duplicate_span_report(_docs(s, d)),
         "x_chunk_documents": lambda s, d: chunk_documents_frame(_docs(s, d)),

@@ -361,3 +361,43 @@ def test_corpus_summary_differential(spark):
     row = got.collect()[0]
     assert row.n_docs == docs.count()
     assert 0.0 <= row.dup_rate < 1.0
+
+
+def test_unigram_logprob_differential(spark):
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        UNIGRAM_LOGPROB_ORACLE,
+        unigram_logprob_frame,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    _assert_differential(
+        unigram_logprob_frame(docs), UNIGRAM_LOGPROB_ORACLE
+    )
+
+
+def test_unigram_logprob_external_vocab_oov_floor(spark):
+    """Scoring under an EXTERNAL vocabulary: OOV tokens get the
+    0.5-count Laplace floor — finite, and strictly below every
+    in-vocab probability."""
+    import math
+
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        unigram_logprob_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "zzz zzz zzz")], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame(
+        [("a", 1, 3), ("b", 1, 1)],
+        "token string, n_docs long, n_occurrences long",
+    )
+    got = {
+        r.doc_id: r for r in unigram_logprob_frame(docs, vocab).collect()
+    }
+    # doc 1: avg(ln(3/4), ln(3/4), ln(1/4))
+    want1 = (2 * math.log(3 / 4) + math.log(1 / 4)) / 3
+    assert abs(got[1].avg_logprob - want1) < 1e-6
+    # doc 2: all OOV -> ln(0.5/4), higher ppl than doc 1
+    assert abs(got[2].avg_logprob - math.log(0.5 / 4)) < 1e-6
+    assert got[2].ppl > got[1].ppl
