@@ -24,6 +24,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.embed import semantic_dedup_docs
 from ..operators.graph import neardup_groups
 from .audit import (
     accepted_values,
@@ -135,6 +136,7 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ivf_topk": q_ivf_topk,
         "x_ivf_refine": lambda s, d: ivf_refine(_emb(s, d)),
         "x_semantic_dedup": lambda s, d: semantic_dedup_frame(_emb(s, d)),
+        "x_semantic_dedup_docs": lambda s, d: semantic_dedup_docs(_docs(s, d)),
         # real write: shards + manifest land under /tmp, the returned
         # manifest frame is what the bench's noop sink consumes
         "x_shard_export": lambda s, d: write_training_shards(
