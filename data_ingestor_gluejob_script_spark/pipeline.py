@@ -493,3 +493,93 @@ def run(
         result = RunResult("no-op")
     store.commit()
     return result
+
+
+def forget_rows(
+    spark: SparkSession,
+    ids: DataFrame,
+    spec: TableSpec,
+    lake_root: str,
+    company: str = "Locaweb",
+) -> int:
+    """Targeted physical deletion (right-to-be-forgotten / CCPA
+    erasure): remove every lake row whose ``spec.id_col`` appears in
+    ``ids``, rewriting ONLY the partitions that contain such rows.
+    Returns the number of rows deleted. No reference counterpart —
+    the reference lake has no deletion path at all; this is the
+    erasure half of the K1 writer's contract.
+
+    Scale shape (mirrors the partition-scoped upsert):
+    - ``ids`` is joined as a FRAME (broadcast when erasure-request-
+      sized, the normal case) — never collected into an ``isin``.
+    - The touched (year, month) set comes from one semi-join projected
+      to the partition columns; the collect is calendar-bounded.
+    - Only touched partitions are scanned (partition-pruning
+      predicate) and rewritten (dynamic overwrite); the rest of the
+      lake — the overwhelming majority — is never read or written.
+    - A partition whose every row is deleted produces NO output rows,
+      which dynamic overwrite would silently leave in place — those
+      directories are removed explicitly through the Hadoop FS API
+      (works on local/HDFS/s3a alike).
+    """
+    ycol, mcol = f"{spec.name}_year", f"{spec.name}_month"
+    root = lake_table_root(lake_root, spec.name)
+    lake = read_parquet_table(spark, root)
+    if lake is None:
+        return 0
+    key = ids.select(F.col(ids.columns[0]).alias(spec.id_col)).distinct()
+    victims = lake.join(F.broadcast(key), spec.id_col, "left_semi")
+    touched = [
+        (r[0], r[1])
+        for r in victims.select(ycol, mcol).distinct().collect()
+    ]
+    if not touched:
+        return 0
+
+    def _term(col: str, v) -> F.Column:
+        return F.col(col).isNull() if v is None else (F.col(col) == v)
+
+    pred = reduce(
+        lambda a, b: a | b,
+        [_term(ycol, y) & _term(mcol, m) for y, m in touched],
+    )
+    scoped = lake.filter(pred & (F.col("company") == company))
+    survivors = scoped.join(F.broadcast(key), spec.id_col, "left_anti")
+    n_before = scoped.count()
+    # Which touched partitions still have rows AFTER the erasure —
+    # resolved BEFORE the overwrite (the write mutates the path the
+    # plan reads). Fully-erased partitions emit no output rows, so
+    # dynamic overwrite leaves their old files in place; they're
+    # removed explicitly below.
+    kept = {
+        (r[0], r[1])
+        for r in survivors.select(ycol, mcol).distinct().collect()
+    }
+
+    obs = Observation(f"forget_{spec.name}")
+    (
+        survivors.observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("company", ycol, mcol)
+        .parquet(root)
+    )
+    n_after = int(obs.get["n"])
+    jvm = spark._jvm
+    fs = None
+    for y, m in touched:
+        if (y, m) in kept:
+            continue
+        part_dir = (
+            f"{root}/company={company}/{spec.name}_year={_part_dir_value(y)}"
+            f"/{spec.name}_month={_part_dir_value(m)}"
+        )
+        path = jvm.org.apache.hadoop.fs.Path(part_dir)
+        if fs is None:
+            fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
+    n = n_before - n_after
+    log.info("forgot %d rows from %s across %d partitions",
+             n, root, len(touched))
+    return n

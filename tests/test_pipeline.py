@@ -636,3 +636,73 @@ def test_compaction_preserves_evolved_schema(spark, tmp_path, lake):
     }
     assert set(got) == {"s1", "s2"}
     assert got["s1"].tier is None and got["s2"].tier == "gold"
+
+
+def test_forget_rows_partition_scoped_erasure(spark, tmp_path, lake):
+    """Right-to-be-forgotten: requested ids vanish, only partitions
+    containing them are rewritten (untouched partition files stay
+    byte-identical), a fully-erased partition's directory disappears,
+    and unknown ids are a no-op returning 0."""
+    import glob
+
+    from data_ingestor_gluejob_script_spark.pipeline import (
+        forget_rows,
+        write_partitioned_upsert,
+    )
+
+    spec = CATALOG["retail_subscriptions"]
+    rows = (
+        [_sub(f"jan{i}", "2024-01-10 10:00:00", "2024-01-10 10:00:00")
+         for i in range(10)]
+        + [_sub(f"feb{i}", "2024-02-10 10:00:00", "2024-02-10 10:00:00")
+           for i in range(10)]
+        + [_sub(f"mar{i}", "2024-03-10 10:00:00", "2024-03-10 10:00:00")
+           for i in range(3)]
+    )
+    df = spark.createDataFrame(
+        [[r[c] for c in spec.columns] for r in rows], list(spec.columns)
+    )
+    write_partitioned_upsert(spark, df, spec, lake)
+    root = f"{lake}/raw/locaweb/{spec.name}"
+
+    def snap(month):
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(
+                f"{root}/company=Locaweb/*/"
+                f"{spec.name}_month={month}/*.parquet"
+            )
+        }
+
+    feb_before = snap(2)
+    assert feb_before
+
+    # erase 3 january rows + the ENTIRE march partition
+    ids = spark.createDataFrame(
+        [("jan0",), ("jan1",), ("jan2",), ("mar0",), ("mar1",), ("mar2",)],
+        "id string",
+    )
+    n = forget_rows(spark, ids, spec, lake)
+    assert n == 6
+
+    remaining = spark.read.parquet(root)
+    kept_ids = {r.id for r in remaining.select("id").collect()}
+    assert kept_ids == {f"jan{i}" for i in range(3, 10)} | {
+        f"feb{i}" for i in range(10)
+    }
+    # february was untouched: same files, same mtimes
+    assert snap(2) == feb_before
+    # march directory is gone entirely (dynamic overwrite can't empty
+    # a partition — forget_rows must delete it explicitly)
+    assert not glob.glob(f"{root}/company=Locaweb/*/{spec.name}_month=3")
+
+    # unknown ids: no-op, nothing rewritten
+    jan_after = snap(1)
+    n2 = forget_rows(
+        spark,
+        spark.createDataFrame([("ghost",)], "id string"),
+        spec,
+        lake,
+    )
+    assert n2 == 0
+    assert snap(1) == jan_after
