@@ -40,7 +40,7 @@ from dataclasses import dataclass, field
 from datetime import datetime, timezone
 from functools import reduce
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.normalize import normalize_booleans
@@ -583,3 +583,56 @@ def forget_rows(
     log.info("forgot %d rows from %s across %d partitions",
              n, root, len(touched))
     return n
+
+
+def apply_cdc_batch(
+    spark: SparkSession,
+    changes: DataFrame,
+    spec: TableSpec,
+    lake_root: str,
+    op_col: str = "_op",
+    company: str = "Locaweb",
+) -> tuple[int, int]:
+    """Apply one CDC change batch (Debezium-style) to the lake:
+    ``changes`` carries the table columns plus ``op_col`` in
+    {'I','U','D'} (case-insensitive). Inserts/updates merge through
+    the K1 partition-scoped upsert; deletes erase through
+    ``forget_rows``. Returns (rows_upserted, rows_deleted).
+
+    Ordering semantics: WITHIN one batch a key that is both upserted
+    and deleted resolves to its LAST change by ``spec.wm_col`` order
+    (ties: delete wins — the conservative reading for erasure
+    requests). That pre-resolution happens on the batch alone (one
+    batch-sized window), so the lake never sees a transient state.
+
+    Scale shape: both arms stay partition-scoped — the upsert touches
+    only partitions the surviving upserts land in, the erasure only
+    partitions holding the deleted keys; the batch scans once into
+    two frames off one persisted input.
+    """
+    op = F.upper(F.col(op_col))
+    changes = changes.persist()
+    try:
+        # last-change-wins per key (delete beats upsert on a tie)
+        w = Window.partitionBy(spec.id_col).orderBy(
+            F.col(spec.wm_col).desc_nulls_last(),
+            F.when(op == "D", 0).otherwise(1),
+        )
+        latest = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        upserts = latest.filter(op != "D").select(*spec.columns)
+        deletes = latest.filter(op == "D").select(spec.id_col)
+        # count the CHANGE rows applied, not the writer's merged-rows
+        # return (which includes surviving lake rows of touched
+        # partitions); cheap — the batch is persisted above
+        n_up = upserts.count()
+        write_partitioned_upsert(
+            spark, upserts, spec, lake_root, company=company
+        )
+        n_del = forget_rows(spark, deletes, spec, lake_root, company=company)
+        return n_up, n_del
+    finally:
+        changes.unpersist()

@@ -706,3 +706,57 @@ def test_forget_rows_partition_scoped_erasure(spark, tmp_path, lake):
     )
     assert n2 == 0
     assert snap(1) == jan_after
+
+
+def test_apply_cdc_batch(spark, tmp_path, lake):
+    """Debezium-style change batch: I/U merge, D erases, and a key
+    with several changes in one batch resolves to its LAST change
+    (delete wins a timestamp tie)."""
+    from data_ingestor_gluejob_script_spark.pipeline import (
+        apply_cdc_batch,
+        write_partitioned_upsert,
+    )
+
+    spec = CATALOG["retail_subscriptions"]
+    base = [
+        _sub(f"s{i}", "2024-01-10 10:00:00", "2024-01-10 10:00:00")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        [[r[c] for c in spec.columns] for r in base], list(spec.columns)
+    )
+    write_partitioned_upsert(spark, df, spec, lake)
+    root = f"{lake}/raw/locaweb/{spec.name}"
+
+    def change(id, updated, op, status="active"):
+        r = _sub(id, "2024-01-10 10:00:00", updated, status=status)
+        r["_op"] = op
+        return r
+
+    cols = list(spec.columns) + ["_op"]
+    changes = [
+        change("s0", "2024-01-11 00:00:00", "U", status="cancelled"),
+        change("s9", "2024-01-11 00:00:00", "I"),
+        change("s1", "2024-01-11 00:00:00", "D"),
+        # s2: updated then deleted later -> delete wins
+        change("s2", "2024-01-11 00:00:00", "U"),
+        change("s2", "2024-01-12 00:00:00", "D"),
+        # s3: deleted then REINSERTED later -> upsert wins
+        change("s3", "2024-01-11 00:00:00", "D"),
+        change("s3", "2024-01-12 00:00:00", "U", status="revived"),
+        # s4: same-timestamp update and delete -> delete wins the tie
+        change("s4", "2024-01-11 00:00:00", "U"),
+        change("s4", "2024-01-11 00:00:00", "D"),
+    ]
+    cdf = spark.createDataFrame(
+        [[r[c] for c in cols] for r in changes], cols
+    )
+    n_up, n_del = apply_cdc_batch(spark, cdf, spec, lake)
+    assert (n_up, n_del) == (3, 3)  # s0,s9,s3 upserted; s1,s2,s4 erased
+
+    got = {
+        r.id: r.status for r in spark.read.parquet(root).collect()
+    }
+    assert set(got) == {"s0", "s3", "s9"}
+    assert got["s0"] == "cancelled"
+    assert got["s3"] == "revived"
