@@ -724,3 +724,52 @@ def run_audited_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_cdc_ingest(
+    spark: SparkSession,
+    changes_dir: str,
+    lake_root: str,
+    spec,
+    checkpoint_dir: str,
+    op_col: str = "_op",
+    max_files_per_trigger: int = 1,
+):
+    """Continuous CDC ingestion: a stream of Debezium-style change
+    files applied to the lake per micro-batch through
+    ``pipeline.apply_cdc_batch`` (I/U → partition-scoped upsert, D →
+    partition-scoped erasure, within-batch last-change-wins).
+
+    Delivery semantics: the checkpoint serializes batches, so each
+    batch applies exactly once in arrival order; a crash between apply
+    and checkpoint commit replays ONLY the last batch, and re-applying
+    the same batch is a no-op state-wise (the upsert rewrites the same
+    winners, the erasure finds the ids already gone) — the same
+    replay contract as the reference's watermark commit-at-end
+    protocol (gluejob.py:136-139), per micro-batch.
+
+    Scale shape is apply_cdc_batch's: both arms stay partition-scoped;
+    the stream side only ever holds one change batch.
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    from .pipeline import apply_cdc_batch
+
+    batch0 = spark.read.parquet(changes_dir)
+    stream = (
+        spark.readStream.schema(batch0.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(changes_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cdc_batch(
+            spark, batch_df, spec, lake_root, op_col=op_col
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

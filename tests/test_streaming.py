@@ -560,3 +560,64 @@ def test_audited_ingest_splits_and_is_idempotent(spark, tmp_path):
         1, 2, 4, 5
     }
     assert spark.read.parquet(quarantine).count() == 2
+
+
+def test_cdc_ingest_stream(spark, tmp_path):
+    """Two CDC change files applied in arrival order: inserts then an
+    update+delete wave; the lake ends in the net state, and a replay
+    with a fresh checkpoint converges to the same state (per-batch
+    re-application is state-idempotent)."""
+    import pandas as pd
+    import time as _time
+
+    from data_ingestor_gluejob_script_spark.registry import CATALOG
+
+    spec = CATALOG["retail_subscriptions"]
+    changes = tmp_path / "changes"
+    changes.mkdir()
+    lake = str(tmp_path / "lake")
+
+    def frame(rows):
+        cols = list(spec.columns) + ["_op"]
+        data = {}
+        for c in cols:
+            data[c] = [r.get(c, f"x_{c}") for r in rows]
+        return pd.DataFrame(data)
+
+    frame(
+        [
+            {"id": "a", "created_at": "2024-01-10 10:00:00",
+             "updated_at": "2024-01-10 10:00:00", "status": "active",
+             "_op": "I"},
+            {"id": "b", "created_at": "2024-01-10 10:00:00",
+             "updated_at": "2024-01-10 10:00:00", "status": "active",
+             "_op": "I"},
+        ]
+    ).to_parquet(changes / "c1.parquet")
+    _time.sleep(0.05)
+    frame(
+        [
+            {"id": "a", "created_at": "2024-01-10 10:00:00",
+             "updated_at": "2024-01-11 10:00:00", "status": "cancelled",
+             "_op": "U"},
+            {"id": "b", "created_at": "2024-01-10 10:00:00",
+             "updated_at": "2024-01-11 10:00:00", "_op": "D"},
+        ]
+    ).to_parquet(changes / "c2.parquet")
+
+    q = streaming.run_cdc_ingest(
+        spark, str(changes), lake, spec, str(tmp_path / "ck1")
+    )
+    q.awaitTermination(120)
+
+    root = f"{lake}/raw/locaweb/{spec.name}"
+    got = {r.id: r.status for r in spark.read.parquet(root).collect()}
+    assert got == {"a": "cancelled"}
+
+    # replay everything against the same lake with a fresh checkpoint
+    q2 = streaming.run_cdc_ingest(
+        spark, str(changes), lake, spec, str(tmp_path / "ck2")
+    )
+    q2.awaitTermination(120)
+    got2 = {r.id: r.status for r in spark.read.parquet(root).collect()}
+    assert got2 == {"a": "cancelled"}
