@@ -76,22 +76,42 @@ def embed_documents(
     return docs.select(id_col, text_col).mapInPandas(encode, schema)
 
 
-def semantic_dedup_docs(docs: DataFrame, threshold: float | None = None):
+def semantic_dedup_docs(
+    docs: DataFrame,
+    threshold: float | None = None,
+    n_cells: int | None = None,
+    target_cell_size: int = 100,
+):
     """End-to-end semantic dedup FROM TEXT: encode (map-only, payload
     dropped at the encoder) then SemDeDup over the embedding space.
     Returns (doc_id, cell, group_id, is_representative). Identical
     texts embed identically (cosine 1.0, same cell), so exact dups are
-    always grouped; near-dups group per the threshold."""
+    always grouped; near-dups group per the threshold.
+
+    Cell count: SemDeDup's within-cell pair join costs Σ|cell|², so K
+    must GROW with the corpus (the paper: K ≈ 11k at 100M docs). When
+    ``n_cells`` is None it is auto-sized to n/``target_cell_size``
+    (floor 16) from one count of the input — the count is one scan of
+    the id column, and it keeps the pairwise stage O(n ·
+    target_cell_size) instead of O(n²/16) no matter the corpus size."""
     from ..queries.similarity import (
         SEMANTIC_DEDUP_COSINE,
         semantic_dedup_frame,
     )
 
+    if n_cells is None:
+        # size K on the DISTINCT text count — the pairwise stage runs
+        # on distinct vectors (clones collapse linearly first), so a
+        # clone-heavy corpus shouldn't inflate the cell count
+        n_cells = max(
+            16, docs.select("text").distinct().count() // target_cell_size
+        )
     emb = embed_documents(docs).selectExpr("doc_id as vec_id", "emb")
     out = semantic_dedup_frame(
         emb,
         threshold=(
             SEMANTIC_DEDUP_COSINE if threshold is None else threshold
         ),
+        n_cells=n_cells,
     )
     return out.withColumnRenamed("vec_id", "doc_id")

@@ -187,8 +187,8 @@ N_IVF_CELLS = 16
 IVF_NPROBE = 2
 
 
-def _ivf_centroid_row(emb: DataFrame) -> DataFrame:
-    """One-row DataFrame carrying the IVF codebook: the K seed
+def _ivf_centroid_row(emb: DataFrame, k: int = N_IVF_CELLS) -> DataFrame:
+    """One-row DataFrame carrying the IVF codebook: the ``k`` seed
     centroids as ``array<struct<cid,c,cn>>`` sorted by cid.
 
     Seeds are the K lowest-vec_id vectors — a deterministic
@@ -204,7 +204,7 @@ def _ivf_centroid_row(emb: DataFrame) -> DataFrame:
     of collect_list's arrival order."""
     cents = (
         emb.orderBy("vec_id")
-        .limit(N_IVF_CELLS)
+        .limit(k)
         .select(
             (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
             F.col("emb").alias("c"),
@@ -308,7 +308,9 @@ def ivf_assign(emb: DataFrame, codebook: DataFrame) -> DataFrame:
     )
 
 
-def ivf_refine(emb: DataFrame, iters: int = 1) -> DataFrame:
+def ivf_refine(
+    emb: DataFrame, iters: int = 1, k: int = N_IVF_CELLS
+) -> DataFrame:
     """Lloyd refinement of the seed codebook: ``iters`` alternating
     assign / per-cell-mean rounds — the standard distributed k-means
     step (one broadcast-join map + one groupBy(cell) shuffle per
@@ -325,7 +327,7 @@ def ivf_refine(emb: DataFrame, iters: int = 1) -> DataFrame:
     partial, one shuffle on K keys). Each round extends the lineage by
     one join+agg; a production run with many rounds would checkpoint
     the K-row codebook between rounds — it is metadata-sized."""
-    codebook = _ivf_centroid_row(emb)
+    codebook = _ivf_centroid_row(emb, k)
     for _ in range(iters):
         assigned = ivf_assign(emb, codebook)
         means = assigned.groupBy("cell").agg(
@@ -612,6 +614,7 @@ def semantic_dedup_frame(
     emb: DataFrame,
     threshold: float = SEMANTIC_DEDUP_COSINE,
     refine_iters: int = 1,
+    n_cells: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with spherical k-means, then
@@ -655,8 +658,37 @@ def semantic_dedup_frame(
     # action) would re-execute that lineage. localCheckpoint pins the
     # row — the "checkpoint the K-row codebook" note in ivf_refine's
     # docstring, applied (measured 12.2 s → ~7 s at sf0.1).
-    codebook = ivf_refine(emb, iters=refine_iters).localCheckpoint()
-    assigned = ivf_assign(emb, codebook)
+    k = N_IVF_CELLS if n_cells is None else n_cells
+    # Collapse IDENTICAL vectors first (the identical-fingerprint
+    # lesson from the SimHash family): clones of one vector are
+    # mutually cosine 1.0, so leaving them in the pair join turns
+    # every c-clone class into c²/2 emitted edges — on a corpus where
+    # one text repeats heavily that is the dominant cost and it buys
+    # nothing (clones connect trivially). One window keyed on the
+    # VECTOR VALUE (exact — no hash, no collisions) tags every row
+    # with its class representative (min vec_id); only distinct
+    # vectors enter the clustering and the quadratic stage, clones
+    # rejoin linearly at the end. Identical vectors always share a
+    # group, independent of the threshold (their cosine is exactly 1
+    # analytically). 20×-clone smoke: 140 s → ~35 s.
+    w_class = Window.partitionBy("emb")
+    tagged = emb.withColumn(
+        "class_rep", F.min("vec_id").over(w_class)
+    )
+    # Deliberate materialization: reps feeds every refine round, the
+    # assignment, and the final labeling — without it each consumer
+    # re-runs the collapse shuffle. Distinct-vector-sized (≤ corpus;
+    # at production scale use persist(DISK) and a real checkpoint dir).
+    reps = (
+        tagged.filter(F.col("vec_id") == F.col("class_rep"))
+        .select("vec_id", "emb")
+        .localCheckpoint()
+    )
+    # Cluster the DISTINCT vectors (dedup-weighted k-means — clone
+    # mass doesn't drag centroids, and refine cost tracks distinct
+    # count, not corpus size).
+    codebook = ivf_refine(reps, iters=refine_iters, k=k).localCheckpoint()
+    assigned = ivf_assign(reps, codebook)
     blocked = assigned.withColumn(
         "norm", F.sqrt(dot(F.col("emb"), F.col("emb")))
     ).repartition("cell")
@@ -682,17 +714,30 @@ def semantic_dedup_frame(
         .select("vec_a", "vec_b")
     )
     comp = connected_components(pairs)
+    rep_info = assigned.select(
+        F.col("vec_id").alias("class_rep"), "cell"
+    ).join(
+        comp.select(
+            F.col("node").alias("class_rep"),
+            F.col("component").alias("_comp"),
+        ),
+        "class_rep",
+        "left",
+    )
+    # clones rejoin via their class_rep: group id = the component's
+    # min class_rep, which IS the group's min vec_id (each class_rep
+    # is already the min of its clone class)
     return (
-        assigned.select("vec_id", "cell")
-        .join(comp, assigned["vec_id"] == comp["node"], "left")
+        tagged.select("vec_id", "class_rep")
+        .join(rep_info, "class_rep")
         .select(
             "vec_id",
             "cell",
-            F.coalesce(F.col("component"), F.col("vec_id")).alias(
+            F.coalesce(F.col("_comp"), F.col("class_rep")).alias(
                 "group_id"
             ),
             (
-                F.coalesce(F.col("component"), F.col("vec_id"))
+                F.coalesce(F.col("_comp"), F.col("class_rep"))
                 == F.col("vec_id")
             ).alias("is_representative"),
         )
