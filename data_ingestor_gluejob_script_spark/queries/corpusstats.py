@@ -386,18 +386,32 @@ def duplicate_span_report(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
     the dup-span join is an equi-join on the hash — never an
     all-pairs comparison. Short documents (< n words) surface with
     zero spans and dup_frac 0.0."""
-    spans = docs.select(
-        "doc_id", words_col(F.col("text")).alias("_ws")
-    ).select(
-        "doc_id",
-        F.explode_outer(
-            F.transform(
-                ngrams_col(F.col("_ws"), n),
-                lambda s: F.xxhash64(s),
-            )
-        ).alias("h"),
+    spans = (
+        docs.select("doc_id", words_col(F.col("text")).alias("_ws"))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.transform(
+                    ngrams_col(F.col("_ws"), n),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("h"),
+        )
+        # ONE exchange on the span hash serves every consumer below:
+        # the per-doc distinct (groupBy(h, doc_id) — h-partitioning
+        # satisfies its clustering), the DF table (groupBy(h) — already
+        # partitioned, no shuffle), and the dup join's probe side
+        # (equi-join on h) — all read this as a ReusedExchange instead
+        # of re-deriving the n-gram explode three times under three
+        # different keys.
+        .repartition("h")
     )
-    per_doc = spans.filter(F.col("h").isNotNull()).distinct()
+    per_doc = (
+        spans.filter(F.col("h").isNotNull())
+        .groupBy("h", "doc_id")
+        .agg(F.lit(1))
+        .select("h", "doc_id")
+    )
     df_tbl = per_doc.groupBy("h").agg(F.count("*").alias("n_docs"))
     dup = df_tbl.filter(F.col("n_docs") >= 2).select("h", "n_docs")
     hit = spans.join(dup, "h", "left")
