@@ -527,6 +527,12 @@ def forget_rows(
     lake = read_parquet_table(spark, root)
     if lake is None:
         return 0
+    # Scope to the requested company FIRST (partition-pruned): a
+    # multi-company lake would otherwise contribute other companies'
+    # (year, month) hits to `touched`, and the erasure below — which
+    # only rewrites THIS company's directories — would report and
+    # target partitions it never touches.
+    lake = lake.filter(F.col("company") == company)
     key = ids.select(F.col(ids.columns[0]).alias(spec.id_col)).distinct()
     victims = lake.join(F.broadcast(key), spec.id_col, "left_semi")
     touched = [
@@ -543,7 +549,7 @@ def forget_rows(
         lambda a, b: a | b,
         [_term(ycol, y) & _term(mcol, m) for y, m in touched],
     )
-    scoped = lake.filter(pred & (F.col("company") == company))
+    scoped = lake.filter(pred)
     survivors = scoped.join(F.broadcast(key), spec.id_col, "left_anti")
     n_before = scoped.count()
     # Which touched partitions still have rows AFTER the erasure —

@@ -85,6 +85,8 @@ def audit_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     """Evaluate all ``checks`` over ``df`` in one aggregation pass.
     Returns (check, violations, checked, passed), one row per check,
     ordered by check name for cross-engine determinism."""
+    if not checks:
+        raise ValueError("audit_checks requires at least one check")
     aggs: list[Column] = [F.count(F.lit(1)).alias("__total")]
     for i, ck in enumerate(checks):
         if ck.name.startswith("unique:"):

@@ -760,3 +760,36 @@ def test_apply_cdc_batch(spark, tmp_path, lake):
     assert set(got) == {"s0", "s3", "s9"}
     assert got["s0"] == "cancelled"
     assert got["s3"] == "revived"
+
+
+def test_forget_rows_scoped_to_company(spark, tmp_path, lake):
+    """A multi-company lake: erasing ids for one company must leave
+    the other company's rows (same ids!) untouched and must not count
+    or target its partitions."""
+    from data_ingestor_gluejob_script_spark.pipeline import (
+        forget_rows,
+        write_partitioned_upsert,
+    )
+
+    spec = CATALOG["retail_subscriptions"]
+    rows = [
+        _sub(f"s{i}", "2024-01-10 10:00:00", "2024-01-10 10:00:00")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        [[r[c] for c in spec.columns] for r in rows], list(spec.columns)
+    )
+    write_partitioned_upsert(spark, df, spec, lake, company="A")
+    write_partitioned_upsert(spark, df, spec, lake, company="B")
+    root = f"{lake}/raw/locaweb/{spec.name}"
+
+    ids = spark.createDataFrame([("s0",), ("s1",)], "id string")
+    n = forget_rows(spark, ids, spec, lake, company="A")
+    assert n == 2
+    got = {
+        (r.company, r.id)
+        for r in spark.read.parquet(root).select("company", "id").collect()
+    }
+    assert got == {("A", "s2"), ("A", "s3")} | {
+        ("B", f"s{i}") for i in range(4)
+    }
