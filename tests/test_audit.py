@@ -157,3 +157,66 @@ def test_audit_is_single_scan(spark):
         load(spark, SF_DIR, "orders"), _checks()
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_maybe_key = st.one_of(st.none(), st.integers(min_value=0, max_value=5))
+_maybe_price = st.one_of(
+    st.none(),
+    st.floats(
+        min_value=-100.0, max_value=2_000_000.0,
+        allow_nan=False, allow_infinity=False,
+    ),
+)
+_maybe_status = st.one_of(
+    st.none(), st.sampled_from(["O", "F", "P", "X", "", "o"])
+)
+_row = st.tuples(
+    st.integers(min_value=0, max_value=6),  # orderkey — dup-prone
+    _maybe_key,
+    _maybe_status,
+    _maybe_price,
+    st.one_of(st.none(), st.sampled_from(["1-URGENT", "9-BAD", ""])),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_row, min_size=1, max_size=15))
+def test_audit_property_differential(spark, rows):
+    """Property differential on RANDOM tiny tables (nulls everywhere,
+    duplicate keys, boundary prices, empty strings): the one-scan
+    audit must agree with DuckDB's FILTER-aggregate oracle
+    cell-for-cell — seeded fixtures can't reach these combinations."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderpriority",
+        ],
+    ).astype(
+        {"o_orderkey": "int64", "o_custkey": "float64",
+         "o_totalprice": "float64"}
+    )
+    sdf = spark.createDataFrame(
+        pdf,
+        "o_orderkey long, o_custkey double, o_orderstatus string, "
+        "o_totalprice double, o_orderpriority string",
+    )
+    got = audit_checks(sdf, _checks())
+    con = duckdb.connect()
+    con.register("orders", pdf)
+    cur = con.execute(ORACLE)
+    o_rows = [tuple(str(v) for v in r) for r in cur.fetchall()]
+    s_rows = [
+        tuple(str(v) for v in (r.check, r.violations, r.checked, r.passed))
+        for r in got.collect()
+    ]
+    assert s_rows == o_rows
