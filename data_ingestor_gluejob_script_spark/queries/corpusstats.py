@@ -688,3 +688,101 @@ SELECT doc_id,
        round(exp(-avg(lp)), 6) AS ppl
 FROM lp GROUP BY doc_id
 """
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk_frame(
+    docs: DataFrame, query_terms: list[str], k: int = 10
+) -> DataFrame:
+    """BM25 retrieval: the top-``k`` documents for a bag of query
+    terms — the classic lexical ranking (Robertson-Spärck Jones),
+    used in curation for retrieval-based decontamination (find corpus
+    documents that RETRIEVE WELL for benchmark questions, a net the
+    shingle overlap check can miss) and for building hard negatives
+    (high-BM25 non-answers).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·len_d/avglen))
+    with the standard smoothed idf = ln(1 + (N-df+0.5)/(df+0.5)).
+
+    Scale shape: the query term list is a literal filter pushed into
+    the token explode (only matching tokens survive the map side);
+    the DF table for those few terms is term-count-sized → broadcast;
+    per-doc lengths ride the same single corpus scan via a groupBy
+    that the TF aggregation already needs; final ranking is one
+    TakeOrdered top-k, not a global sort. Rounded to 9 dp with doc_id
+    tie-break — deterministic and engine-portable, same discipline as
+    TF-IDF.
+
+    Differential: BM25_ORACLE (tests/test_corpusstats.py), identical
+    formula spelled in SQL.
+    """
+    n_docs_total = docs.select("doc_id").distinct().count()
+    toks = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("token")
+    )
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avg_dl = lens.agg(F.avg("dl").alias("avgdl"))
+    qtoks = toks.filter(F.col("token").isin(list(query_terms)))
+    tf = qtoks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs_total) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(avg_dl))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 9).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+BM25_ORACLE_TEMPLATE = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), lens AS (
+    SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), avgdl AS (
+    SELECT avg(dl) AS avgdl FROM lens
+), n AS (
+    SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), tf AS (
+    SELECT doc_id, token, count(*) AS tf
+    FROM tok WHERE token IN ({terms}) GROUP BY doc_id, token
+), dft AS (
+    SELECT token, count(*) AS df FROM tf GROUP BY token
+)
+SELECT doc_id, round(sum(
+    ln(1.0 + (n.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+    * (tf.tf * (1.2 + 1))
+    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / avgdl.avgdl))
+), 9) AS bm25
+FROM tf
+JOIN dft USING (token)
+JOIN lens USING (doc_id)
+CROSS JOIN avgdl CROSS JOIN n
+GROUP BY doc_id, n.n_docs
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {k}
+"""

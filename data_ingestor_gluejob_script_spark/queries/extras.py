@@ -39,6 +39,7 @@ from ..operators.layout import zorder_layout
 from ..operators.skew import skew_report
 from ._util import load, spread
 from .corpusstats import (
+    bm25_topk_frame,
     cap_per_source_frame,
     unigram_logprob_frame,
     chunk_documents_frame,
@@ -98,6 +99,10 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_vocab": lambda s, d: vocab_frame(_docs(s, d)),
         "x_repetition": lambda s, d: repetition_frame(_docs(s, d)),
         "x_unigram_logprob": lambda s, d: unigram_logprob_frame(_docs(s, d)),
+        # query terms: generator-vocabulary words present at every SF
+        "x_bm25_topk": lambda s, d: bm25_topk_frame(
+            _docs(s, d), ["scan", "window", "column"], k=10
+        ),
         "x_tfidf_topk": lambda s, d: tfidf_topk_frame(_docs(s, d)),
         "x_dup_span_report": lambda s, d: duplicate_span_report(_docs(s, d)),
         "x_chunk_documents": lambda s, d: chunk_documents_frame(_docs(s, d)),

@@ -401,3 +401,52 @@ def test_unigram_logprob_external_vocab_oov_floor(spark):
     # doc 2: all OOV -> ln(0.5/4), higher ppl than doc 1
     assert abs(got[2].avg_logprob - math.log(0.5 / 4)) < 1e-6
     assert got[2].ppl > got[1].ppl
+
+
+def test_bm25_differential(spark):
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        BM25_ORACLE_TEMPLATE,
+        bm25_topk_frame,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    # pick real corpus terms so the differential scores something
+    terms = [
+        r.token
+        for r in docs.selectExpr(
+            "explode(split(text, ' ')) AS token"
+        ).groupBy("token").count().orderBy(F.col("count").desc())
+        .limit(3).collect()
+    ]
+    sql = BM25_ORACLE_TEMPLATE.format(
+        terms=", ".join(f"'{t}'" for t in terms), k=10
+    )
+    got = bm25_topk_frame(docs, terms, k=10)
+    s_rows = [(r.doc_id, str(r.bm25)) for r in got.collect()]
+    o_cols, o_rows = _oracle(sql)
+    assert s_rows == [(r[0], str(r[1])) for r in o_rows]
+    assert len(s_rows) == 10
+
+
+def test_bm25_rewards_term_density(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple"),
+            (2, "apple pear plum quince fig date"),
+            (3, "pear plum"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [r.doc_id for r in bm25_helper(docs)]
+    # doc 1: dense in the query term and short -> ranked first;
+    # doc 3 (no 'apple') scores nothing
+    assert got[0] == 1
+    assert 3 not in got
+
+
+def bm25_helper(docs):
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        bm25_topk_frame,
+    )
+
+    return bm25_topk_frame(docs, ["apple"], k=5).collect()
