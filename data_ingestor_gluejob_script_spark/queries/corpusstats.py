@@ -786,3 +786,74 @@ GROUP BY doc_id, n.n_docs
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def bm25_search_join(
+    docs: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Batch BM25: top-``k`` corpus documents PER QUERY —
+    (query_id, doc_id, bm25, rank). ``queries`` is (query_id, text);
+    scoring is the same formula as ``bm25_topk_frame``.
+
+    The curation use is retrieval-based decontamination: run the
+    benchmark's questions as queries and flag their top retrievals —
+    documents that answer a benchmark question verbatim-ish get
+    surfaced even when shingle overlap (the lexical decontamination
+    net) misses them. Compose with ``textops.decontaminate``.
+
+    Scale shape: the query set is benchmark-sized → its exploded
+    (query_id, token) table BROADCASTS into the corpus token stream
+    (one corpus-side shuffle for the per-(query, doc) TF aggregate);
+    doc lengths ride a groupBy of the same scan; the per-query top-k
+    is one window over candidates already cut to term matches. The
+    corpus is never scanned per query — one pass scores every query.
+    """
+    n_docs_total = docs.select("doc_id").distinct().count()
+    toks = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("token")
+    )
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avg_dl = lens.agg(F.avg("dl").alias("avgdl"))
+    qtoks = queries.select(
+        "query_id", F.explode(words_col(F.col("text"))).alias("token")
+    ).distinct()
+    hits = toks.join(F.broadcast(qtoks), "token")
+    tf = hits.groupBy("query_id", "doc_id", "token").agg(
+        F.count("*").alias("tf")
+    )
+    df_tbl = tf.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs_total) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(avg_dl))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("c"), 9).alias("bm25")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )

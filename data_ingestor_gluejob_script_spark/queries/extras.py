@@ -39,6 +39,7 @@ from ..operators.layout import zorder_layout
 from ..operators.skew import skew_report
 from ._util import load, spread
 from .corpusstats import (
+    bm25_search_join,
     bm25_topk_frame,
     cap_per_source_frame,
     unigram_logprob_frame,
@@ -102,6 +103,15 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query terms: generator-vocabulary words present at every SF
         "x_bm25_topk": lambda s, d: bm25_topk_frame(
             _docs(s, d), ["scan", "window", "column"], k=10
+        ),
+        # retrieval-based decontamination shape: benchmark-sized query
+        # set (every 500th doc) searched against the corpus in one pass
+        "x_bm25_search": lambda s, d: bm25_search_join(
+            _docs(s, d),
+            load(s, d, "documents")
+            .filter(F.col("doc_id") % 500 == 0)
+            .selectExpr("doc_id AS query_id", "text"),
+            k=5,
         ),
         "x_tfidf_topk": lambda s, d: tfidf_topk_frame(_docs(s, d)),
         "x_dup_span_report": lambda s, d: duplicate_span_report(_docs(s, d)),

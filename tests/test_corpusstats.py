@@ -450,3 +450,35 @@ def bm25_helper(docs):
     )
 
     return bm25_topk_frame(docs, ["apple"], k=5).collect()
+
+
+def test_bm25_search_join_matches_single_query(spark):
+    """The batch search join restricted to one query must equal the
+    single-query top-k (same formula, same tie-breaks) — and a
+    multi-query batch ranks each query independently."""
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        bm25_search_join,
+        bm25_topk_frame,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    terms = ["scan", "window", "column"]
+    single = [
+        (r.doc_id, r.bm25)
+        for r in bm25_topk_frame(docs, terms, k=5).collect()
+    ]
+    queries = spark.createDataFrame(
+        [(1, " ".join(terms)), (2, "join hash")],
+        "query_id long, text string",
+    )
+    batch = bm25_search_join(docs, queries, k=5).collect()
+    got1 = [
+        (r.doc_id, r.bm25)
+        for r in sorted(
+            (r for r in batch if r.query_id == 1), key=lambda r: r.rank
+        )
+    ]
+    assert got1 == single
+    got2 = [r for r in batch if r.query_id == 2]
+    assert len(got2) == 5
+    assert {r.rank for r in got2} == {1, 2, 3, 4, 5}
