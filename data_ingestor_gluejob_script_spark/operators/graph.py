@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Rounds used by the most recent connected_components call — exposed
 # for tests/benchmarks that pin the O(log diameter) convergence rate.
@@ -96,9 +97,16 @@ def connected_components(
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         rows = [(n, find(n)) for n in parent]
-        return edges.sparkSession.createDataFrame(
-            rows, "node long, component long"
+        # preserve the caller's node id type (string doc ids etc.) —
+        # the distributed path below does so implicitly
+        node_type = edges.schema[src].dataType
+        schema = T.StructType(
+            [
+                T.StructField("node", node_type),
+                T.StructField("component", node_type),
+            ]
         )
+        return edges.sparkSession.createDataFrame(rows, schema)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

@@ -60,6 +60,37 @@ def lake_table_root(lake_root: str, table: str) -> str:
     return f"{lake_root}/raw/locaweb/{table}"
 
 
+def _partition_predicate(ycol: str, mcol: str, touched: list[tuple]):
+    """OR-of-(year AND month) filter over the touched partition set,
+    null-safe: a NULL partition value (NULL event time →
+    __HIVE_DEFAULT_PARTITION__) needs an isNull term — ``col == None``
+    is SQL NULL, never true, which would exclude existing
+    null-partition rows from a merge while dynamic overwrite still
+    replaces that directory, silently deleting them. Shared by the
+    upsert merge and the erasure path so partition addressing can't
+    drift between them."""
+
+    def _term(col: str, v):
+        return F.col(col).isNull() if v is None else (F.col(col) == v)
+
+    return reduce(
+        lambda a, b: a | b,
+        [_term(ycol, y) & _term(mcol, m) for y, m in touched],
+    )
+
+
+def _partition_dir(
+    root: str, table: str, company: str, y, m
+) -> str:
+    """Filesystem path of one (company, year, month) partition
+    directory — the single spelling of the Hive layout used by the
+    compat rename and the erasure cleanup."""
+    return (
+        f"{root}/company={company}/{table}_year={_part_dir_value(y)}"
+        f"/{table}_month={_part_dir_value(m)}"
+    )
+
+
 def write_partitioned_upsert(
     spark: SparkSession,
     batch: DataFrame,
@@ -108,19 +139,9 @@ def write_partitioned_upsert(
         ]
     if existing is not None:
         # Partition-scoped merge (gluejob.py:190-205): only read lake
-        # partitions the batch touches. Null partition values (a NULL
-        # event time → __HIVE_DEFAULT_PARTITION__) need isNull terms:
-        # `col == None` is SQL NULL — never true — so the existing
-        # null-partition rows would be excluded from the merge while
-        # dynamic overwrite still REPLACES that directory, silently
-        # deleting them.
-        def _term(col: str, v) -> F.Column:
-            return F.col(col).isNull() if v is None else (F.col(col) == v)
-
-        pred = reduce(
-            lambda a, b: a | b,
-            [_term(ycol, y) & _term(mcol, m) for y, m in touched],
-        )
+        # partitions the batch touches (null-safety: see
+        # _partition_predicate).
+        pred = _partition_predicate(ycol, mcol, touched)
         existing = existing.filter(pred)  # pushed as partition pruning
         # Schema evolution: a registry column added AFTER these lake
         # files were written is absent from the merged scan — backfill
@@ -212,10 +233,7 @@ def _rename_to_single_objects(
     jvm = spark._jvm
     fs = None
     for y, m in touched:
-        part_dir = (
-            f"{root}/company={company}/{table}_year={_part_dir_value(y)}"
-            f"/{table}_month={_part_dir_value(m)}"
-        )
+        part_dir = _partition_dir(root, table, company, y, m)
         pattern = jvm.org.apache.hadoop.fs.Path(f"{part_dir}/part-*.parquet")
         if fs is None:
             fs = pattern.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -542,13 +560,7 @@ def forget_rows(
     if not touched:
         return 0
 
-    def _term(col: str, v) -> F.Column:
-        return F.col(col).isNull() if v is None else (F.col(col) == v)
-
-    pred = reduce(
-        lambda a, b: a | b,
-        [_term(ycol, y) & _term(mcol, m) for y, m in touched],
-    )
+    pred = _partition_predicate(ycol, mcol, touched)
     scoped = lake.filter(pred)
     survivors = scoped.join(F.broadcast(key), spec.id_col, "left_anti")
     n_before = scoped.count()
@@ -576,10 +588,7 @@ def forget_rows(
     for y, m in touched:
         if (y, m) in kept:
             continue
-        part_dir = (
-            f"{root}/company={company}/{spec.name}_year={_part_dir_value(y)}"
-            f"/{spec.name}_month={_part_dir_value(m)}"
-        )
+        part_dir = _partition_dir(root, spec.name, company, y, m)
         path = jvm.org.apache.hadoop.fs.Path(part_dir)
         if fs is None:
             fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -619,10 +628,33 @@ def apply_cdc_batch(
     op = F.upper(F.col(op_col))
     changes = changes.persist()
     try:
-        # last-change-wins per key (delete beats upsert on a tie)
+        # Fail LOUD on unknown/null ops: upper(NULL) is NULL, so a
+        # malformed row would otherwise satisfy neither the upsert nor
+        # the delete filter and vanish without a trace; and a Debezium
+        # 't' (truncate) silently upserted would corrupt the lake.
+        bad_ops = (
+            changes.filter(~op.isin("I", "U", "D") | op.isNull())
+            .select(op.alias("op"))
+            .distinct()
+            .collect()
+        )
+        if bad_ops:
+            raise ValueError(
+                f"apply_cdc_batch: unsupported ops {[r.op for r in bad_ops]}"
+                " (expected I/U/D)"
+            )
+        # last-change-wins per key (delete beats upsert on a tie);
+        # final key: full-row hash, so two equal-watermark upserts
+        # with different payloads resolve identically on every run
+        # and partitioning (the run_doc_dedup_ingest tie-break
+        # convention) instead of leaving an arbitrary winner
+        payload_cols = [c for c in changes.columns if c != spec.id_col]
         w = Window.partitionBy(spec.id_col).orderBy(
             F.col(spec.wm_col).desc_nulls_last(),
             F.when(op == "D", 0).otherwise(1),
+            F.xxhash64(
+                *[F.col(c).cast("string") for c in payload_cols]
+            ).asc_nulls_last(),
         )
         latest = (
             changes.withColumn("_rn", F.row_number().over(w))

@@ -87,7 +87,7 @@ def audit_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     ordered by check name for cross-engine determinism."""
     if not checks:
         raise ValueError("audit_checks requires at least one check")
-    aggs: list[Column] = [F.count(F.lit(1)).alias("__total")]
+    aggs: list[Column] = []
     for i, ck in enumerate(checks):
         if ck.name.startswith("unique:"):
             col = ck.name.split(":", 1)[1]
@@ -98,13 +98,15 @@ def audit_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
             )
             aggs.append(F.count(F.col(col)).cast("long").alias(f"__s{i}"))
         else:
+            # count(when(...)), not sum(when(...)): sum over ZERO
+            # rows is SQL NULL, which would surface as passed=NULL on
+            # an empty batch — count is 0 there, so an empty input
+            # audits as all-pass with zero violations
             aggs.append(
-                F.sum(F.when(ck.violated, 1).otherwise(0))
-                .cast("long")
-                .alias(f"__v{i}")
+                F.count(F.when(ck.violated, 1)).cast("long").alias(f"__v{i}")
             )
             scope = (
-                F.sum(F.when(ck.scope, 1).otherwise(0)).cast("long")
+                F.count(F.when(ck.scope, 1)).cast("long")
                 if ck.scope is not None
                 else F.count(F.lit(1)).cast("long")
             )

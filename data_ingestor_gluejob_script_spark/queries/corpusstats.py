@@ -643,7 +643,6 @@ def unigram_logprob_frame(
         .select(
             "token",
             F.log(F.col("n_occurrences") / F.col("_total")).alias("_lp"),
-            "_total",
         )
     )
     toks = docs.select(
@@ -707,53 +706,20 @@ def bm25_topk_frame(
     score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·len_d/avglen))
     with the standard smoothed idf = ln(1 + (N-df+0.5)/(df+0.5)).
 
-    Scale shape: the query term list is a literal filter pushed into
-    the token explode (only matching tokens survive the map side);
-    the DF table for those few terms is term-count-sized → broadcast;
-    per-doc lengths ride the same single corpus scan via a groupBy
-    that the TF aggregation already needs; final ranking is one
-    TakeOrdered top-k, not a global sort. Rounded to 9 dp with doc_id
+    One formula, one implementation: this is ``bm25_search_join`` with
+    a single synthetic query (the two were asserted equal
+    query-for-query before being unified). Rounded to 9 dp with doc_id
     tie-break — deterministic and engine-portable, same discipline as
-    TF-IDF.
-
-    Differential: BM25_ORACLE (tests/test_corpusstats.py), identical
-    formula spelled in SQL.
+    TF-IDF. Differential: BM25_ORACLE_TEMPLATE
+    (tests/test_corpusstats.py).
     """
-    n_docs_total = docs.select("doc_id").distinct().count()
-    toks = docs.select(
-        "doc_id", F.explode(words_col(F.col("text"))).alias("token")
-    )
-    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    avg_dl = lens.agg(F.avg("dl").alias("avgdl"))
-    qtoks = toks.filter(F.col("token").isin(list(query_terms)))
-    tf = qtoks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(n_docs_total) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    contrib = (
-        tf.join(F.broadcast(df_tbl), "token")
-        .join(lens, "doc_id")
-        .crossJoin(F.broadcast(avg_dl))
-        .select(
-            "doc_id",
-            (
-                idf
-                * (F.col("tf") * (BM25_K1 + 1))
-                / (
-                    F.col("tf")
-                    + BM25_K1
-                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("c"),
-        )
+    queries = docs.sparkSession.createDataFrame(
+        [(0, " ".join(query_terms))], "query_id long, text string"
     )
     return (
-        contrib.groupBy("doc_id")
-        .agg(F.round(F.sum("c"), 9).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-        .limit(k)
+        bm25_search_join(docs, queries, k=k)
+        .orderBy("rank")
+        .select("doc_id", "bm25")
     )
 
 

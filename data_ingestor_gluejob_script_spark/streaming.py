@@ -697,7 +697,25 @@ def run_audited_ingest(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
-        batch_df = batch_df.persist()
+        # Collapse in-batch duplicate ids FIRST (same row delivered in
+        # two files of one trigger, or redelivered within a batch):
+        # the destination anti-join below can't see rows that aren't
+        # written yet, so without this both copies would append. One
+        # deterministic survivor per id — min by full-row hash, the
+        # run_doc_dedup_ingest tie-break convention.
+        payload = [c for c in batch_df.columns if c != id_col]
+        tie = (
+            F.xxhash64(*[F.col(c).cast("string") for c in payload])
+            if payload
+            else F.lit(0)
+        )
+        w = Window.partitionBy(id_col).orderBy(tie.asc_nulls_last())
+        batch_df = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .persist()
+        )
         try:
             clean, bad = split_quarantine(batch_df, checks)
             for side_df, out_dir in ((clean, lake_dir), (bad, quarantine_dir)):
@@ -733,6 +751,7 @@ def run_cdc_ingest(
     spec,
     checkpoint_dir: str,
     op_col: str = "_op",
+    company: str = "Locaweb",
     max_files_per_trigger: int = 1,
 ):
     """Continuous CDC ingestion: a stream of Debezium-style change
@@ -764,7 +783,8 @@ def run_cdc_ingest(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         apply_cdc_batch(
-            spark, batch_df, spec, lake_root, op_col=op_col
+            spark, batch_df, spec, lake_root, op_col=op_col,
+            company=company,
         )
 
     return (

@@ -220,3 +220,20 @@ def test_audit_property_differential(spark, rows):
         for r in got.collect()
     ]
     assert s_rows == o_rows
+
+
+def test_audit_empty_input_passes_with_zero_violations(spark):
+    """Zero-row input: every check reports 0 violations / passed=True
+    (sum-over-zero-rows would be SQL NULL — the count form avoids a
+    NULL verdict that a publish gate would misread)."""
+    empty = spark.createDataFrame(
+        [],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderpriority string",
+    )
+    rows = audit_checks(empty, _checks()).collect()
+    assert len(rows) == len(_checks())
+    for r in rows:
+        assert r.violations == 0
+        assert r.checked == 0
+        assert r.passed is True

@@ -135,3 +135,13 @@ def test_components_on_simhash_pairs(spark):
         .join(g.withColumnRenamed("doc_id", "doc_b"), "doc_b")
     )
     assert joined.filter(F.col("ga") != F.col("group_id")).count() == 0
+
+
+def test_components_preserve_string_node_ids(spark):
+    """The driver-side small-graph path must keep the caller's node id
+    type (string ids from e.g. subscription keys), like the
+    distributed path does."""
+    edges = [("a", "b"), ("b", "c"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

@@ -793,3 +793,56 @@ def test_forget_rows_scoped_to_company(spark, tmp_path, lake):
     assert got == {("A", "s2"), ("A", "s3")} | {
         ("B", f"s{i}") for i in range(4)
     }
+
+
+def test_apply_cdc_batch_rejects_unknown_ops(spark, tmp_path, lake):
+    """NULL or unexpected op codes must abort the batch loudly, not
+    vanish (upper(NULL) satisfies neither filter) or upsert (a
+    Debezium 't' truncate is not an insert)."""
+    import pytest as _pytest
+
+    from data_ingestor_gluejob_script_spark.pipeline import apply_cdc_batch
+
+    spec = CATALOG["retail_subscriptions"]
+    cols = list(spec.columns) + ["_op"]
+
+    def change(id, op):
+        r = _sub(id, "2024-01-10 10:00:00", "2024-01-10 10:00:00")
+        r["_op"] = op
+        return r
+
+    for bad in ["T", None]:
+        cdf = spark.createDataFrame(
+            [[r[c] for c in cols]
+             for r in [change("s1", "U"), change("s2", bad)]],
+            cols,
+        )
+        with _pytest.raises(ValueError, match="unsupported ops"):
+            apply_cdc_batch(spark, cdf, spec, lake)
+
+
+def test_apply_cdc_batch_tie_break_is_deterministic(spark, tmp_path, lake):
+    """Two equal-watermark upserts for one key: the survivor is chosen
+    by full-row hash — identical across partitionings and reruns."""
+    from data_ingestor_gluejob_script_spark.pipeline import apply_cdc_batch
+
+    spec = CATALOG["retail_subscriptions"]
+    cols = list(spec.columns) + ["_op"]
+
+    def change(status):
+        r = _sub("s1", "2024-01-10 10:00:00", "2024-01-11 00:00:00",
+                 status=status)
+        r["_op"] = "U"
+        return r
+
+    rows = [[r[c] for c in cols] for r in (change("alpha"), change("beta"))]
+    winners = set()
+    for parts in (1, 7):
+        cdf = spark.createDataFrame(rows, cols).repartition(parts)
+        lake_dir = str(tmp_path / f"lake{parts}")
+        apply_cdc_batch(spark, cdf, spec, lake_dir)
+        root = f"{lake_dir}/raw/locaweb/{spec.name}"
+        got = [r.status for r in spark.read.parquet(root).collect()]
+        assert len(got) == 1
+        winners.add(got[0])
+    assert len(winners) == 1  # same winner regardless of partitioning

@@ -621,3 +621,32 @@ def test_cdc_ingest_stream(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {r.id: r.status for r in spark.read.parquet(root).collect()}
     assert got2 == {"a": "cancelled"}
+
+
+def test_audited_ingest_collapses_in_batch_duplicates(spark, tmp_path):
+    """The same id delivered twice inside ONE micro-batch (two files,
+    one trigger) must append exactly once — the destination anti-join
+    can't catch rows that aren't written yet."""
+    import pandas as pd
+
+    from data_ingestor_gluejob_script_spark.queries.audit import not_null
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    pd.DataFrame(
+        {"o_orderkey": [1, 1], "o_custkey": [10.0, 10.0]}
+    ).to_parquet(src / "a.parquet")
+    pd.DataFrame(
+        {"o_orderkey": [1, 2], "o_custkey": [10.0, 11.0]}
+    ).to_parquet(src / "b.parquet")
+
+    q = streaming.run_audited_ingest(
+        spark, str(src), str(tmp_path / "lake"), str(tmp_path / "qr"),
+        str(tmp_path / "ck"), [not_null("o_custkey")],
+        id_col="o_orderkey",
+        max_files_per_trigger=2,  # both files in ONE batch
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "lake"))
+    assert got.count() == 2
+    assert {r.o_orderkey for r in got.collect()} == {1, 2}
