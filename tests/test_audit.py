@@ -237,3 +237,20 @@ def test_audit_empty_input_passes_with_zero_violations(spark):
         assert r.violations == 0
         assert r.checked == 0
         assert r.passed is True
+
+
+def test_referential_check_shuffled_path_matches_broadcast(spark):
+    """broadcast_parent=False (fact-scale parent): same verdict as the
+    broadcast path, for both clean and poisoned inputs."""
+    orders = load(spark, SF_DIR, "orders")
+    customer = load(spark, SF_DIR, "customer")
+    for parent in (customer, customer.limit(50)):
+        a = referential_check(
+            orders, "o_custkey", parent, "c_custkey", broadcast_parent=True
+        ).collect()[0]
+        b = referential_check(
+            orders, "o_custkey", parent, "c_custkey", broadcast_parent=False
+        ).collect()[0]
+        assert (a.violations, a.checked, a.passed) == (
+            b.violations, b.checked, b.passed
+        )
