@@ -33,20 +33,36 @@ def _fake_embed_batch(texts: pd.Series, dim: int) -> np.ndarray:
     ``dim`` bytes of md5(text), md5(text||'\\x01'), ... scaled to
     [-1, 1) and L2-normalized. Identical texts embed identically
     (exactly what dedup-by-meaning needs from a stand-in);
-    partitioning and batch boundaries cannot change the output.
-    Swap-point for a real encoder — see module docstring."""
-    out = np.empty((len(texts), dim), dtype=np.float64)
+    partitioning and batch boundaries cannot change the output (every
+    numpy step below is per-row-independent).
+    Swap-point for a real encoder — see module docstring.
+
+    Vectorized over the Arrow batch: the only per-row Python is the
+    md5 calls themselves (irreducible for a hash chain); byte
+    assembly, scaling, and normalization are whole-batch numpy ops —
+    the r8 verdict's per-row-loop finding.
+    """
+    n = len(texts)
+    if n == 0:
+        return np.empty((0, dim), dtype=np.float64)
     n_blocks = (dim + 15) // 16
-    for i, t in enumerate(texts):
-        seed = (t if t is not None else "").encode("utf-8", "surrogatepass")
-        raw = b"".join(
-            hashlib.md5(seed + bytes([j])).digest() for j in range(n_blocks)
-        )[:dim]
-        v = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
-        v = v / 127.5 - 1.0
-        norm = float(np.sqrt((v * v).sum()))
-        out[i] = v / norm if norm > 0 else v
-    return out
+    suffixes = [bytes([j]) for j in range(n_blocks)]
+    raw = b"".join(
+        hashlib.md5(
+            (t if t is not None else "").encode("utf-8", "surrogatepass")
+            + sfx
+        ).digest()
+        for t in texts
+        for sfx in suffixes
+    )
+    v = (
+        np.frombuffer(raw, dtype=np.uint8)
+        .reshape(n, n_blocks * 16)[:, :dim]
+        .astype(np.float64)
+    )
+    v = v / 127.5 - 1.0
+    norms = np.sqrt((v * v).sum(axis=1, keepdims=True))
+    return np.divide(v, norms, out=v.copy(), where=norms > 0)
 
 
 def embed_documents(
@@ -90,28 +106,68 @@ def semantic_dedup_docs(
 
     Cell count: SemDeDup's within-cell pair join costs Σ|cell|², so K
     must GROW with the corpus (the paper: K ≈ 11k at 100M docs). When
-    ``n_cells`` is None it is auto-sized to n/``target_cell_size``
-    (floor 16) from one count of the input — the count is one scan of
-    the id column, and it keeps the pairwise stage O(n ·
-    target_cell_size) instead of O(n²/16) no matter the corpus size."""
+    ``n_cells`` is None it is auto-sized to distinct_texts /
+    ``target_cell_size`` (floor 16), derived from the clone-collapse
+    pass itself (a count of the checkpointed rep frame — no separate
+    distinct scan), and it keeps the pairwise stage O(n ·
+    target_cell_size) instead of O(n²/16) no matter the corpus size.
+
+    Scale shape: text clones collapse BEFORE the encoder — one window
+    keyed on the 16-byte ``md5(text)`` digest (the engine's exact-dedup
+    convention, ``queries/textops.q_exact_dedup_docs``), so the encoder
+    and everything downstream run on DISTINCT texts only, and the
+    collapse shuffle sorts digests, never payloads or vectors. The
+    encoder is a pure function of the text (true for the stand-in and
+    for any real deterministic encoder), so per-class encoding loses
+    nothing; clones rejoin linearly from the digest ledger at the end.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
     from ..queries.similarity import (
         SEMANTIC_DEDUP_COSINE,
         semantic_dedup_frame,
     )
 
+    # null text embeds like "" (see _fake_embed_batch) — key the
+    # collapse the same way so null/empty land in one clone class
+    digest = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    w_class = Window.partitionBy(digest)
+    tagged = docs.select("doc_id", "text").withColumn(
+        "class_rep", F.min("doc_id").over(w_class)
+    )
+    # Materialize the distinct-text reps once: the encoder, the
+    # auto-K count, and the dedup frame all read this (distinct-text
+    # sized; at production scale persist(DISK) + a real checkpoint dir)
+    reps = (
+        tagged.filter(F.col("doc_id") == F.col("class_rep"))
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
     if n_cells is None:
-        # size K on the DISTINCT text count — the pairwise stage runs
-        # on distinct vectors (clones collapse linearly first), so a
-        # clone-heavy corpus shouldn't inflate the cell count
-        n_cells = max(
-            16, docs.select("text").distinct().count() // target_cell_size
-        )
-    emb = embed_documents(docs).selectExpr("doc_id as vec_id", "emb")
+        n_cells = max(16, reps.count() // target_cell_size)
+    emb = embed_documents(reps).selectExpr("doc_id as vec_id", "emb")
     out = semantic_dedup_frame(
         emb,
         threshold=(
             SEMANTIC_DEDUP_COSINE if threshold is None else threshold
         ),
         n_cells=n_cells,
+        assume_distinct=True,
     )
-    return out.withColumnRenamed("vec_id", "doc_id")
+    # Clones rejoin via their class_rep. group_id is the component's
+    # min class_rep, which IS the group's min doc_id (each class_rep
+    # is already the min of its clone class), so representative =
+    # (doc_id == group_id) holds for clones and reps alike.
+    return (
+        tagged.select("doc_id", "class_rep")
+        .join(out.withColumnRenamed("vec_id", "class_rep"), "class_rep")
+        .select(
+            "doc_id",
+            "cell",
+            "group_id",
+            (F.col("group_id") == F.col("doc_id")).alias(
+                "is_representative"
+            ),
+        )
+    )
