@@ -37,11 +37,15 @@ Protocol hardening:
   acts as the JVM warm-up for everything in the batch.
 - Per-rep times are recorded in ``reps_detail`` so a degraded tail
   (reps trending upward) is visible in the artifact, not just the min.
-- The final stdout line is a COMPACT summary only (~1.6 KB for 50
+- The final stdout line is a COMPACT core-only summary (~1.3 KB for 50
   queries): the consumer that records this run keeps just the last
-  2,000 characters of stdout, and round 5's full-detail line (~6 KB)
-  overflowed that window and lost its own front half. ``reps_detail``
-  and ``batch_loads`` go to ``BENCH_DETAIL.json`` next to this file
+  2,000 characters of stdout. Round 5's full-detail line (~6 KB)
+  overflowed that window and lost its own front half; round 8's
+  core+extras line (~2.1 KB) overflowed it again and truncated the
+  first core key. The extras block therefore rides on its OWN earlier
+  ``__bench_extras__`` line (clipped first if anything must be), and
+  the final line always parses as complete JSON. ``reps_detail`` and
+  ``batch_loads`` go to ``BENCH_DETAIL.json`` next to this file
   instead of onto the line.
 - The worker flushes a progress line after every completed round-robin
   pass, so if its JVM dies mid-batch (OOM/crash) the parent salvages
@@ -50,10 +54,12 @@ Protocol hardening:
 - The UNREGISTERED operator suite (``queries/extras.py``: corpus
   stats, quantize/IVF, Z-order, connected components, the composed
   curation pipeline) is benched after the inventory at best-of-
-  ``$SPARK_GRAFT_BENCH_EXTRAS_REPS`` (default 2) and reported in the
-  summary's ``extras`` block — excluded from ``value`` (no baseline
-  twin) but recorded so regressions in unregistered code are caught
-  the same way as registered ones.
+  ``$SPARK_GRAFT_BENCH_EXTRAS_REPS`` (default 2) and reported on its
+  own ``__bench_extras__`` stdout line — excluded from ``value`` but
+  compared, from round 9 on, against the frozen round-8 extras table
+  in BASELINE.md (same forward-defined protocol and 2× bar as the
+  round-2 core baseline), so regressions in unregistered code are
+  caught the same way as registered ones.
 """
 
 from __future__ import annotations
@@ -288,10 +294,27 @@ def main() -> int:
             f,
             indent=1,
         )
+    # Two stdout lines, most-important LAST: the consumer records only
+    # the final ~2,000 characters of stdout, and r8's single line (50
+    # core + 34 extras) overflowed it, truncating the first core key
+    # out of the artifact. The extras block goes on its own earlier
+    # line (sacrificed first if the window shrinks); the FINAL line is
+    # the core summary alone — ~1.4 KB at 50 queries, so it always
+    # parses as complete JSON with room to grow. Full-precision copies
+    # of both live in BENCH_DETAIL.json either way.
+    print(
+        json.dumps(
+            {
+                "__bench_extras__": 1,
+                "extras": {k: round(v, 2) for k, v in extras_timings.items()},
+                "extras_total": summary["extras_total"],
+            },
+            separators=(",", ":"),
+        )
+    )
     line_summary = {
-        **summary,
+        **{k: v for k, v in summary.items() if k != "extras"},
         "queries": {k: round(v, 2) for k, v in timings.items()},
-        "extras": {k: round(v, 2) for k, v in extras_timings.items()},
     }
     print(json.dumps(line_summary, separators=(",", ":")))
     return 0
