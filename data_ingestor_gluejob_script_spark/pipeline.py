@@ -617,8 +617,14 @@ def apply_cdc_batch(
     Ordering semantics: WITHIN one batch a key that is both upserted
     and deleted resolves to its LAST change by ``spec.wm_col`` order
     (ties: delete wins — the conservative reading for erasure
-    requests). That pre-resolution happens on the batch alone (one
-    batch-sized window), so the lake never sees a transient state.
+    requests). A delete with a NULL watermark — the normal shape for
+    Debezium-style tombstones, which carry no payload — is treated as
+    newest-in-batch and wins over any upsert for its key: the
+    alternative (nulls-last) silently discards the erasure, the worst
+    failure mode for a right-to-be-forgotten path. Null-wm UPSERTS
+    keep losing to any dated change (no evidence of recency). That
+    pre-resolution happens on the batch alone (one batch-sized
+    window), so the lake never sees a transient state.
 
     Scale shape: both arms stay partition-scoped — the upsert touches
     only partitions the surviving upserts land in, the erasure only
@@ -650,6 +656,12 @@ def apply_cdc_batch(
         # convention) instead of leaving an arbitrary winner
         payload_cols = [c for c in changes.columns if c != spec.id_col]
         w = Window.partitionBy(spec.id_col).orderBy(
+            # null-wm DELETES first (tombstones without payload must
+            # not lose the erasure — see docstring); then latest wm,
+            # nulls last (an undated upsert never beats a dated one)
+            F.when(
+                (op == "D") & F.col(spec.wm_col).isNull(), 0
+            ).otherwise(1),
             F.col(spec.wm_col).desc_nulls_last(),
             F.when(op == "D", 0).otherwise(1),
             F.xxhash64(

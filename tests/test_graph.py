@@ -145,3 +145,33 @@ def test_components_preserve_string_node_ids(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_components_midsize_distributed_path(spark):
+    """~200k-edge graph — ABOVE the SMALL_GRAPH_EDGES driver switch,
+    so this exercises the distributed pointer-jumping path that would
+    actually run at 100 TB (locally it otherwise only ever sees tiny
+    forced fixtures). 3,200 disjoint 64-node chains: diameter 63, so
+    convergence must land in <= log2(diameter)+2 rounds, and every
+    node's label is analytically its chain's minimum id."""
+    from data_ingestor_gluejob_script_spark.operators import graph
+
+    n_chains, chain_len = 3_200, 64
+    edges = (
+        spark.range(n_chains * (chain_len - 1))
+        .select(
+            (
+                (F.col("id") / (chain_len - 1)).cast("long") * chain_len
+                + F.col("id") % (chain_len - 1)
+            ).alias("src")
+        )
+        .withColumn("dst", F.col("src") + 1)
+    )
+    assert edges.count() > graph.SMALL_GRAPH_EDGES  # really distributed
+    comp = connected_components(edges).collect()
+    assert graph.last_rounds > 0  # pointer jumping ran, not union-find
+    assert graph.last_rounds <= 8  # ceil(log2(63)) + 2
+    assert len(comp) == n_chains * chain_len
+    assert all(
+        r.component == (r.node // chain_len) * chain_len for r in comp
+    )

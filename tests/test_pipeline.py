@@ -846,3 +846,47 @@ def test_apply_cdc_batch_tie_break_is_deterministic(spark, tmp_path, lake):
         assert len(got) == 1
         winners.add(got[0])
     assert len(winners) == 1  # same winner regardless of partitioning
+
+
+def test_apply_cdc_batch_null_wm_delete_wins(spark, tmp_path, lake):
+    """A Debezium-style tombstone (delete with NULL watermark — no
+    payload) must still erase its key, even against a dated upsert in
+    the same batch: nulls-last ordering would silently discard the
+    erasure, the worst failure for a right-to-be-forgotten path. A
+    null-wm UPSERT, by contrast, keeps losing to any dated change."""
+    from data_ingestor_gluejob_script_spark.pipeline import (
+        apply_cdc_batch,
+        write_partitioned_upsert,
+    )
+
+    spec = CATALOG["retail_subscriptions"]
+    base = [
+        _sub(f"s{i}", "2024-01-10 10:00:00", "2024-01-10 10:00:00")
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        [[r[c] for c in spec.columns] for r in base], list(spec.columns)
+    )
+    write_partitioned_upsert(spark, df, spec, lake)
+    root = f"{lake}/raw/locaweb/{spec.name}"
+
+    def change(id, updated, op, status="active"):
+        r = _sub(id, "2024-01-10 10:00:00", updated, status=status)
+        r["_op"] = op
+        return r
+
+    cols = list(spec.columns) + ["_op"]
+    changes = [
+        # s0: dated update + NULL-wm tombstone -> delete wins
+        change("s0", "2024-01-11 00:00:00", "U", status="cancelled"),
+        change("s0", None, "D"),
+        # s1: NULL-wm update + dated update -> the dated one wins
+        change("s1", None, "U", status="undated"),
+        change("s1", "2024-01-11 00:00:00", "U", status="dated"),
+    ]
+    cdf = spark.createDataFrame([[r[c] for c in cols] for r in changes], cols)
+    n_up, n_del = apply_cdc_batch(spark, cdf, spec, lake)
+    assert (n_up, n_del) == (1, 1)
+    got = {r.id: r.status for r in spark.read.parquet(root).collect()}
+    assert set(got) == {"s1", "s2"}  # s0 erased by the tombstone
+    assert got["s1"] == "dated"

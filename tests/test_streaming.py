@@ -315,7 +315,10 @@ def test_vocab_ingest_matches_batch_and_is_replay_safe(spark, tmp_path):
         {"doc_id": [3], "text": ["fast fast key order"]}
     ).to_parquet(src / "b.parquet")
 
-    vocab = str(tmp_path / "vocab")
+    # Explicit file: URI — the lake's pointer/prune ops go through the
+    # Hadoop FileContext API, so a scheme'd path must work end-to-end
+    # (a driver-local os.* implementation would silently mistreat it).
+    vocab = f"file://{tmp_path / 'vocab'}"
     q = streaming.run_vocab_ingest(
         spark, str(src), vocab, str(tmp_path / "ckpt1")
     )
@@ -560,6 +563,34 @@ def test_audited_ingest_splits_and_is_idempotent(spark, tmp_path):
         1, 2, 4, 5
     }
     assert spark.read.parquet(quarantine).count() == 2
+
+    # a SECOND, DISTINCT violation of an already-quarantined id is new
+    # content and must reach quarantine — an id-only guard would drop
+    # it silently (the content-digest guard's reason to exist)
+    pd.DataFrame(
+        {
+            "o_orderkey": [3],
+            "o_custkey": [None],          # now a null custkey, not a
+            "o_orderstatus": ["O"],       # bad status like before
+        }
+    ).to_parquet(src / "d.parquet")
+    q4 = streaming.run_audited_ingest(
+        spark, str(src), lake, quarantine, str(tmp_path / "ck4"),
+        checks(), id_col="o_orderkey",
+    )
+    q4.awaitTermination(120)
+    bad3 = [
+        sorted(r._violations)
+        for r in spark.read.parquet(quarantine)
+        .filter("o_orderkey = 3")
+        .collect()
+    ]
+    assert sorted(bad3) == [
+        ["accepted:o_orderstatus"],
+        ["not_null:o_custkey"],
+    ]
+    # and the identical-redelivery guard still holds for everything else
+    assert spark.read.parquet(lake).count() == 4
 
 
 def test_cdc_ingest_stream(spark, tmp_path):
