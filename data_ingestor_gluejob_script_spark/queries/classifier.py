@@ -1,0 +1,117 @@
+"""Hashed linear quality classifier — the fastText/CCNet-style model
+scoring stage of a training-data pipeline, expressed as pure Catalyst
+expressions so a 100 TB corpus is scored in one map + one shuffle.
+
+A document's features are its tokens hashed into 2^HASH_BITS buckets
+(feature hashing, Weinberger et al. 2009); the model is a (bucket,
+weight) table; the score is sigmoid(sum(tf * w) / n_tokens + bias).
+The bucket hash is crc32 (``F.crc32`` JVM-side == ``zlib.crc32``
+python-side, bit-identical), so the pytest oracle re-derives every
+score in pure python with no Spark-hash round-trip.
+
+Scale shape: the weight table is model-sized (≤2^HASH_BITS rows ≪
+corpus) → broadcast join onto the exploded token stream; the corpus
+then shuffles ONCE on doc_id with partial aggregation (sum of tf*w
+combines map-side). Buckets the model never saw contribute 0 via the
+left join's null coalesce — exactly the sparse-dot-product semantics.
+The stand-in weight table is derived deterministically from the bucket
+id (a real model drops in as any (bucket, weight) DataFrame, e.g. read
+from the trainer's export).
+
+Not driver-registered (inventory pinned at 50); differential-tested in
+tests/test_classifier.py, benched as x_quality_classifier.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HASH_BITS = 16
+N_BUCKETS = 1 << HASH_BITS
+DEFAULT_BIAS = -0.2
+
+
+def bucket_of(token: str) -> int:
+    """Python twin of the JVM-side bucket expression (oracle use)."""
+    return zlib.crc32(token.encode("utf-8")) % N_BUCKETS
+
+
+def standin_weights(spark: SparkSession) -> DataFrame:
+    """Deterministic stand-in model covering the FULL bucket space
+    (2^16 rows — still a trivially broadcastable model table), weight
+    a dyadic rational in [-0.5, 0.5) derived from the bucket id.
+    Dyadic weights make the distributed sum bit-exact regardless of
+    aggregation order (see tests/test_classifier.py); a real exported
+    model replaces this frame wholesale."""
+    return spark.range(N_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (((F.col("id") * 2654435761) % 1024) / 1024.0 - 0.5).alias("weight"),
+    )
+
+
+def standin_weight_of(bucket: int) -> float:
+    """Python twin of standin_weights (oracle use)."""
+    return ((bucket * 2654435761) % 1024) / 1024.0 - 0.5
+
+
+def classifier_score_frame(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    bias: float = DEFAULT_BIAS,
+) -> DataFrame:
+    """Score every document with the hashed linear model. Returns
+    (doc_id, n_tokens, logit, score) where
+    logit = sum_over_tokens(weight[bucket(token)]) / n_tokens + bias
+    and score = sigmoid(logit), rounded to 6 dp for oracle-stable
+    comparison. Token-less documents (empty text still tokenizes to
+    one "" token under split-on-space — same convention as the token
+    counters) score through the same formula, so every input row
+    appears in the output.
+
+    Plan: map (split + explode + crc32 % 2^bits) → broadcast-left-join
+    the weight table → groupBy(doc_id) partial-aggregated sum. One
+    shuffle, keyed by doc_id.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        (F.crc32(F.col("tok").cast("binary")) % F.lit(N_BUCKETS)).alias(
+            "bucket"
+        ),
+    )
+    joined = toks.join(F.broadcast(weights), "bucket", "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_wsum"),
+    )
+    logit = F.col("_wsum") / F.col("n_tokens") + F.lit(bias)
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round(logit, 6).alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+    )
+
+
+def quality_partition(
+    docs: DataFrame,
+    weights: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Composable keep/drop form: the input rows plus a ``keep``
+    flag (score >= threshold), via a broadcast-free semi-join-shaped
+    inner join of the score frame back onto the docs — the scored ids
+    are corpus-sized, so the join shuffles both sides on doc_id (the
+    same key the score aggregation just produced, so AQE reuses the
+    partitioning on the score side)."""
+    scores = classifier_score_frame(docs, weights, text_col).select(
+        "doc_id", (F.col("score") >= threshold).alias("keep")
+    )
+    return docs.join(scores, "doc_id")

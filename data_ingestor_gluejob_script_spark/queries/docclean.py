@@ -1,0 +1,264 @@
+"""Document-cleaning operators for training-data curation: corpus-level
+line deduplication (the C4 recipe) and within-document repetition
+metrics (the Gopher quality-rule family).
+
+Reference parity note: the reference job (gluejob.py) has no text
+curation at all — these operators extend the engine's LLM-pipeline
+surface alongside queries/textops.py (exact/near dedup, contamination,
+PII) and queries/corpusstats.py (repetition, spans, perplexity).
+
+Both operators are implemented but NOT driver-registered (the
+inventory gate is pinned at 50 — tests/test_inventory.py); they are
+differentially tested against exact pure-Python oracles in
+tests/test_docclean.py and benched via queries/extras.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+LINE_DELIM = "\n"
+
+
+def line_dedup_frame(
+    docs: DataFrame,
+    text_col: str = "text",
+    delim: str = LINE_DELIM,
+) -> DataFrame:
+    """Corpus-level exact line deduplication, the C4 cleanup rule: every
+    distinct line is kept exactly ONCE across the whole corpus — at its
+    first occurrence in (doc_id, line position) order — and removed
+    everywhere else; documents are reassembled from their surviving
+    lines and documents left empty are dropped.
+
+    Returns (doc_id, text, n_lines, n_kept) with ``text`` rebuilt from
+    the kept lines joined by ``delim``.
+
+    Scale shape (the skew-safe one):
+    1. posexplode lines; key each line by md5 (the module's
+       oracle-visible-hash convention — 128-bit, collision odds
+       negligible; the hash decides which lines are "the same", so a
+       64-bit internal key is NOT enough here).
+    2. groupBy(line hash) → min(struct(doc_id, pos)): the argmin is
+       computed with map-side partial aggregation, so a line occurring
+       a billion times ("", boilerplate headers) ships at most one
+       candidate row per input partition — no hot reducer.
+    3. Winners join back LEFT SEMI on the UNIQUE triple
+       (hash, doc_id, pos) — every corpus row has a distinct join key,
+       so the keep/drop decision never co-locates the occurrences of a
+       hot line (a plain join on the hash alone would funnel them into
+       one task). Cost: the exploded corpus shuffles twice (once on
+       hash, once on the triple) — that is the price of skew immunity,
+       and it is the right trade at 100 TB where boilerplate lines are
+       Zipf-distributed.
+    4. groupBy(doc_id) + collect_list + array_sort rebuilds each doc;
+       per-group state is one document's lines — bounded by document
+       size, not corpus size.
+
+    n_lines counts the doc's original lines so the caller can audit
+    attrition without a second pass over the input.
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    ).select("doc_id", "pos", "line", F.md5("line").alias("_h"))
+
+    winners = lines.groupBy("_h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_first")
+    )
+    winner_keys = winners.select(
+        "_h",
+        F.col("_first.doc_id").alias("doc_id"),
+        F.col("_first.pos").alias("pos"),
+    )
+
+    kept = lines.join(winner_keys, ["_h", "doc_id", "pos"], "left_semi")
+
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    return rebuilt.join(totals, "doc_id").select(
+        "doc_id", "text", "n_lines", "n_kept"
+    )
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021, table A1 uses
+# per-n values; these two are representative and the frame exposes the
+# raw fractions so callers can pick their own cut-offs).
+TOP_BIGRAM_CHAR_FRAC_MAX = 0.20
+DUP_TRIGRAM_CHAR_FRAC_MAX = 0.30
+
+
+def gopher_repetition_frame(
+    docs: DataFrame,
+    text_col: str = "text",
+    delim: str = LINE_DELIM,
+) -> DataFrame:
+    """Within-document repetition metrics, the Gopher quality-rule
+    family (duplicate-line fraction, duplicate-line character fraction,
+    top n-gram character fraction, duplicate n-gram character
+    fraction). One row per document:
+
+      doc_id, n_words, n_chars,
+      dup_line_frac        = 1 - distinct_lines / lines
+      dup_line_char_frac   = chars in lines occurring >1x / total chars
+                             (every occurrence of a repeated line
+                             counts, including the first)
+      top_bigram           = most frequent word 2-gram (ties broken by
+                             the lexicographically LARGEST gram — the
+                             natural max_by(struct(cnt, gram)) order,
+                             mirrored exactly by the oracle)
+      top_bigram_char_frac = count(top_bigram) * chars(top_bigram)
+                             / total chars, 0.0 when no bigram exists
+      dup_trigram_char_frac= sum over trigrams with count >= 2 of
+                             count * chars(trigram) / total chars,
+                             capped at 1.0 (overlapping occurrences are
+                             NOT position-unioned — the standard Gopher
+                             approximation; the cap keeps the fraction
+                             interpretable)
+
+    total chars = length(text). Character counts of grams exclude the
+    joining spaces' neighbours exactly as written: chars(gram) =
+    length(gram) with words joined by a single space.
+
+    Scale shape: one posexplode of typed units (line / 2-gram /
+    3-gram) from pre-projected word arrays, then TWO partially
+    aggregated shuffles — groupBy(doc_id, unit_type, unit) for counts,
+    groupBy(doc_id) with conditional aggregates for the metrics — and
+    one broadcast-free join back to per-doc totals computed map-side in
+    the same first projection. Unit counts are per-document, so both
+    shuffles key on doc_id and are skew-bounded by document size, not
+    corpus-wide unit popularity (contrast: corpus-level vocab in
+    corpusstats.vocab_frame).
+    """
+    ws = F.split(F.col(text_col), " ")
+    base = docs.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars"),
+        F.size(ws).alias("n_words"),
+        F.split(F.col(text_col), delim).alias("_lines"),
+        ws.alias("_ws"),
+    )
+
+    def grams(n: int) -> Column:
+        size = F.size(F.col("_ws"))
+        idx = F.sequence(F.lit(0), size - F.lit(n))
+        parts = lambda i: [F.col("_ws")[i + j] for j in range(n)]  # noqa: E731
+        sh = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+        return F.when(size >= F.lit(n), sh).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    units = base.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        F.size("_lines").alias("n_lines"),
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.col("_lines"), lambda ln: F.struct(
+                        F.lit("l").alias("t"), ln.alias("u")
+                    )
+                ),
+                F.transform(
+                    grams(2), lambda g: F.struct(
+                        F.lit("2").alias("t"), g.alias("u")
+                    )
+                ),
+                F.transform(
+                    grams(3), lambda g: F.struct(
+                        F.lit("3").alias("t"), g.alias("u")
+                    )
+                ),
+            )
+        ).alias("_u"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        "n_lines",
+        F.col("_u.t").alias("t"),
+        F.col("_u.u").alias("u"),
+    )
+
+    counts = units.groupBy(
+        "doc_id", "n_chars", "n_words", "n_lines", "t", "u"
+    ).agg(F.count("*").alias("cnt"))
+
+    is_line = F.col("t") == "l"
+    is_bi = F.col("t") == "2"
+    is_tri = F.col("t") == "3"
+    chars_u = F.length("u")
+    nc = F.col("n_chars")
+
+    agg = counts.groupBy("doc_id", "n_chars", "n_words", "n_lines").agg(
+        F.sum(F.when(is_line, 1).otherwise(0)).alias("_distinct_lines"),
+        F.sum(
+            F.when(is_line & (F.col("cnt") >= 2), F.col("cnt") * chars_u)
+            .otherwise(F.lit(0))
+        ).alias("_dup_line_chars"),
+        F.max(
+            F.when(is_bi, F.struct(F.col("cnt").alias("cnt"), F.col("u").alias("u")))
+        ).alias("_top_bi"),
+        F.sum(
+            F.when(is_tri & (F.col("cnt") >= 2), F.col("cnt") * chars_u)
+            .otherwise(F.lit(0))
+        ).alias("_dup_tri_chars"),
+    )
+
+    safe_div = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.round(num / den, 6)
+    ).otherwise(F.lit(0.0))
+
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        safe_div(
+            (F.col("n_lines") - F.col("_distinct_lines")).cast("double"),
+            F.col("n_lines"),
+        ).alias("dup_line_frac"),
+        safe_div(F.col("_dup_line_chars").cast("double"), nc).alias(
+            "dup_line_char_frac"
+        ),
+        F.col("_top_bi.u").alias("top_bigram"),
+        safe_div(
+            F.coalesce(
+                F.col("_top_bi.cnt") * F.length(F.col("_top_bi.u")), F.lit(0)
+            ).cast("double"),
+            nc,
+        ).alias("top_bigram_char_frac"),
+        F.least(
+            F.lit(1.0), safe_div(F.col("_dup_tri_chars").cast("double"), nc)
+        ).alias("dup_trigram_char_frac"),
+    )
+
+
+def gopher_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_bigram_max: float = TOP_BIGRAM_CHAR_FRAC_MAX,
+    dup_trigram_max: float = DUP_TRIGRAM_CHAR_FRAC_MAX,
+) -> DataFrame:
+    """Remove documents breaching the repetition thresholds — the
+    composable filter form (semi-join of surviving ids onto the full
+    document rows, same shape as textops.decontaminate)."""
+    keep = (
+        gopher_repetition_frame(docs, text_col)
+        .filter(
+            (F.col("top_bigram_char_frac") <= top_bigram_max)
+            & (F.col("dup_trigram_char_frac") <= dup_trigram_max)
+        )
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi")

@@ -38,6 +38,9 @@ from .audit import (
 from ..operators.layout import zorder_layout
 from ..operators.skew import skew_report
 from ._util import load, spread
+from .bloom import bloom_decontaminate
+from .classifier import classifier_score_frame, standin_weights
+from .docclean import gopher_repetition_frame, line_dedup_frame
 from .corpusstats import (
     bm25_search_join,
     bm25_topk_frame,
@@ -168,6 +171,28 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread(spark, load(spark, sf_dir, "documents"))
 
 
+def multiline_docs(docs: DataFrame, words_per_line: int = 10) -> DataFrame:
+    """Reshape the single-line testdata documents into multi-line form
+    (10-word lines joined by \\n) so corpus line dedup has real lines
+    to work on. Pure map (split + slice + concat_ws) — no shuffle, and
+    the repetitive generator vocabulary guarantees cross-document
+    duplicate lines. The python-side oracle reshape in
+    tests/test_docclean.py mirrors this chunking exactly (parity
+    pinned by test_multiline_reshape_parity)."""
+    ws = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(ws) / F.lit(words_per_line)).cast("int")
+    idx = F.sequence(F.lit(0), n_lines - F.lit(1))
+    lines = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.slice(ws, i * words_per_line + 1, words_per_line)
+        ),
+    )
+    return docs.select(
+        "doc_id", F.concat_ws("\n", lines).alias("text")
+    )
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _load_emb normalizes the stored column to the (vec_id, emb)
     # double-vector shape every similarity frame expects.
@@ -188,6 +213,13 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name -> (spark, sf_dir) -> DataFrame, for bench.py --extras."""
     return {
         "x_vocab": lambda s, d: vocab_frame(_docs(s, d)),
+        # C4 corpus-level line dedup over the 10-word-line reshape
+        "x_line_dedup": lambda s, d: line_dedup_frame(
+            multiline_docs(_docs(s, d))
+        ),
+        "x_gopher_repetition": lambda s, d: gopher_repetition_frame(
+            multiline_docs(_docs(s, d))
+        ),
         "x_repetition": lambda s, d: repetition_frame(_docs(s, d)),
         "x_unigram_logprob": lambda s, d: unigram_logprob_frame(_docs(s, d)),
         # query terms: generator-vocabulary words present at every SF
@@ -223,6 +255,12 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "x_contamination_report": lambda s, d: contamination_report(
             _docs(s, d), _bench_docs(s, d)
+        ),
+        "x_bloom_decontaminate": lambda s, d: bloom_decontaminate(
+            _docs(s, d), _bench_docs(s, d)
+        ),
+        "x_quality_classifier": lambda s, d: classifier_score_frame(
+            _docs(s, d), standin_weights(s)
         ),
         "x_split_leakage": lambda s, d: split_leakage_report(
             q_simhash_neardup_pairs(s, d).select("doc_a", "doc_b"),
