@@ -24,6 +24,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.diff import table_diff_summary
 from ..operators.embed import semantic_dedup_docs
 from ..operators.graph import neardup_groups
 from .audit import (
@@ -65,7 +66,11 @@ from .similarity import (
     semantic_dedup_frame,
 )
 from .pq import ivfpq_topk, pq_codebooks, pq_encode, pq_rescore_topk
-from .textops import contamination_report, q_simhash_neardup_pairs
+from .textops import (
+    contamination_report,
+    minhash_dedup_frame,
+    q_simhash_neardup_pairs,
+)
 from .tokenizer import pack_token_stream, q_encode_corpus, vocab_with_ids
 from .traindata import (
     attrition_report,
@@ -213,6 +218,10 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """name -> (spark, sf_dir) -> DataFrame, for bench.py --extras."""
     return {
         "x_vocab": lambda s, d: vocab_frame(_docs(s, d)),
+        # near-dup REMOVAL end-to-end (exact collapse + band join +
+        # inline signature verify + anti-join), vs the pair-listing
+        # q_minhash_lsh_pairs already in the core set
+        "x_minhash_dedup": lambda s, d: minhash_dedup_frame(_docs(s, d)),
         # C4 corpus-level line dedup over the 10-word-line reshape
         "x_line_dedup": lambda s, d: line_dedup_frame(
             multiline_docs(_docs(s, d))
@@ -293,6 +302,21 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             token_col="n_tokens",
         ),
         "x_cdc_apply": x_cdc_apply,
+        # snapshot diff of lineitem vs a mutated twin (1/7 removed,
+        # 1/5 re-priced) — the post-backfill validation pass
+        "x_table_diff": lambda s, d: (
+            lambda li: table_diff_summary(
+                li,
+                li.filter(F.col("l_linenumber") % 7 != 0).withColumn(
+                    "l_extendedprice",
+                    F.when(
+                        F.col("l_orderkey") % 5 == 0,
+                        F.col("l_extendedprice") + 1,
+                    ).otherwise(F.col("l_extendedprice")),
+                ),
+                ["l_orderkey", "l_linenumber"],
+            )
+        )(load(s, d, "lineitem")),
         "x_quality_audit": lambda s, d: audit_report(
             load(s, d, "orders"),
             [

@@ -275,26 +275,27 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band_idx, band_hash): MinHash signature over 3-word
-    shingles — slot i = min over shingles of md5('{i}:'||shingle) —
-    folded into band hashes. Lexicographic min over md5 hex is a valid
-    uniform min-hash family and is engine-portable.
+def minhash_signature_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, s0..s7): MinHash signature over 3-word shingles —
+    slot i = 4 hex chars [4i+1, 4i+4] of md5(shingle), minimized over
+    the doc's shingle set. Lexicographic min over md5 hex is a valid
+    uniform min-hash family and is engine-portable. Docs with fewer
+    than SHINGLE_K words are dropped (no shingles, no signature).
 
-    Signature derivation is map-only (array_min over a per-row
-    transform) — the explode → 8-way min groupBy formulation shuffles
-    every shingle; this shuffles nothing until the (band_idx,
-    band_hash) candidate join, whose input is 2 rows per doc."""
-    docs = spread(spark, load(spark, sf_dir, "documents"))
+    Map-only (array_min over a per-row transform) — the explode →
+    8-way min groupBy formulation shuffles every shingle; this
+    shuffles nothing. Frame-level entry so the incremental near-dup
+    ingest (streaming.run_neardup_ingest) can sign arbitrary incoming
+    batches with the exact family the batch LSH queries use."""
     # Emptiness test on the cheap word count, NOT on the shingle array:
-    # a filter on the shingle expression gets pushed below the
+    # a filter on the shingle expression gets pushed below an upstream
     # repartition and evaluates the whole shingling single-threaded on
     # the one-partition scan (and then again after the exchange). The
     # words array is projected before shingling so the interpreted
     # lambda binds an attribute, not a per-access re-split
     # (shingles_from_words docstring).
     sh = (
-        docs.select("doc_id", words_col(F.col("text")).alias("_ws"))
+        docs.select("doc_id", words_col(F.col(text_col)).alias("_ws"))
         .filter(F.size(F.col("_ws")) >= SHINGLE_K)
         .select("doc_id", shingles_from_words(F.col("_ws")).alias("sh"))
     )
@@ -310,13 +311,18 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (element, index) calling convention and shadow the slot id.
         return lambda h: F.substring(h, 4 * i + 1, 4)
 
-    sig = hashed.select(
+    return hashed.select(
         "doc_id",
         *[
             F.array_min(F.transform(F.col("hs"), slot(i))).alias(f"s{i}")
             for i in range(N_MINHASH)
         ],
     )
+
+
+def bands_from_signature(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) from a signature frame: each band
+    is md5 over its slots — 2 rows per doc, map-only."""
     bands = [
         F.struct(
             F.lit(bi).alias("band_idx"),
@@ -324,19 +330,115 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for bi, slots in enumerate(MINHASH_BANDS)
     ]
-    return (
-        sig.select("doc_id", F.explode(F.array(*bands)).alias("b"))
-        .select(
-            "doc_id",
-            F.col("b.band_idx").alias("band_idx"),
-            F.col("b.band_hash").alias("band_hash"),
+    return sig.select("doc_id", F.explode(F.array(*bands)).alias("b")).select(
+        "doc_id",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
+
+
+# 6 of 8 equal slots. Must be > 0.5: one matched band already implies
+# 4 of 8 slots equal, so any tau <= 0.5 would make the signature
+# verification vacuous and keep every band collision.
+MINHASH_DEDUP_TAU = 0.75
+
+
+def banded_signature_frame(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash, s0..s7): band rows that CARRY the
+    signature slots, so a candidate join can verify estimated Jaccard
+    inline instead of joining back to a signature table twice."""
+    bands = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"s{i}") for i in slots])
+            ).alias("band_hash"),
         )
-        # Explicit exchange on the join keys: the map-only signature
-        # derivation has no shuffle of its own, so without this the
-        # candidate self-join would recompute the whole derivation on
-        # both sides; with it, both sides read one ReusedExchange and
-        # arrive pre-partitioned for the join.
-        .repartition("band_idx", "band_hash")
+        for bi, slots in enumerate(MINHASH_BANDS)
+    ]
+    slot_cols = [f"s{i}" for i in range(N_MINHASH)]
+    return sig.select(
+        "doc_id", *slot_cols, F.explode(F.array(*bands)).alias("b")
+    ).select(
+        "doc_id",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_hash").alias("band_hash"),
+        *slot_cols,
+    )
+
+
+def est_jaccard_col(left_prefix: str = "", right_prefix: str = "_r_") -> Column:
+    """Estimated Jaccard from two carried signatures: fraction of
+    equal MinHash slots — the standard unbiased estimator."""
+    eq = [
+        F.when(
+            F.col(f"{left_prefix}s{i}") == F.col(f"{right_prefix}s{i}"), 1
+        ).otherwise(0)
+        for i in range(N_MINHASH)
+    ]
+    total = eq[0]
+    for e in eq[1:]:
+        total = total + e
+    return total / F.lit(N_MINHASH)
+
+
+def minhash_dedup_frame(
+    docs: DataFrame,
+    tau: float = MINHASH_DEDUP_TAU,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash near-duplicate REMOVAL (the batch twin of
+    streaming.run_neardup_ingest): exact dedup first (min doc_id per
+    md5), then a document is dropped iff some SMALLER-id survivor
+    shares a band and the signatures' estimated Jaccard meets ``tau``.
+
+    The drop rule references the smaller-id doc whether or not that
+    doc is itself retained ("min-id-wins over raw candidates", not
+    greedy-retained chains) — deliberately: it is order-deterministic,
+    batching-invariant (the streaming twin produces the identical
+    corpus when batches arrive in doc_id order — pinned by
+    tests/test_neardup_ingest.py), and free of the sequential
+    dependency a greedy-retained rule would impose on a distributed
+    plan.
+
+    Scale shape: the exact collapse comes FIRST, so clone pileups
+    never reach the band join (the same ordering that makes
+    semantic_dedup_frame linear in clones); the band self-join is the
+    O(n²)-free candidate path; signatures ride ON the band rows, so
+    verification is inline arithmetic, not a join back; the final
+    anti-join carries only the dropped-id list."""
+    survivors = exact_dedup_frame(docs, text_col)
+    sig = minhash_signature_frame(survivors, text_col)
+    bands = banded_signature_frame(sig).repartition("band_idx", "band_hash")
+    right = bands.select(
+        F.col("doc_id").alias("_r_doc_id"),
+        "band_idx",
+        "band_hash",
+        *[F.col(f"s{i}").alias(f"_r_s{i}") for i in range(N_MINHASH)],
+    )
+    dropped = (
+        bands.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("_r_doc_id") < F.col("doc_id"))
+        .filter(est_jaccard_col() >= F.lit(tau))
+        .select("doc_id")
+        .distinct()
+    )
+    return survivors.join(dropped, "doc_id", "left_anti")
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_idx, band_hash) for the testdata corpus —
+    signature + banding composed, pre-partitioned for the candidate
+    self-join.
+
+    The explicit exchange on the join keys matters: the map-only
+    signature derivation has no shuffle of its own, so without it the
+    candidate self-join would recompute the whole derivation on both
+    sides; with it, both sides read one ReusedExchange and arrive
+    pre-partitioned for the join."""
+    docs = spread(spark, load(spark, sf_dir, "documents"))
+    return bands_from_signature(minhash_signature_frame(docs)).repartition(
+        "band_idx", "band_hash"
     )
 
 

@@ -715,6 +715,183 @@ def run_doc_dedup_ingest(
     )
 
 
+def run_neardup_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    lake_dir: str,
+    sig_dir: str,
+    checkpoint_dir: str,
+    tau: float | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous-crawl ingestion with MinHash NEAR-duplicate dedup
+    against everything already seen — the streaming composition of
+    ``textops.minhash_dedup_frame`` for a corpus arriving over time.
+
+    Two lakes:
+    - ``lake_dir``: the retained corpus (what training reads).
+    - ``sig_dir``: the dedup state — one row per DISTINCT text ever
+      seen (retained or dropped): (doc_id, text_md5, s0..s7, with the
+      slots NULL for sub-shingle docs). ~50 bytes/doc regardless of
+      document size, so the state scan stays cheap at any corpus
+      scale, and recording DROPPED docs' signatures too is what makes
+      the drop decision batching-invariant (a near-dup of a dropped
+      doc is still a near-dup of something seen).
+
+    Per micro-batch:
+    1. exact collapse within the batch (min doc_id per md5, the
+       doc-dedup ingest's deterministic-survivor window) and ledger
+       anti-join on ``sig_dir``'s text_md5 — replay idempotence.
+    2. sign the fresh docs (map-only minhash_signature_frame).
+    3. candidates: fresh band rows joined against the union of the
+       signature lake's band rows (derived by a map over the pruned
+       signature scan — 2 md5s per state row, cheaper than persisting
+       a 2x-larger band table) and the batch's own band rows
+       restricted to smaller doc_ids. Signatures ride on the band
+       rows; estimated Jaccard >= tau drops the newcomer.
+    4. append ALL fresh signature rows to ``sig_dir`` and the
+       retained documents to ``lake_dir``.
+
+    Precedence is arrival order (anything already in the state lake
+    beats any newcomer), and smaller-doc_id within a batch. When
+    batches arrive in doc_id order this reproduces the batch twin's
+    corpus EXACTLY (pinned by tests/test_neardup_ingest.py).
+
+    Scale shape: the batch side is small, the state side is a
+    column-pruned 50-byte-row scan; the band join shuffles state rows
+    by (band_idx, band_hash) per batch — at very high batch rates
+    you'd bucketize ``sig_dir`` by band_hash to make that a co-located
+    join, the same evolution write_partitioned_upsert documents for
+    the id upsert.
+    """
+    from pyspark.errors import AnalysisException
+
+    from .queries.textops import (
+        MINHASH_DEDUP_TAU,
+        N_MINHASH,
+        banded_signature_frame,
+        est_jaccard_col,
+        minhash_signature_frame,
+    )
+
+    if tau is None:
+        tau = MINHASH_DEDUP_TAU
+    slot_cols = [f"s{i}" for i in range(N_MINHASH)]
+
+    batch0 = spark.read.parquet(docs_dir)
+    stream = (
+        spark.readStream.schema(batch0.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        hashed = batch_df.withColumn(
+            "text_md5", F.md5(F.coalesce(F.col("text"), F.lit("")))
+        )
+        payload = [
+            c for c in hashed.columns if c not in ("text_md5", "doc_id")
+        ]
+        tie = (
+            F.xxhash64(*[F.col(c).cast("string") for c in payload])
+            if payload
+            else F.lit(0)
+        )
+        w = Window.partitionBy("text_md5").orderBy(
+            F.col("doc_id").asc_nulls_last(), tie.asc_nulls_last()
+        )
+        fresh = (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            state = spark.read.parquet(sig_dir)
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
+            state = None
+        if state is not None:
+            fresh = fresh.join(
+                state.select("text_md5"), "text_md5", "left_anti"
+            )
+        # The fresh slice is consumed by the signing pass, the band
+        # join (twice: probe side and in-batch reference side), and
+        # both appends — pin it so the lake isn't re-scanned per use.
+        fresh = fresh.persist()
+        try:
+            sig = minhash_signature_frame(fresh)
+            sig_rows = fresh.select("doc_id", "text_md5").join(
+                sig, "doc_id", "left"
+            )
+            new_bands = banded_signature_frame(sig)
+            batch_ref = new_bands.select(
+                F.col("doc_id").alias("_r_doc_id"),
+                "band_idx",
+                "band_hash",
+                *[F.col(s).alias(f"_r_{s}") for s in slot_cols],
+                F.lit(False).alias("_r_state"),
+            )
+            refs = [batch_ref]
+            if state is not None:
+                state_sig = state.filter(F.col("s0").isNotNull()).select(
+                    "doc_id", *slot_cols
+                )
+                refs.append(
+                    banded_signature_frame(state_sig).select(
+                        F.col("doc_id").alias("_r_doc_id"),
+                        "band_idx",
+                        "band_hash",
+                        *[F.col(s).alias(f"_r_{s}") for s in slot_cols],
+                        F.lit(True).alias("_r_state"),
+                    )
+                )
+            ref = refs[0]
+            for r in refs[1:]:
+                ref = ref.unionByName(r)
+            dropped = (
+                new_bands.join(ref, ["band_idx", "band_hash"])
+                .filter(
+                    F.col("_r_state")
+                    | (F.col("_r_doc_id") < F.col("doc_id"))
+                )
+                .filter(est_jaccard_col() >= F.lit(tau))
+                .select("doc_id")
+                .distinct()
+            )
+            retained = fresh.join(dropped, "doc_id", "left_anti")
+            # Two-lake exactly-once: corpus append FIRST, guarded by
+            # its own digest anti-join; signature ledger LAST. A crash
+            # between the appends leaves digests out of the ledger, so
+            # the replayed batch reprocesses them (decisions are
+            # deterministic, so the retained set recomputes
+            # identically) and the corpus guard turns the re-append
+            # into a no-op. The reverse order would ledger the batch
+            # before its documents exist — replay would skip it and
+            # the retained rows would be lost.
+            try:
+                corpus_seen = spark.read.parquet(lake_dir).select(
+                    "text_md5"
+                )
+                retained = retained.join(
+                    corpus_seen, "text_md5", "left_anti"
+                )
+            except AnalysisException as ex:
+                if "PATH_NOT_FOUND" not in str(ex):
+                    raise
+            retained.write.mode("append").parquet(lake_dir)
+            sig_rows.write.mode("append").parquet(sig_dir)
+        finally:
+            fresh.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_audited_ingest(
     spark: SparkSession,
     src_dir: str,
