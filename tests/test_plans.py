@@ -213,3 +213,68 @@ def test_dedup_self_joins_reuse_one_exchange_at_runtime(spark):
         df.collect()
         final = df._jdf.queryExecution().executedPlan().toString()
         assert final.count("ReusedExchange") >= min_reuse, name
+
+
+def _frame_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_round9_curation_plan_shapes(spark):
+    """The round-9 curation wave's load-bearing physical properties:
+    no op may cartesian, the classifier's model join must broadcast
+    with exactly one doc-keyed exchange, line dedup's keep decision
+    must be the skew-safe LEFT SEMI, the minhash-dedup self-join must
+    reuse the one band exchange at runtime, and the snapshot diff
+    must be ONE full-outer join with nothing but digests shuffling."""
+    from data_ingestor_gluejob_script_spark.operators.diff import (
+        table_diff,
+    )
+    from data_ingestor_gluejob_script_spark.queries._util import load
+    from data_ingestor_gluejob_script_spark.queries.classifier import (
+        classifier_score_frame,
+        standin_weights,
+    )
+    from data_ingestor_gluejob_script_spark.queries.docclean import (
+        line_dedup_frame,
+    )
+    from data_ingestor_gluejob_script_spark.queries.extras import (
+        multiline_docs,
+    )
+    from data_ingestor_gluejob_script_spark.queries.textops import (
+        minhash_dedup_frame,
+    )
+
+    docs = load(spark, SF, "documents")
+
+    p = _frame_plan(classifier_score_frame(docs, standin_weights(spark)))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # model table broadcast
+    assert p.count("hashpartitioning(doc_id") == 1  # one corpus shuffle
+
+    p = _frame_plan(line_dedup_frame(multiline_docs(docs)))
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p  # unique-triple keep decision
+
+    p = _frame_plan(
+        table_diff(
+            load(spark, SF, "orders"),
+            load(spark, SF, "orders"),
+            ["o_orderkey"],
+        )
+    )
+    assert "CartesianProduct" not in p
+    # exactly one join node, and it's the full-outer ("(N)"-suffixed
+    # tree line appears once; the details section repeats the name
+    # without the paren)
+    assert re.search(r"Join FullOuter \(\d+\)", p)
+    assert len(re.findall(r"Join \w+ \(\d+\)|Join \(\d+\)", p)) == 1
+
+    df = minhash_dedup_frame(docs)
+    assert "CartesianProduct" not in _frame_plan(df)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # 2nd band-join side reads the one explicit band exchange
+    assert final.count("ReusedExchange") >= 1
