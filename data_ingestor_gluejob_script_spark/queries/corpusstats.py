@@ -338,6 +338,52 @@ def weighted_sample_frame(
     return docs.filter(cond)
 
 
+def temperature_weights(
+    counts: dict[str, int], alpha: float, total_frac: float
+) -> dict[str, float]:
+    """Per-source keep rates for temperature-based mixture sampling
+    (the multilingual-LM recipe, XLM-R style): target mixture
+    q_s ∝ n_s^alpha, expected kept total = total_frac * N, keep rate
+    w_s = min(1, total_frac * N * q_s / n_s). alpha < 1 flattens the
+    mixture toward rare sources; alpha = 1 is proportional (uniform
+    keep rate); rates that cap at 1.0 leave the realized total
+    slightly under target (no water-filling loop — document recipes
+    want the simple closed form they can audit). Pure python on the
+    #sources-sized count table."""
+    if not 0.0 < total_frac <= 1.0:
+        raise ValueError("total_frac must be in (0, 1]")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    total = sum(counts.values())
+    denom = sum(c**alpha for c in counts.values())
+    return {
+        s: min(1.0, total_frac * total * (c**alpha / denom) / c)
+        for s, c in counts.items()
+        if c > 0
+    }
+
+
+def temperature_mixture_frame(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    total_frac: float = 0.5,
+    key: str = "source",
+) -> DataFrame:
+    """Temperature mixture sampling end-to-end: per-source counts
+    (one partial-agg shuffle collapsing to #sources rows — the only
+    driver-side data is that count table), closed-form keep rates,
+    then the deterministic hex-draw filter of weighted_sample_frame
+    (map-only, engine-portable, reproducible across partitionings).
+    Differential-tested against the DuckDB twin with the SAME
+    computed weights in tests/test_docclean.py."""
+    counts = {
+        r[key]: r["cnt"]
+        for r in docs.groupBy(key).agg(F.count("*").alias("cnt")).collect()
+    }
+    w = temperature_weights(counts, alpha, total_frac)
+    return weighted_sample_frame(docs, w, key=key, default=0.0)
+
+
 def weighted_sample_oracle(
     weights: dict[str, float], key: str = "source", default: float = 0.0
 ) -> str:

@@ -244,6 +244,102 @@ def gopher_repetition_frame(
     )
 
 
+DEDUP_SPAN_N = 8  # matches corpusstats.DUP_SPAN_N: long enough that a
+# shared span is overwhelmingly real duplication
+
+
+def dedup_spans_frame(
+    docs: DataFrame,
+    n: int = DEDUP_SPAN_N,
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate-span REMOVAL — the rewrite counterpart of
+    corpusstats.duplicate_span_report, and the n-gram-granularity
+    approximation of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"; their
+    suffix-array pass finds arbitrary-length repeats, this one finds
+    repeats at word n-gram resolution, which composes with the
+    engine's span-report and shuffles only hashes).
+
+    Semantics: every word n-gram occurrence EXCEPT the global first
+    occurrence (min (doc_id, pos) order) of an n-gram occurring >= 2
+    times corpus-wide (within-doc repeats count) is redundant; the
+    token positions covered by redundant occurrences (position UNION —
+    overlapping spans don't double-remove) are dropped and each doc is
+    rebuilt from its surviving tokens. Docs left empty are dropped;
+    docs shorter than n words have no spans and pass through intact.
+    Returns (doc_id, text, n_tokens, n_kept).
+
+    Scale shape: gram occurrences travel as 8-byte xxhash64 keys
+    (internal only — the oracle compares raw grams); the count+argmin
+    reduce is partially aggregated, so a hot boilerplate gram ships
+    one candidate per input partition; the classify join keys on the
+    gram hash with a one-row-per-hash build side, so a hot gram costs
+    one reducer a LINEAR pass (join output is occurrence-sized, never
+    a cross product); coverage expansion is explode(sequence) —
+    bounded by n per redundant occurrence; the rebuild groups by
+    doc_id with per-group state bounded by document length."""
+    ws = F.split(F.col(text_col), " ")
+    base = docs.select("doc_id", ws.alias("_ws"), F.size(ws).alias("n_tokens"))
+
+    toks = base.select(
+        "doc_id", "n_tokens", F.posexplode("_ws").alias("pos", "tok")
+    )
+
+    size = F.size(F.col("_ws"))
+    idx = F.sequence(F.lit(0), size - F.lit(n))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(F.col("_ws"), i + 1, n)
+    )
+    grams = (
+        base.filter(size >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(idx, lambda i: F.xxhash64(gram(i)))
+            ).alias("gpos", "gh"),
+        )
+    )
+
+    firsts = grams.groupBy("gh").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct("doc_id", "gpos")).alias("first"),
+    )
+    redundant = (
+        grams.join(firsts, "gh")
+        .filter(
+            (F.col("cnt") >= 2)
+            & ~(
+                (F.col("first.doc_id") == F.col("doc_id"))
+                & (F.col("first.gpos") == F.col("gpos"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+
+    kept = toks.join(redundant, ["doc_id", "pos"], "left_anti")
+    return (
+        kept.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("text"),
+            F.count("*").alias("n_kept"),
+        )
+        .select("doc_id", "text", "n_tokens", "n_kept")
+    )
+
+
 def gopher_filter(
     docs: DataFrame,
     text_col: str = "text",

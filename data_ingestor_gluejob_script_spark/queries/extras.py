@@ -41,7 +41,11 @@ from ..operators.skew import skew_report
 from ._util import load, spread
 from .bloom import bloom_decontaminate
 from .classifier import classifier_score_frame, standin_weights
-from .docclean import gopher_repetition_frame, line_dedup_frame
+from .docclean import (
+    dedup_spans_frame,
+    gopher_repetition_frame,
+    line_dedup_frame,
+)
 from .corpusstats import (
     bm25_search_join,
     bm25_topk_frame,
@@ -52,6 +56,7 @@ from .corpusstats import (
     duplicate_span_report,
     negative_samples_frame,
     repetition_frame,
+    temperature_mixture_frame,
     tfidf_topk_frame,
     vocab_frame,
     weighted_sample_frame,
@@ -228,6 +233,11 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "x_gopher_repetition": lambda s, d: gopher_repetition_frame(
             multiline_docs(_docs(s, d))
+        ),
+        # exact-substring dedup at 8-gram granularity (removal form)
+        "x_dedup_spans": lambda s, d: dedup_spans_frame(_docs(s, d)),
+        "x_temperature_mixture": lambda s, d: temperature_mixture_frame(
+            _docs(s, d), alpha=0.6, total_frac=0.5
         ),
         "x_repetition": lambda s, d: repetition_frame(_docs(s, d)),
         "x_unigram_logprob": lambda s, d: unigram_logprob_frame(_docs(s, d)),

@@ -270,3 +270,172 @@ def test_docclean_fuzz(spark, word_lists):
             r["top_bigram_char_frac"],
             r["dup_trigram_char_frac"],
         ) == gopher_oracle_row(text)
+
+
+# ------------------------------------------- duplicate-span removal
+
+
+def dedup_spans_oracle(rows, n):
+    occ = []
+    for doc_id, text in rows:
+        ws = text.split(" ")
+        for i in range(len(ws) - n + 1):
+            occ.append((doc_id, i, " ".join(ws[i : i + n])))
+    cnt = Counter(g for _, _, g in occ)
+    first = {}
+    for doc_id, i, g in occ:
+        if g not in first or (doc_id, i) < first[g]:
+            first[g] = (doc_id, i)
+    covered = {doc_id: set() for doc_id, _ in rows}
+    for doc_id, i, g in occ:
+        if cnt[g] >= 2 and first[g] != (doc_id, i):
+            covered[doc_id].update(range(i, i + n))
+    out = {}
+    for doc_id, text in rows:
+        ws = text.split(" ")
+        keep = [w for p, w in enumerate(ws) if p not in covered[doc_id]]
+        if keep:
+            out[doc_id] = (" ".join(keep), len(ws), len(keep))
+    return out
+
+
+SPAN_FIXTURE = [
+    # doc 0 owns the boilerplate (first occurrence, survives whole)
+    (0, "alpha beta gamma delta epsilon zeta"),
+    # doc 1 repeats doc 0's 3-gram run inside fresh prose
+    (1, "intro words alpha beta gamma delta tail piece"),
+    # doc 2 is wall-to-wall the boilerplate -> emptied, dropped
+    (2, "alpha beta gamma delta"),
+    # doc 3: internal repetition of its own 3-gram
+    (3, "x y z q x y z q end"),
+    # doc 4: too short for any 3-gram span
+    (4, "a b"),
+]
+
+
+def test_dedup_spans_fixture(spark):
+    from data_ingestor_gluejob_script_spark.queries.docclean import (
+        dedup_spans_frame,
+    )
+
+    df = spark.createDataFrame(SPAN_FIXTURE, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_kept"])
+        for r in dedup_spans_frame(df, n=3).collect()
+    }
+    want = dedup_spans_oracle(SPAN_FIXTURE, n=3)
+    assert got == want
+    assert 2 not in got  # fully-covered doc dropped
+    assert got[0][0] == SPAN_FIXTURE[0][1]  # first occurrence intact
+    assert got[4] == ("a b", 2, 2)  # sub-span doc passes through
+    assert got[1][2] < got[1][1]  # repeated run really removed
+
+
+def test_dedup_spans_differential_sf0001(spark):
+    from data_ingestor_gluejob_script_spark.queries.docclean import (
+        dedup_spans_frame,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    for n in (5, 8):
+        got = {
+            r["doc_id"]: (r["text"], r["n_tokens"], r["n_kept"])
+            for r in dedup_spans_frame(docs, n=n).collect()
+        }
+        assert got == dedup_spans_oracle(rows, n=n), f"n={n}"
+    # the generator's repetitive vocabulary must actually produce
+    # removable spans at the tighter width or this differential is
+    # vacuous
+    got5 = dedup_spans_oracle(rows, n=5)
+    assert sum(v[2] for v in got5.values()) < sum(
+        v[1] for v in got5.values()
+    )
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dedup_spans_fuzz(spark, word_lists):
+    from data_ingestor_gluejob_script_spark.queries.docclean import (
+        dedup_spans_frame,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_kept"])
+        for r in dedup_spans_frame(df, n=3).collect()
+    }
+    assert got == dedup_spans_oracle(rows, n=3)
+
+
+# ------------------------------------------- temperature mixture
+
+
+def test_temperature_weights_closed_form():
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        temperature_weights,
+    )
+
+    counts = {"big": 8000, "mid": 1500, "small": 500}
+    # alpha=1 -> proportional mixture -> uniform keep rate
+    w1 = temperature_weights(counts, alpha=1.0, total_frac=0.4)
+    for s in counts:
+        assert abs(w1[s] - 0.4) < 1e-12
+    # alpha<1 flattens: rarer sources keep a HIGHER fraction; at
+    # total_frac=0.4 the smallest source caps at 1.0 (keep all)
+    w = temperature_weights(counts, alpha=0.5, total_frac=0.4)
+    assert w["small"] > w["mid"] > w["big"]
+    assert w["small"] == 1.0
+    # expected kept total matches target when nothing caps at 1.0
+    w2 = temperature_weights(counts, alpha=0.5, total_frac=0.2)
+    assert all(v < 1.0 for v in w2.values())
+    exp = sum(w2[s] * c for s, c in counts.items())
+    assert abs(exp - 0.2 * sum(counts.values())) < 1e-6
+
+
+def test_temperature_mixture_differential(spark):
+    import duckdb
+
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        temperature_mixture_frame,
+        temperature_weights,
+        weighted_sample_oracle,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    got = sorted(
+        r["doc_id"]
+        for r in temperature_mixture_frame(
+            docs, alpha=0.6, total_frac=0.5
+        ).collect()
+    )
+    counts = {
+        r["source"]: r["cnt"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    w = temperature_weights(counts, alpha=0.6, total_frac=0.5)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM ({weighted_sample_oracle(w)})"
+        ).fetchall()
+    )
+    assert got == want
+    assert 0 < len(got) < docs.count()
