@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators.diff import table_diff_summary
 from ..operators.embed import semantic_dedup_docs
+from ..operators.pca import fit_pca, project_pca
 from ..operators.graph import neardup_groups
 from .audit import (
     accepted_values,
@@ -295,6 +296,11 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_skew_report": lambda s, d: skew_report(
             load(s, d, "lineitem"), "l_orderkey"
         ),
+        # fit (one corpus scan -> d x d driver eigh) + whitened
+        # projection (map-only) — the pre-clustering reduction stage
+        "x_pca_project": lambda s, d: (
+            lambda e: project_pca(e, fit_pca(e, 16), whiten=True)
+        )(_emb(s, d)),
         "x_ivf_topk": q_ivf_topk,
         "x_ivf_refine": lambda s, d: ivf_refine(_emb(s, d)),
         "x_semantic_dedup": lambda s, d: semantic_dedup_frame(_emb(s, d)),
