@@ -270,17 +270,39 @@ def dedup_spans_frame(
     docs shorter than n words have no spans and pass through intact.
     Returns (doc_id, text, n_tokens, n_kept).
 
-    Scale shape: gram occurrences travel as 8-byte xxhash64 keys
-    (internal only — the oracle compares raw grams); the count+argmin
-    reduce is partially aggregated, so a hot boilerplate gram ships
-    one candidate per input partition; the classify join keys on the
-    gram hash with a one-row-per-hash build side, so a hot gram costs
-    one reducer a LINEAR pass (join output is occurrence-sized, never
-    a cross product); coverage expansion is explode(sequence) —
-    bounded by n per redundant occurrence; the rebuild groups by
-    doc_id with per-group state bounded by document length."""
+    Scale shape: exact text clones are collapsed FIRST (the semantic-
+    dedup / minhash-dedup ordering): the gram pipeline runs on
+    DISTINCT texts carrying their clone multiplicity, because a
+    non-representative clone's fate is decidable without it — with
+    >= n words its every gram has corpus count >= 2 and can never hold
+    the global first occurrence (its representative holds the same
+    gram at the same position under a smaller doc_id), so it is fully
+    covered and dropped; with < n words it has no grams and passes
+    through intact. A 20x-clone corpus therefore costs ~1x, not 20x
+    (the pre-collapse version measured 6.9x — PLANS.md). On the
+    distinct texts: gram occurrences travel as 8-byte xxhash64 keys
+    (internal only — the oracle compares raw grams); the count
+    (sum of multiplicities) + argmin reduce is partially aggregated,
+    so a hot boilerplate gram ships one candidate per input partition;
+    the classify join keys on the gram hash with a one-row-per-hash
+    build side, so a hot gram costs one reducer a LINEAR pass (join
+    output is occurrence-sized, never a cross product); coverage
+    expansion is explode(sequence) — bounded by n per redundant
+    occurrence; the rebuild groups by doc_id with per-group state
+    bounded by document length."""
+    hashed = docs.select(
+        "doc_id", F.col(text_col), F.md5(text_col).alias("_h")
+    )
+    reps = hashed.groupBy("_h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min(text_col).alias(text_col),  # all equal; min = deterministic
+        F.count("*").alias("_mult"),
+    )
+
     ws = F.split(F.col(text_col), " ")
-    base = docs.select("doc_id", ws.alias("_ws"), F.size(ws).alias("n_tokens"))
+    base = reps.select(
+        "doc_id", "_mult", ws.alias("_ws"), F.size(ws).alias("n_tokens")
+    )
 
     toks = base.select(
         "doc_id", "n_tokens", F.posexplode("_ws").alias("pos", "tok")
@@ -295,6 +317,7 @@ def dedup_spans_frame(
         base.filter(size >= n)
         .select(
             "doc_id",
+            "_mult",
             F.posexplode(
                 F.transform(idx, lambda i: F.xxhash64(gram(i)))
             ).alias("gpos", "gh"),
@@ -302,7 +325,7 @@ def dedup_spans_frame(
     )
 
     firsts = grams.groupBy("gh").agg(
-        F.count("*").alias("cnt"),
+        F.sum("_mult").alias("cnt"),
         F.min(F.struct("doc_id", "gpos")).alias("first"),
     )
     redundant = (
@@ -324,7 +347,7 @@ def dedup_spans_frame(
     )
 
     kept = toks.join(redundant, ["doc_id", "pos"], "left_anti")
-    return (
+    rebuilt = (
         kept.groupBy("doc_id", "n_tokens")
         .agg(
             F.concat_ws(
@@ -338,6 +361,20 @@ def dedup_spans_frame(
         )
         .select("doc_id", "text", "n_tokens", "n_kept")
     )
+    # Non-representative clones: < n words -> no spans, intact (their
+    # representative also survives — both lack grams); >= n words ->
+    # fully covered, dropped (no row to emit).
+    short_clones = (
+        hashed.join(reps.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col(text_col).alias("text"),
+            F.size(F.split(text_col, " ")).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") < n)
+        .withColumn("n_kept", F.col("n_tokens"))
+    )
+    return rebuilt.unionByName(short_clones)
 
 
 def gopher_filter(

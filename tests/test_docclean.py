@@ -439,3 +439,28 @@ def test_temperature_mixture_differential(spark):
     )
     assert got == want
     assert 0 < len(got) < docs.count()
+
+
+def test_dedup_spans_clone_collapse_semantics(spark):
+    """Clone-heavy corpus pins the collapse fast path against the
+    same oracle: long clones vanish entirely, short clones pass
+    through intact, the representative keeps the first occurrences."""
+    from data_ingestor_gluejob_script_spark.queries.docclean import (
+        dedup_spans_frame,
+    )
+
+    long = "p q r s t u v w"
+    rows = (
+        [(i, long) for i in range(5)]  # 5 clones of a long text
+        + [(10, "a b"), (11, "a b")]  # 2 clones of a sub-span text
+        + [(20, "p q r fresh tail words here")]  # partial overlap
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_kept"])
+        for r in dedup_spans_frame(df, n=3).collect()
+    }
+    assert got == dedup_spans_oracle(rows, n=3)
+    assert 0 in got and all(i not in got for i in (1, 2, 3, 4))
+    assert got[10] == ("a b", 2, 2) and got[11] == ("a b", 2, 2)
+    assert got[0][0] == long
