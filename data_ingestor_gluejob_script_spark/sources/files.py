@@ -110,6 +110,64 @@ def read_json_table(spark: SparkSession, path: str, spec: TableSpec) -> DataFram
     return df.select(*[F.col(c).cast("string").alias(c) for c in spec.columns])
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL scan that QUARANTINES malformed lines instead of silently
+    nulling them (Spark's default PERMISSIVE read without a corrupt
+    column loses bad lines without a trace — fatal for crawl
+    ingestion, where a truncated shard looks like a clean small one).
+    Returns (good, bad): ``good`` carries the declared schema with
+    every row that parsed; ``bad`` carries (raw_line, src_file) for
+    every line that didn't — verbatim, so the quarantine lake can be
+    re-parsed after a schema fix.
+
+    ``schema`` is the DDL of the EXPECTED fields ("doc_id LONG, text
+    STRING"); declaring it (instead of inferring) is also what makes
+    the scan single-pass at 100 TB — inference reads everything once
+    before the real read.
+
+    Shape: a TEXT scan + ``from_json`` per line, NOT
+    ``spark.read.json`` with a corrupt column — Spark disallows plans
+    whose required scan columns are only the corrupt column
+    (SPARK-21610 / UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+    COLUMN; its documented workaround is `.cache()`, a non-starter at
+    corpus scale). The text scan sidesteps the restriction entirely,
+    keeps the raw line for the quarantine at zero extra cost, and
+    stays one pass: both outputs are projections of the same map.
+    Blank lines are skipped, matching the json reader's behavior.
+    """
+    full = f"{schema}, {CORRUPT_COL} STRING"
+    parsed = (
+        spark.read.text(path)
+        .filter(F.trim("value") != "")
+        .select(
+            "value",
+            F.input_file_name().alias("src_file"),
+            F.from_json(
+                "value",
+                full,
+                {
+                    "mode": "PERMISSIVE",
+                    "columnNameOfCorruptRecord": CORRUPT_COL,
+                },
+            ).alias("_p"),
+        )
+    )
+    good = (
+        parsed.filter(F.col(f"_p.{CORRUPT_COL}").isNull())
+        .select("_p.*")
+        .drop(CORRUPT_COL)
+    )
+    bad = parsed.filter(F.col(f"_p.{CORRUPT_COL}").isNotNull()).select(
+        F.col("value").alias("raw_line"), "src_file"
+    )
+    return good, bad
+
+
 def read_orc_table(spark: SparkSession, path: str) -> DataFrame | None:
     """ORC scan with the same missing-source contract as the parquet
     reader (absent → ``None``, caller skips). ORC is Spark-native —

@@ -239,3 +239,52 @@ def test_orc_roundtrip_and_missing(spark, tmp_path):
         ).explain("formatted")
     plan = buf.getvalue()
     assert "PushedFilters" in plan and "o_custkey" in plan
+
+
+def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
+    from data_ingestor_gluejob_script_spark.sources.files import (
+        read_jsonl_quarantine,
+    )
+
+    p = tmp_path / "crawl.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "hello world"}',
+        'not json at all {{{',
+        '{"doc_id": 2, "text": "second"}',
+        '{"doc_id": "3", "text": ',  # truncated mid-object
+        '{"doc_id": 4, "text": null}',  # valid: null field, not corrupt
+    ]
+    p.write_text("\n".join(lines) + "\n")
+
+    good, bad = read_jsonl_quarantine(
+        spark, str(p), "doc_id LONG, text STRING"
+    )
+    got_good = sorted(
+        (r["doc_id"], r["text"]) for r in good.collect()
+    )
+    assert got_good == [(1, "hello world"), (2, "second"), (4, None)]
+    got_bad = sorted(r["raw_line"] for r in bad.collect())
+    assert got_bad == sorted([lines[1], lines[3]])
+    assert all(
+        r["src_file"].endswith("crawl.jsonl") for r in bad.collect()
+    )
+
+
+def test_jsonl_quarantine_all_clean_and_all_bad(spark, tmp_path):
+    from data_ingestor_gluejob_script_spark.sources.files import (
+        read_jsonl_quarantine,
+    )
+
+    clean = tmp_path / "clean.jsonl"
+    clean.write_text('{"doc_id": 1, "text": "a"}\n')
+    good, bad = read_jsonl_quarantine(
+        spark, str(clean), "doc_id LONG, text STRING"
+    )
+    assert good.count() == 1 and bad.count() == 0
+
+    broken = tmp_path / "broken.jsonl"
+    broken.write_text("garbage\nmore garbage\n")
+    good, bad = read_jsonl_quarantine(
+        spark, str(broken), "doc_id LONG, text STRING"
+    )
+    assert good.count() == 0 and bad.count() == 2
