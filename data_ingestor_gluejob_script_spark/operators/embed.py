@@ -133,15 +133,32 @@ def semantic_dedup_docs(
     # collapse the same way so null/empty land in one clone class
     digest = F.md5(F.coalesce(F.col("text"), F.lit("")))
     w_class = Window.partitionBy(digest)
-    tagged = docs.select("doc_id", "text").withColumn(
-        "class_rep", F.min("doc_id").over(w_class)
+    # Materialize the (doc_id -> class_rep) mapping ONCE — two narrow
+    # columns, corpus-sized. Both consumers (the rep derivation here
+    # and the final clone rejoin below) read the checkpoint: leaving
+    # the rejoin on the lazy window plan re-ran the entire docs
+    # lineage plus the corpus-wide collapse shuffle a second time at
+    # output consumption (round-9 review finding — in the very
+    # function built to fuse redundant scans).
+    mapping = (
+        docs.select("doc_id", "text")
+        .withColumn("class_rep", F.min("doc_id").over(w_class))
+        .select("doc_id", "class_rep")
+        .localCheckpoint()
     )
-    # Materialize the distinct-text reps once: the encoder, the
-    # auto-K count, and the dedup frame all read this (distinct-text
-    # sized; at production scale persist(DISK) + a real checkpoint dir)
+    # Distinct-text reps (encoder + auto-K + dedup all read this):
+    # re-attach text by a doc_id join against the checkpointed rep-id
+    # set — cheaper than checkpointing payload text alongside the
+    # mapping (at production scale persist(DISK) + a real checkpoint
+    # dir for both materializations)
     reps = (
-        tagged.filter(F.col("doc_id") == F.col("class_rep"))
-        .select("doc_id", "text")
+        docs.select("doc_id", "text")
+        .join(
+            mapping.filter(F.col("doc_id") == F.col("class_rep")).select(
+                "doc_id"
+            ),
+            "doc_id",
+        )
         .localCheckpoint()
     )
     if n_cells is None:
@@ -160,7 +177,7 @@ def semantic_dedup_docs(
     # is already the min of its clone class), so representative =
     # (doc_id == group_id) holds for clones and reps alike.
     return (
-        tagged.select("doc_id", "class_rep")
+        mapping
         .join(out.withColumnRenamed("vec_id", "class_rep"), "class_rep")
         .select(
             "doc_id",

@@ -165,11 +165,18 @@ def bloom_candidates(
     ratio = F.when(
         F.col("n_shingles") > 0, F.col("n_bloom_hits") / F.col("n_shingles")
     ).otherwise(F.lit(0.0))
+    # Half-ulp margin: the exact path flags contamination on the
+    # 6-dp-ROUNDED overlap ratio (contamination_report rounds), so an
+    # unrounded screen ratio of threshold - 5e-7 can round UP to the
+    # threshold on the exact side. Comparing against
+    # threshold - 5e-7 keeps the screen one-sided with respect to the
+    # exact path's definition (round-9 review finding); the margin
+    # only ever ADDS candidates, which the exact confirm then settles.
     return agg.select(
         "doc_id",
         "n_shingles",
         "n_bloom_hits",
-        (ratio >= F.lit(threshold)).alias("candidate"),
+        (ratio >= F.lit(threshold) - F.lit(5e-7)).alias("candidate"),
     )
 
 

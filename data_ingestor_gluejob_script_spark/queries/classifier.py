@@ -78,7 +78,12 @@ def classifier_score_frame(
     """
     toks = docs.select(
         "doc_id",
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        # NULL text scores as empty text: split(NULL) is a NULL array
+        # whose explode emits nothing, which would silently drop the
+        # document from the scores — breaking the every-row contract
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("tok"),
     ).select(
         "doc_id",
         (F.crc32(F.col("tok").cast("binary")) % F.lit(N_BUCKETS)).alias(

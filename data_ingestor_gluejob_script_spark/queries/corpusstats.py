@@ -375,13 +375,28 @@ def temperature_mixture_frame(
     then the deterministic hex-draw filter of weighted_sample_frame
     (map-only, engine-portable, reproducible across partitionings).
     Differential-tested against the DuckDB twin with the SAME
-    computed weights in tests/test_docclean.py."""
+    computed weights in tests/test_docclean.py.
+
+    NULL sources form their own mixture group: the filter runs on an
+    internal null-coalesced key column, because a None key would
+    crash weighted_sample_frame's sorted() and a raw
+    ``col(key) == src`` can never match NULL — which silently dropped
+    every null-source doc while still counting it in the mixture
+    (round-9 review finding)."""
+    sentinel = "\x00null-source\x00"
+    keyed = docs.withColumn(
+        "_mix_key", F.coalesce(F.col(key).cast("string"), F.lit(sentinel))
+    )
     counts = {
-        r[key]: r["cnt"]
-        for r in docs.groupBy(key).agg(F.count("*").alias("cnt")).collect()
+        r["_mix_key"]: r["cnt"]
+        for r in keyed.groupBy("_mix_key")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
     }
     w = temperature_weights(counts, alpha, total_frac)
-    return weighted_sample_frame(docs, w, key=key, default=0.0)
+    return weighted_sample_frame(keyed, w, key="_mix_key", default=0.0).drop(
+        "_mix_key"
+    )
 
 
 def weighted_sample_oracle(

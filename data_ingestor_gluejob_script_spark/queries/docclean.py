@@ -58,10 +58,17 @@ def line_dedup_frame(
 
     n_lines counts the doc's original lines so the caller can audit
     attrition without a second pass over the input.
+
+    NULL text is treated as empty text (module-wide convention for
+    the docclean rewrite/metric operators): split(NULL) is a NULL
+    array whose explode emits NOTHING, so without the coalesce a
+    null-text document would silently vanish from the output
+    (round-9 review finding).
     """
+    text = F.coalesce(F.col(text_col), F.lit(""))
     lines = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+        F.posexplode(F.split(text, delim)).alias("pos", "line"),
     ).select("doc_id", "pos", "line", F.md5("line").alias("_h"))
 
     winners = lines.groupBy("_h").agg(
@@ -139,13 +146,17 @@ def gopher_repetition_frame(
     shuffles key on doc_id and are skew-bounded by document size, not
     corpus-wide unit popularity (contrast: corpus-level vocab in
     corpusstats.vocab_frame).
+
+    NULL text is treated as empty text (docclean convention — the
+    doc must appear in the metrics output, not silently vanish).
     """
-    ws = F.split(F.col(text_col), " ")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    ws = F.split(text, " ")
     base = docs.select(
         "doc_id",
-        F.length(text_col).alias("n_chars"),
+        F.length(text).alias("n_chars"),
         F.size(ws).alias("n_words"),
-        F.split(F.col(text_col), delim).alias("_lines"),
+        F.split(text, delim).alias("_lines"),
         ws.alias("_ws"),
     )
 
@@ -289,10 +300,15 @@ def dedup_spans_frame(
     output is occurrence-sized, never a cross product); coverage
     expansion is explode(sequence) — bounded by n per redundant
     occurrence; the rebuild groups by doc_id with per-group state
-    bounded by document length."""
+    bounded by document length.
+
+    NULL text is treated as empty text (docclean convention; the
+    clone-collapse digest and the split would otherwise silently drop
+    the document — see line_dedup_frame)."""
     hashed = docs.select(
-        "doc_id", F.col(text_col), F.md5(text_col).alias("_h")
-    )
+        "doc_id",
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+    ).withColumn("_h", F.md5(text_col))
     reps = hashed.groupBy("_h").agg(
         F.min("doc_id").alias("doc_id"),
         F.min(text_col).alias(text_col),  # all equal; min = deterministic

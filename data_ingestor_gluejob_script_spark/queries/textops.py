@@ -109,9 +109,19 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def exact_dedup_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup on text, keep lowest doc_id. Implemented as a
-    min-per-group + semi-join on md5(text) so the shuffle carries
-    32-byte digests instead of full documents."""
-    hashed = docs.withColumn("_h", F.md5(text_col))
+    min-per-group + semi-join on a 32-byte text digest so the shuffle
+    carries digests instead of full documents.
+
+    The digest is the null-SAFE ``row_digest`` (md5 with a NULL
+    sentinel), not bare ``md5(text)``: md5(NULL) is NULL and a NULL
+    join key matches nothing, so every null-text document would
+    silently vanish from the output — while the oracle's
+    ``GROUP BY text`` groups NULLs together and keeps one survivor
+    (round-9 review finding). The sentinel also keeps NULL distinct
+    from the empty string, exactly like GROUP BY."""
+    from ..operators.diff import row_digest
+
+    hashed = docs.withColumn("_h", row_digest([text_col]))
     keep = hashed.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
     return hashed.join(keep, ["_h", "doc_id"], "left_semi").drop("_h")
 

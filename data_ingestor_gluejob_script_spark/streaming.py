@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .operators.diff import row_digest
 from .pipeline import write_partitioned_upsert
 from .registry import TableSpec
 from .watermarks import WatermarkStore
@@ -669,9 +670,7 @@ def run_doc_dedup_ingest(
         # never be ingested at all. NULL text hashes like empty text
         # (deterministic; such documents dedup together, which is the
         # honest exact-dedup reading of "no text").
-        hashed = batch_df.withColumn(
-            "text_md5", F.md5(F.coalesce(F.col("text"), F.lit("")))
-        )
+        hashed = batch_df.withColumn("text_md5", row_digest(["text"]))
         # One deterministic survivor per digest: min doc_id, remaining
         # columns tie-broken by hash (a bare dropDuplicates keeps a
         # partitioning-dependent row — the nondeterminism the batch
@@ -786,9 +785,7 @@ def run_neardup_ingest(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        hashed = batch_df.withColumn(
-            "text_md5", F.md5(F.coalesce(F.col("text"), F.lit("")))
-        )
+        hashed = batch_df.withColumn("text_md5", row_digest(["text"]))
         payload = [
             c for c in hashed.columns if c not in ("text_md5", "doc_id")
         ]
@@ -929,11 +926,23 @@ def run_audited_ingest(
     wanting latest-per-id semantics use the CDC path. A quarantined
     id does NOT block later clean ingestion of a corrected redelivery
     with the same id: the lake and quarantine guards are independent.
-    (Destinations written before this convention lack the digest
-    column; the guard degrades to the old id-only key there.)
+    The digest is the null-safe ``operators.diff.row_digest`` (md5
+    with a NULL sentinel and a unit separator) — a bare
+    ``xxhash64(cast…)`` silently SKIPS null inputs, so (3, 'x', NULL)
+    and (3, NULL, 'x') would collide and a corrected redelivery that
+    moves a value across columns would be dropped by the guard
+    (round-9 review finding, probed live). And the guard RECOMPUTES
+    the digest from the destination's stored source columns rather
+    than trusting a stored digest column: a destination written
+    partly by pre-digest code is a mixed-schema directory where
+    "which column set does the read see" depends on footer sampling —
+    recomputation gives every historical row the same protection and
+    makes the guard key deterministic. The digest column is still
+    persisted for consumers/debugging.
 
     Returns the started StreamingQuery (caller awaits/stops).
     """
+    from .operators.diff import row_digest
     from .queries.audit import split_quarantine
 
     batch0 = spark.read.parquet(src_dir)
@@ -952,12 +961,12 @@ def run_audited_ingest(
         # written yet, so without this both copies would append. One
         # deterministic survivor per id — min by full-row hash, the
         # run_doc_dedup_ingest tie-break convention.
-        payload = [c for c in batch_df.columns if c != id_col]
-        tie = (
-            F.xxhash64(*[F.col(c).cast("string") for c in payload])
-            if payload
-            else F.lit(0)
-        )
+        src_cols = list(batch_df.columns)
+        payload = [c for c in src_cols if c != id_col]
+        # null-safe tie (row_digest, not xxhash64-of-casts): two
+        # different-content rows must never compare equal or the
+        # window's survivor is partitioning-dependent
+        tie = row_digest(payload) if payload else F.lit("0")
         w = Window.partitionBy(id_col).orderBy(tie.asc_nulls_last())
         batch_df = (
             batch_df.withColumn("_rn", F.row_number().over(w))
@@ -966,37 +975,30 @@ def run_audited_ingest(
             # content key for the cross-batch guard: ALL source columns
             # (id included), computed before the split so both sides
             # carry the identical digest for the identical source row
-            .withColumn(
-                "_ingest_digest",
-                F.xxhash64(
-                    *[F.col(c).cast("string") for c in batch_df.columns]
-                ),
-            )
+            .withColumn("_ingest_digest", row_digest(src_cols))
             .persist()
         )
         try:
             clean, bad = split_quarantine(batch_df, checks)
             for side_df, out_dir in ((clean, lake_dir), (bad, quarantine_dir)):
                 try:
-                    dest_cols = spark.read.parquet(out_dir).columns
-                    # legacy destinations predate the digest column —
-                    # fall back to the id-only guard there
-                    key = (
-                        "_ingest_digest"
-                        if "_ingest_digest" in dest_cols
-                        else id_col
+                    # recompute the digest from the stored SOURCE
+                    # columns (present in every file, legacy or new) —
+                    # see docstring for why the stored digest column
+                    # can't be the guard key on mixed-schema dirs
+                    seen = spark.read.parquet(out_dir).select(
+                        row_digest(src_cols).alias("_ingest_digest")
                     )
-                    seen = spark.read.parquet(out_dir).select(key)
                 except AnalysisException as ex:
                     # only "no destination yet" may skip the guard —
                     # anything else must abort, not double-ingest
                     if "PATH_NOT_FOUND" not in str(ex):
                         raise
-                    seen, key = None, None
+                    seen = None
                 fresh = (
                     side_df
                     if seen is None
-                    else side_df.join(seen, key, "left_anti")
+                    else side_df.join(seen, "_ingest_digest", "left_anti")
                 )
                 fresh.write.mode("append").parquet(out_dir)
         finally:

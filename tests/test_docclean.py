@@ -464,3 +464,66 @@ def test_dedup_spans_clone_collapse_semantics(spark):
     assert 0 in got and all(i not in got for i in (1, 2, 3, 4))
     assert got[10] == ("a b", 2, 2) and got[11] == ("a b", 2, 2)
     assert got[0][0] == long
+
+
+def test_null_text_treated_as_empty_across_docclean_and_classifier(spark):
+    """Round-9 review finding: explode(split(NULL)) emits nothing, so
+    null-text docs silently vanished from line dedup, gopher metrics,
+    span dedup, and classifier scores. Pin the NULL == empty-text
+    convention: the doc appears in every output."""
+    from data_ingestor_gluejob_script_spark.queries.classifier import (
+        classifier_score_frame,
+        standin_weights,
+    )
+    from data_ingestor_gluejob_script_spark.queries.docclean import (
+        dedup_spans_frame,
+    )
+
+    rows = [(1, None), (2, "real words here today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    as_empty = [(1, ""), (2, "real words here today")]
+
+    got_g = {r["doc_id"]: r for r in gopher_repetition_frame(df).collect()}
+    assert set(got_g) == {1, 2}
+    for doc_id, text in as_empty:
+        r = got_g[doc_id]
+        assert (r["n_words"], r["n_chars"]) == gopher_oracle_row(text)[:2]
+
+    got_ld = {r["doc_id"] for r in line_dedup_frame(df).collect()}
+    assert got_ld == {1, 2}  # the "" line survives as first occurrence
+
+    got_sp = {
+        r["doc_id"]: r["n_kept"]
+        for r in dedup_spans_frame(df, n=3).collect()
+    }
+    assert got_sp == {1: 1, 2: 4}
+
+    got_cl = {
+        r["doc_id"]: r["n_tokens"]
+        for r in classifier_score_frame(df, standin_weights(spark)).collect()
+    }
+    assert got_cl == {1: 1, 2: 4}
+
+
+def test_temperature_mixture_null_source_is_its_own_group(spark):
+    """Round-9 review finding: a NULL source crashed the weights sort
+    (TypeError) or, all-NULL, silently dropped every doc. NULLs now
+    form their own mixture group."""
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        temperature_mixture_frame,
+    )
+
+    rows = [(i, "t", None if i % 3 == 0 else f"src{i % 2}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = temperature_mixture_frame(df, alpha=0.5, total_frac=0.9).collect()
+    assert 0 < len(kept) <= 60
+    # null-source docs participate (not all dropped)
+    assert any(r["source"] is None for r in kept)
+    assert "_mix_key" not in {c for r in kept for c in r.asDict()}
+
+    all_null = spark.createDataFrame(
+        [(i, "t", None) for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    kept2 = temperature_mixture_frame(all_null, alpha=1.0, total_frac=1.0)
+    assert kept2.count() == 20  # total_frac=1 keeps everything

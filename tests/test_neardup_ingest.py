@@ -201,3 +201,55 @@ def test_neardup_ingest_matches_batch_twin_and_replays_clean(spark):
         assert spark.read.parquet(sigs).count() == len(sig_rows)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_null_text_docs_survive_exact_and_neardup_dedup(spark):
+    """Round-9 review finding: md5(NULL) is NULL and a NULL join key
+    matches nothing, so null-text docs used to vanish from
+    exact_dedup_frame (and therefore minhash_dedup_frame) while the
+    GROUP BY oracle keeps one survivor. Pin the null-safe digest:
+    NULLs group together (min id survives), DISTINCT from the empty
+    string, and the streaming twin agrees."""
+    from data_ingestor_gluejob_script_spark.queries.textops import (
+        exact_dedup_frame,
+    )
+
+    rows = [
+        (1, None),
+        (2, "real words here"),
+        (3, None),
+        (4, ""),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_exact = sorted(
+        r["doc_id"] for r in exact_dedup_frame(df).collect()
+    )
+    # one NULL survivor (min id 1), one "" survivor (min id 4), the
+    # real doc — NULL and "" are NOT merged
+    assert got_exact == [1, 2, 4]
+    got_near = sorted(
+        r["doc_id"] for r in minhash_dedup_frame(df).collect()
+    )
+    assert got_near == [1, 2, 4]  # no signatures -> no near-dup drops
+
+    # streaming twin parity on the same corpus
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="neardup_null_")
+    try:
+        docs_dir = f"{tmp}/in"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(docs_dir)
+        q = run_neardup_ingest(
+            spark, docs_dir, f"{tmp}/lake", f"{tmp}/sigs", f"{tmp}/ck"
+        )
+        q.awaitTermination()
+        got_stream = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(f"{tmp}/lake").collect()
+        )
+        assert got_stream == got_near
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -681,3 +681,56 @@ def test_audited_ingest_collapses_in_batch_duplicates(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "lake"))
     assert got.count() == 2
     assert {r.o_orderkey for r in got.collect()} == {1, 2}
+
+
+def test_audited_ingest_null_moving_across_columns_is_new_content(
+    spark, tmp_path
+):
+    """Round-9 review finding (probed live): xxhash64 over per-column
+    casts SKIPS null inputs, so (id, 'x', NULL) and (id, NULL, 'x')
+    collided and a corrected redelivery that moves a value across
+    columns was dropped by the exactly-once guard. The digest is now
+    the null-safe row_digest; both shapes must land."""
+    import pandas as pd
+
+    from data_ingestor_gluejob_script_spark.queries.audit import not_null
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "o_orderkey": [3],
+            "o_custkey": pd.array([None], dtype="string"),
+            "o_orderstatus": pd.array(["x"], dtype="string"),
+        }
+    ).to_parquet(src / "b0.parquet")
+
+    lake = str(tmp_path / "lake")
+    quar = str(tmp_path / "quar")
+    q = streaming.run_audited_ingest(
+        spark, str(src), lake, quar,
+        str(tmp_path / "ck"), [not_null("o_custkey")], "o_orderkey",
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(quar).count() == 1  # null custkey -> bad
+
+    # "corrected" redelivery: same id, value moved to the OTHER column
+    pd.DataFrame(
+        {
+            "o_orderkey": [3],
+            "o_custkey": pd.array(["x"], dtype="string"),
+            "o_orderstatus": pd.array([None], dtype="string"),
+        }
+    ).to_parquet(src / "b1.parquet")
+    q = streaming.run_audited_ingest(
+        spark, str(src), lake, quar,
+        str(tmp_path / "ck"), [not_null("o_custkey")], "o_orderkey",
+    )
+    q.awaitTermination(120)
+    # the corrected row is NEW content: it clean-ingests instead of
+    # being absorbed by a colliding digest
+    got = spark.read.parquet(lake).collect()
+    assert len(got) == 1
+    assert got[0]["o_custkey"] == "x" and got[0]["o_orderstatus"] is None
+    # and the original quarantined row was not double-ingested
+    assert spark.read.parquet(quar).count() == 1
