@@ -80,6 +80,7 @@ from .textops import (
 from .tokenizer import pack_token_stream, q_encode_corpus, vocab_with_ids
 from .traindata import (
     attrition_report,
+    group_aware_split_frame,
     pack_slices_frame,
     prepare_training_corpus,
     seq_pack_frame,
@@ -281,6 +282,15 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "x_quality_classifier": lambda s, d: classifier_score_frame(
             _docs(s, d), standin_weights(s)
+        ),
+        # leakage-PROOF splits: near-dup groups move between splits
+        # as one unit (the preventive twin of x_split_leakage)
+        "x_group_split": lambda s, d: group_aware_split_frame(
+            load(s, d, "documents"),
+            neardup_groups(
+                q_simhash_neardup_pairs(s, d).select("doc_a", "doc_b"),
+                load(s, d, "documents"),
+            ),
         ),
         "x_split_leakage": lambda s, d: split_leakage_report(
             q_simhash_neardup_pairs(s, d).select("doc_a", "doc_b"),

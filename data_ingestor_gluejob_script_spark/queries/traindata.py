@@ -63,6 +63,42 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign_frame(load(spark, sf_dir, "documents"))
 
 
+def group_aware_split_frame(
+    docs: DataFrame, groups: DataFrame
+) -> DataFrame:
+    """Leakage-PROOF split assignment: hash the near-dup GROUP id
+    instead of the doc id, so every member of a duplicate cluster
+    lands in the same split by construction — the preventive
+    counterpart of split_leakage_report (which only measures the
+    damage after a doc-keyed split).
+
+    ``groups`` is (doc_id, group_id) — e.g. operators.graph.
+    neardup_groups over the MinHash/SimHash pair list. Docs absent
+    from ``groups`` (singletons the pair list never mentions) key on
+    their own doc_id, which equals their would-be group id (group ids
+    are component-min doc_ids), so the assignment is identical whether
+    a singleton is listed or omitted.
+
+    Scale shape: one left join of docs against the group map (both
+    sides shuffle on doc_id — the map is corpus-sized in the worst
+    case), then the same map-only md5 bucket as split_assign_frame.
+    The split stays 80/10/10 in EXPECTATION over groups, not docs: a
+    huge duplicate cluster moves together, which is the point."""
+    g = groups.select(
+        "doc_id", F.col("group_id").alias("_gid")
+    )
+    keyed = docs.join(g, "doc_id", "left").withColumn(
+        "_split_key", F.coalesce(F.col("_gid"), F.col("doc_id"))
+    )
+    bucket = split_bucket_col(F.col("_split_key"))
+    return keyed.select(
+        "doc_id",
+        F.col("_split_key").alias("split_key"),
+        bucket.alias("bucket"),
+        split_name_col(bucket).alias("split"),
+    )
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cleaning pass: lowercase → non-alphanumeric → space → collapse
     runs → trim. Emits the normalized text hash + lengths (hash keeps

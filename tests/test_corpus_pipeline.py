@@ -218,3 +218,55 @@ def test_split_leakage_report(spark):
     # flagged only on cross-split rows
     assert any(k[2] for k in got)
     assert all((k[0] != k[1]) == k[2] for k in got)
+
+
+def test_group_aware_split_is_leakage_proof(spark):
+    """Every member of a near-dup group lands in one split; singleton
+    docs get exactly their split_assign_frame assignment; buckets
+    mirror the python md5 twin."""
+    import hashlib
+
+    from data_ingestor_gluejob_script_spark.operators.graph import (
+        neardup_groups,
+    )
+    from data_ingestor_gluejob_script_spark.queries.textops import (
+        q_simhash_neardup_pairs,
+    )
+    from data_ingestor_gluejob_script_spark.queries.traindata import (
+        group_aware_split_frame,
+        split_assign_frame,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    pairs = q_simhash_neardup_pairs(spark, SF_DIR).select("doc_a", "doc_b")
+    groups = neardup_groups(pairs, docs)
+    out = group_aware_split_frame(docs, groups)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == docs.count()
+
+    # (a) no near-dup pair straddles splits
+    for p in pairs.collect():
+        assert (
+            rows[p["doc_a"]]["split"] == rows[p["doc_b"]]["split"]
+        ), (p["doc_a"], p["doc_b"])
+
+    # (b) python md5 twin of the bucket
+    for r in rows.values():
+        want = (
+            int(
+                hashlib.md5(str(r["split_key"]).encode()).hexdigest()[:2],
+                16,
+            )
+            % 10
+        )
+        assert r["bucket"] == want
+
+    # (c) docs outside any group keep their doc-keyed assignment
+    grouped_ids = {r["doc_id"] for r in groups.collect()}
+    base = {
+        r["doc_id"]: r["split"]
+        for r in split_assign_frame(docs).collect()
+    }
+    for doc_id, r in rows.items():
+        if doc_id not in grouped_ids:
+            assert r["split"] == base[doc_id]
