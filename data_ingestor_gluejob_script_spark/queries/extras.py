@@ -62,6 +62,7 @@ from .corpusstats import (
     vocab_frame,
     weighted_sample_frame,
 )
+from .retrieval import hybrid_search
 from .similarity import (
     QUERY_VEC_ID,
     _load_emb,
@@ -246,6 +247,10 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query terms: generator-vocabulary words present at every SF
         "x_bm25_topk": lambda s, d: bm25_topk_frame(
             _docs(s, d), ["scan", "window", "column"], k=10
+        ),
+        # lexical + dense hybrid (RRF fusion of BM25 and cosine top-k)
+        "x_hybrid_search": lambda s, d: hybrid_search(
+            _docs(s, d), _emb(s, d), ["scan", "window", "column"], k=10
         ),
         # retrieval-based decontamination shape: benchmark-sized query
         # set (every 500th doc) searched against the corpus in one pass

@@ -152,6 +152,13 @@ def test_negative_samples_prefix_sum_shape(spark):
 # ONE task, so it is only acceptable over provably tiny frames. Adding
 # a new one means consciously extending this list with the reason.
 GLOBAL_WINDOW_ALLOWLIST = {
+    # RRF ranking: runs over top-k RESULT frames (≤k rows by
+    # contract), never a corpus — the corpus work happened inside the
+    # component retrievers
+    (
+        "queries/retrieval.py",
+        "w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())",
+    ),
     # seq-pack prefix sum: runs over per-block TOTALS (#blocks rows)
     ("queries/traindata.py", 'blk_running = Window.orderBy("_blk").rowsBetween('),
     # dense-index prefix sum: same shape, #blocks rows
