@@ -244,3 +244,129 @@ def resize_media(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def dhash64(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """64-bit difference hash (dHash) per media payload — the
+    similarity-preserving fingerprint image dedup pipelines band-join
+    on (near-identical images differ in a few bits; re-encodes and
+    small crops stay close, which md5 cannot give).
+
+    Decode path: ``_resize_series`` to 9x8 grayscale (REAL PIL decode
+    when importable and the payload parses; the deterministic fake per
+    row otherwise — same contract as resize_media), then bit (r, c) =
+    pixel[r][c] > pixel[r][c+1] packed little-endian into one long.
+    Arrow-batched and vectorized (numpy over the whole batch after the
+    per-row decode); payload bytes never leave the map — only 8-byte
+    hashes shuffle downstream.
+    """
+    import numpy as np
+
+    schema = T.StructType(
+        [df.schema[id_col], T.StructField("phash", T.LongType())]
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.left_shift(
+            np.uint64(1), np.arange(64, dtype=np.uint64)
+        )
+        for pdf in batches:
+            resized = _resize_series(pdf[payload_col], 9, 8)
+            arr = np.stack(
+                [
+                    np.frombuffer(b, dtype=np.uint8).reshape(8, 9)
+                    for b in resized
+                ]
+            )
+            bits = (arr[:, :, 1:] > arr[:, :, :-1]).reshape(len(arr), 64)
+            vals = (bits.astype(np.uint64) * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "phash": vals.view(np.int64),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(hash_batches, schema)
+
+
+def image_dedup_frame(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual near-duplicate image REMOVAL: keep one image per
+    cluster of payloads whose dHashes lie within ``max_hamming`` bits.
+    Returns (id, phash) of the retained rows. Same precedence rule as
+    textops.minhash_dedup_frame — a row is dropped iff a SMALLER-id
+    row (retained or not) is within the radius — so the result is
+    order-deterministic and batching-invariant.
+
+    Scale shape (the text-dedup playbook applied to pixels):
+    1. dHash map (payloads never shuffle; 8 bytes/row after this).
+    2. Identical hashes collapse FIRST (min id per phash — re-encoded
+       exact duplicates are the common case and would pile up the
+       band buckets).
+    3. Band join on ``max_hamming + 1`` disjoint bit-slices: by
+       pigeonhole, two hashes within max_hamming bits agree on at
+       least one slice — candidate generation is an equi-join, never
+       all-pairs.
+    4. Verify with ``bit_count(a XOR b) <= max_hamming`` inline (pure
+       JVM arithmetic), collect dropped ids, anti-join.
+    ``max_hamming + 1`` must divide 64 reasonably: slices are
+    ``64 // n_bands`` bits with the last slice taking the remainder.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+
+    hashes = dhash64(df, id_col=id_col, payload_col=payload_col)
+    reps = hashes.groupBy("phash").agg(F.min(id_col).alias(id_col))
+
+    def band_val(i: int) -> Column:
+        bits = 64 - i * width if i == n_bands - 1 else width
+        mask = F.lit((1 << bits) - 1 if bits < 64 else -1)
+        return F.shiftrightunsigned(F.col("phash"), i * width).bitwiseAND(
+            mask
+        )
+
+    bands = reps.select(
+        id_col,
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        band_val(i).alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(
+        id_col,
+        "phash",
+        F.col("_b.band_idx").alias("band_idx"),
+        F.col("_b.band_val").alias("band_val"),
+    ).repartition("band_idx", "band_val")
+
+    right = bands.select(
+        F.col(id_col).alias("_r_id"),
+        F.col("phash").alias("_r_phash"),
+        "band_idx",
+        "band_val",
+    )
+    ham = F.bit_count(
+        F.col("phash").bitwiseXOR(F.col("_r_phash"))
+    )
+    dropped = (
+        bands.join(right, ["band_idx", "band_val"])
+        .filter(F.col("_r_id") < F.col(id_col))
+        .filter(ham <= F.lit(max_hamming))
+        .select(id_col)
+        .distinct()
+    )
+    return reps.select(id_col, "phash").join(dropped, id_col, "left_anti")

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators.diff import table_diff_summary
 from ..operators.embed import semantic_dedup_docs
+from ..operators.multimodal import image_dedup_frame
 from ..operators.pca import fit_pca, project_pca
 from ..operators.graph import neardup_groups
 from .audit import (
@@ -62,6 +63,7 @@ from .corpusstats import (
     vocab_frame,
     weighted_sample_frame,
 )
+from .multimodal import _payloads as _media_payloads
 from .retrieval import hybrid_search
 from .similarity import (
     QUERY_VEC_ID,
@@ -310,6 +312,11 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "x_skew_report": lambda s, d: skew_report(
             load(s, d, "lineitem"), "l_orderkey"
+        ),
+        # perceptual (dHash) image near-dup removal over the synthetic
+        # payload column — payloads never shuffle, 8-byte hashes do
+        "x_image_dedup": lambda s, d: image_dedup_frame(
+            _media_payloads(s, d)
         ),
         # fit (one corpus scan -> d x d driver eigh) + whitened
         # projection (map-only) — the pre-clustering reduction stage

@@ -1,0 +1,107 @@
+"""Perceptual image dedup: python-twin differential for dhash64 (the
+fake decode path is deterministic, so hashes compare exactly), a
+brute-force oracle for image_dedup_frame, and crafted 72-byte
+payloads — which the fake resize maps to THEMSELVES, giving precise
+pixel control — to pin the banded hamming join on true near pairs.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from data_ingestor_gluejob_script_spark.operators.multimodal import (  # noqa: E402
+    _fake_resize_one,
+    dhash64,
+    image_dedup_frame,
+)
+from data_ingestor_gluejob_script_spark.queries.multimodal import (  # noqa: E402
+    _payloads,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _dhash_py(payload: bytes) -> int:
+    raw = _fake_resize_one(payload, 72)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(8, 9)
+    bits = (arr[:, 1:] > arr[:, :-1]).reshape(64)
+    v = 0
+    for j in range(64):
+        if bits[j]:
+            v |= 1 << j
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dedup_oracle(rows, max_hamming=3):
+    """rows: [(id, payload_bytes)] -> retained [(id, phash)]."""
+    hashes = [(i, _dhash_py(p)) for i, p in sorted(rows)]
+    reps = {}
+    for i, h in hashes:
+        reps.setdefault(h, i)
+    surv = sorted((i, h) for h, i in reps.items())
+    retained = []
+    for idx, (i, h) in enumerate(surv):
+        if not any(
+            bin((h ^ hj) & ((1 << 64) - 1)).count("1") <= max_hamming
+            for j, hj in surv[:idx]
+        ):
+            retained.append((i, h))
+    return sorted(retained)
+
+
+def test_dhash_matches_python_twin(spark):
+    pay = _payloads(spark, SF_DIR)
+    got = {
+        r["doc_id"]: r["phash"] for r in dhash64(pay).collect()
+    }
+    rows = [(r["doc_id"], bytes(r["payload"])) for r in pay.collect()]
+    assert got == {i: _dhash_py(p) for i, p in rows}
+
+
+def test_image_dedup_differential_sf0001(spark):
+    pay = _payloads(spark, SF_DIR)
+    rows = [(r["doc_id"], bytes(r["payload"])) for r in pay.collect()]
+    got = sorted(
+        (r["doc_id"], r["phash"])
+        for r in image_dedup_frame(pay).collect()
+    )
+    assert got == image_dedup_oracle(rows)
+
+
+def test_image_dedup_near_pairs_with_crafted_pixels(spark):
+    """72-byte payloads resize to themselves under the fake path, so
+    pixels are controlled exactly: a gradient row pattern, a 1-pixel
+    flip of it (hamming <= 2), a clone, and an inverted pattern
+    (far). Oracle-checked AND hand-checked."""
+    base = bytes(
+        [(16 * (c % 2) + r) % 256 for r in range(8) for c in range(9)]
+    )
+    near = bytearray(base)
+    near[4] = 255  # flip one comparison in row 0
+    far = bytes(255 - b for b in base)
+    rows = [
+        (0, base),
+        (1, bytes(near)),
+        (2, base),  # exact clone of 0
+        (3, far),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = sorted(
+        (r["doc_id"], r["phash"])
+        for r in image_dedup_frame(df).collect()
+    )
+    want = image_dedup_oracle(rows)
+    assert got == want
+    ids = [i for i, _ in got]
+    assert 0 in ids and 2 not in ids  # clone collapsed
+    assert 3 in ids  # inverted pattern survives
+    # the 1-pixel variant must be a true near pair (exercises the
+    # band join + verify, not just the exact collapse)
+    h0, h1 = _dhash_py(base), _dhash_py(bytes(near))
+    assert 1 <= bin((h0 ^ h1) & ((1 << 64) - 1)).count("1") <= 3
+    assert 1 not in ids
