@@ -48,15 +48,27 @@ def rrf_fuse(
     """Fuse N ranked result frames (each (id_col, score_col, ...))
     into (id, rrf_score, n_lists) ordered best-first; ``k`` truncates
     the fused list. An id absent from a list contributes nothing for
-    that list (the standard convention). rrf_score is rounded to 9 dp
-    for engine-portable determinism; ties break by id."""
+    that list (the standard convention); an id appearing MORE THAN
+    ONCE in one list (e.g. a per-(query, doc) frame passed whole)
+    contributes the sum of its ranks' reciprocals for that list — the
+    per-list groupBy below makes that well-defined instead of letting
+    the fusion join fan out duplicated rows (round-9 second-pass
+    review finding). rrf_score is rounded to 9 dp for engine-portable
+    determinism; ties break by id."""
     if not ranked_lists:
         raise ValueError("rrf_fuse: need at least one ranked list")
     fused = None
     for i, frame in enumerate(ranked_lists):
-        r = _ranked(frame, id_col, score_col).select(
-            "id",
-            (F.lit(1.0) / (F.lit(rrf_k) + F.col("rank"))).alias(f"_c{i}"),
+        r = (
+            _ranked(frame, id_col, score_col)
+            .select(
+                "id",
+                (F.lit(1.0) / (F.lit(rrf_k) + F.col("rank"))).alias(
+                    f"_c{i}"
+                ),
+            )
+            .groupBy("id")
+            .agg(F.sum(f"_c{i}").alias(f"_c{i}"))
         )
         fused = r if fused is None else fused.join(r, "id", "full_outer")
     contribs = [F.col(f"_c{i}") for i in range(len(ranked_lists))]

@@ -261,12 +261,27 @@ def test_group_aware_split_is_leakage_proof(spark):
         )
         assert r["bucket"] == want
 
-    # (c) docs outside any group keep their doc-keyed assignment
-    grouped_ids = {r["doc_id"] for r in groups.collect()}
+    # (c) docs outside any group keep their doc-keyed assignment.
+    # neardup_groups lists EVERY doc (singletons get their own id), so
+    # to actually exercise the left-join fallback the group map must
+    # OMIT singletons — filter to true cluster members only (second-
+    # pass review finding: the unfiltered map made this part vacuous).
+    sparse_groups = groups.filter(F.col("doc_id") != F.col("group_id"))
+    sparse = {
+        r["doc_id"]: r
+        for r in group_aware_split_frame(docs, sparse_groups).collect()
+    }
+    grouped_ids = {r["doc_id"] for r in sparse_groups.collect()}
+    assert grouped_ids and len(grouped_ids) < len(sparse)  # both paths
     base = {
         r["doc_id"]: r["split"]
         for r in split_assign_frame(docs).collect()
     }
-    for doc_id, r in rows.items():
+    for doc_id, r in sparse.items():
         if doc_id not in grouped_ids:
             assert r["split"] == base[doc_id]
+            assert r["split_key"] == doc_id
+    # and cluster members still follow their group id under the
+    # sparse map (identical to the full-map assignment)
+    for doc_id in grouped_ids:
+        assert sparse[doc_id]["split"] == rows[doc_id]["split"]

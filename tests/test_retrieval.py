@@ -31,14 +31,19 @@ TERMS = ["scan", "window", "column"]
 
 
 def rrf_oracle(lists, rrf_k=RRF_K, k=None):
-    """lists: [[(id, score), ...], ...] — python twin of rrf_fuse."""
+    """lists: [[(id, score), ...], ...] — python twin of rrf_fuse.
+    Repeated ids within one list sum their reciprocals but count the
+    list once in n_lists."""
     scores: dict = {}
     nlists: dict = {}
     for lst in lists:
         ranked = sorted(lst, key=lambda t: (-t[1], t[0]))
+        seen = set()
         for rank, (i, _) in enumerate(ranked, start=1):
             scores[i] = scores.get(i, 0.0) + 1.0 / (rrf_k + rank)
-            nlists[i] = nlists.get(i, 0) + 1
+            if i not in seen:
+                seen.add(i)
+                nlists[i] = nlists.get(i, 0) + 1
     out = sorted(
         ((i, round(s, 9), nlists[i]) for i, s in scores.items()),
         key=lambda t: (-t[1], t[0]),
@@ -90,6 +95,23 @@ def test_hybrid_search_differential(spark):
     # the fusion genuinely mixes modalities: at least one result came
     # from only one of the two lists
     assert any(n == 1 for _, _, n in got)
+
+
+def test_rrf_fuse_repeated_id_within_one_list(spark):
+    """Second-pass review finding: a per-(query, doc) frame can carry
+    the same id twice in one list; the fusion must sum the
+    contributions into ONE output row, not fan out duplicates."""
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 9.0), (1, 8.0)], "id long, score double"
+    )
+    b = spark.createDataFrame([(2, 0.5)], "id long, score double")
+    got = [tuple(r) for r in rrf_fuse([a, b]).collect()]
+    want = rrf_oracle([[(1, 10.0), (2, 9.0), (1, 8.0)], [(2, 0.5)]])
+    assert got == want
+    ids = [i for i, _, _ in got]
+    assert ids.count(1) == 1  # one fused row despite the repeat
+    by_id = {i: s for i, s, _ in got}
+    assert by_id[1] == round(1 / 61 + 1 / 63, 9)
 
 
 def test_rrf_fuse_empty_list_raises(spark):
