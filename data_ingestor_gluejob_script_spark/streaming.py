@@ -1012,6 +1012,96 @@ def run_audited_ingest(
     )
 
 
+def run_scored_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    lake_dir: str,
+    rejects_dir: str,
+    checkpoint_dir: str,
+    weights: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming ingestion gated by the hashed linear quality
+    classifier (queries/classifier.py) — the model-scored sibling of
+    ``run_audited_ingest``, which the declarative audit checks cannot
+    express because scoring needs the broadcast (bucket, weight)
+    model join, not a map-only column predicate.
+
+    Per micro-batch: collapse in-batch duplicate ids (deterministic
+    survivor), score every row, split at ``threshold`` — keepers
+    append to ``lake_dir``, rejects append to ``rejects_dir`` WITH
+    their score and logit (so threshold tuning can replay the reject
+    lake instead of the raw stream). Batch-parity with
+    ``quality_partition`` and crash-replay idempotence via the same
+    recomputed content-digest guard as the audited ingest.
+
+    Scale shape: the model table broadcasts once per batch (model-
+    sized); the batch scans once (persisted across the score join and
+    both writes); destination guards are column-pruned digest scans.
+    """
+    from .queries.classifier import classifier_score_frame
+
+    batch0 = spark.read.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(batch0.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        src_cols = list(batch_df.columns)
+        payload = [c for c in src_cols if c != id_col]
+        tie = row_digest(payload) if payload else F.lit("0")
+        w = Window.partitionBy(id_col).orderBy(tie.asc_nulls_last())
+        batch = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("_ingest_digest", row_digest(src_cols))
+            .persist()
+        )
+        try:
+            scores = classifier_score_frame(
+                batch, weights, text_col=text_col
+            ).select(id_col, "logit", "score")
+            scored = batch.join(scores, id_col)
+            keep = scored.filter(
+                F.col("score") >= F.lit(threshold)
+            ).drop("logit", "score")
+            reject = scored.filter(F.col("score") < F.lit(threshold))
+            for side_df, out_dir in ((keep, lake_dir), (reject, rejects_dir)):
+                try:
+                    seen = spark.read.parquet(out_dir).select(
+                        row_digest(src_cols).alias("_ingest_digest")
+                    )
+                except AnalysisException as ex:
+                    if "PATH_NOT_FOUND" not in str(ex):
+                        raise
+                    seen = None
+                fresh = (
+                    side_df
+                    if seen is None
+                    else side_df.join(
+                        seen, "_ingest_digest", "left_anti"
+                    )
+                )
+                fresh.write.mode("append").parquet(out_dir)
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_cdc_ingest(
     spark: SparkSession,
     changes_dir: str,

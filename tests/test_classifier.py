@@ -121,3 +121,58 @@ def test_classifier_fuzz(spark, word_lists):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = classifier_score_frame(df, standin_weights(spark)).collect()
     _check(got, rows)
+
+
+def test_scored_ingest_matches_batch_partition_and_replays_clean(
+    spark, tmp_path
+):
+    """Streaming classifier gate == batch quality_partition on the
+    same corpus; replay (fresh checkpoint, same lakes) is absorbed by
+    the digest guard; rejects carry their score for threshold-tuning
+    replays."""
+    from data_ingestor_gluejob_script_spark.queries._util import load
+    from data_ingestor_gluejob_script_spark.streaming import (
+        run_scored_ingest,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    rows = sorted(
+        (r["doc_id"], r["text"]) for r in docs.collect()
+    )[:120]
+    src = str(tmp_path / "in")
+    for b in range(3):
+        chunk = rows[b * 40 : (b + 1) * 40]
+        spark.createDataFrame(
+            chunk, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    w = standin_weights(spark)
+    lake, rej = str(tmp_path / "lake"), str(tmp_path / "rej")
+    q = run_scored_ingest(
+        spark, src, lake, rej, str(tmp_path / "ck"), w, threshold=0.45
+    )
+    q.awaitTermination()
+
+    df_all = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        r["doc_id"]: r["keep"]
+        for r in quality_partition(df_all, w, threshold=0.45).collect()
+    }
+    got_keep = {r["doc_id"] for r in spark.read.parquet(lake).collect()}
+    rej_rows = spark.read.parquet(rej).collect()
+    got_rej = {r["doc_id"] for r in rej_rows}
+    assert got_keep == {i for i, k in want.items() if k}
+    assert got_rej == {i for i, k in want.items() if not k}
+    assert got_keep and got_rej
+    # rejects carry score + logit below threshold
+    assert all(r["score"] < 0.45 for r in rej_rows)
+    assert all(r["logit"] is not None for r in rej_rows)
+
+    # replay with a fresh checkpoint: both lakes unchanged
+    n_lake, n_rej = len(got_keep), len(rej_rows)
+    q2 = run_scored_ingest(
+        spark, src, lake, rej, str(tmp_path / "ck2"), w, threshold=0.45
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(lake).count() == n_lake
+    assert spark.read.parquet(rej).count() == n_rej
