@@ -119,3 +119,28 @@ def test_rrf_fuse_empty_list_raises(spark):
 
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_rrf_fuse_accepts_per_query_search_join_output(spark):
+    """The reviewer's scenario as an integration case: a multi-query
+    bm25_search_join frame carries the same doc under several
+    queries; fusing it whole must sum that doc's contributions into
+    one row (per-list groupBy), matching the oracle fed the same
+    (id, score) multiset."""
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        bm25_search_join,
+    )
+    import pyspark.sql.functions as F
+
+    docs = load(spark, SF_DIR, "documents")
+    queries = docs.filter(F.col("doc_id") % 100 == 0).selectExpr(
+        "doc_id AS query_id", "text"
+    )
+    res = bm25_search_join(docs, queries, k=5).select(
+        F.col("doc_id").alias("id"), F.col("bm25").alias("score")
+    )
+    rows = [(r["id"], r["score"]) for r in res.collect()]
+    assert len(rows) > len({i for i, _ in rows})  # real repeats
+    got = [tuple(r) for r in rrf_fuse([res]).collect()]
+    assert got == rrf_oracle([rows])
+    assert len(got) == len({i for i, _ in rows})
