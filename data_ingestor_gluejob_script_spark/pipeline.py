@@ -99,6 +99,8 @@ def write_partitioned_upsert(
     company: str = "Locaweb",
     max_records_per_file: int | None = None,
     single_object_compat: bool = False,
+    delete_keys: DataFrame | None = None,
+    delete_touched: list[tuple] | None = None,
 ) -> int:
     """K1: merge one table batch into its lake partitions.
 
@@ -106,6 +108,17 @@ def write_partitioned_upsert(
     F2 guard at gluejob.py:175-179). Mirrors posting_parquets_in_s3 +
     s3_parquet_file_put_and_update (gluejob.py:173-205) as one
     distributed plan.
+
+    ``delete_keys`` (+ ``delete_touched``, the victim partitions the
+    caller discovered) fuses a CDC delete arm into the SAME rewrite:
+    the scoped lake read anti-joins the keys before the merge, the
+    touched-partition predicate covers both arms, and partitions the
+    deletes fully emptied are removed explicitly (dynamic overwrite
+    cannot clear a partition that gets no output rows). One lake
+    read + one write where the unfused upsert-then-forget_rows
+    sequence paid two of each on overlapping partitions. Requires a
+    NON-EMPTY batch (the merged write's Observation needs rows to
+    flow; callers route empty-upsert change batches to forget_rows).
 
     ``single_object_compat=True`` reproduces the reference's exact
     on-disk contract — ONE parquet object named ``{table}.parquet``
@@ -116,6 +129,11 @@ def write_partitioned_upsert(
     multi-file layout + ``compact_partitions`` instead.
     """
     if batch.limit(1).count() == 0:
+        if delete_keys is not None:
+            raise ValueError(
+                "write_partitioned_upsert: delete_keys requires a "
+                "non-empty batch — use forget_rows for pure erasure"
+            )
         log.info("skip empty batch for %s", spec.name)
         return 0
 
@@ -132,16 +150,29 @@ def write_partitioned_upsert(
     # pruning predicate and the compat rename scope. The collect is
     # metadata-sized (bounded by the calendar, not the data).
     touched: list[tuple] = []
+    batch_touched: list[tuple] = []
     if existing is not None or single_object_compat:
-        touched = [
+        batch_touched = [
             (r[0], r[1])
             for r in prepared.select(ycol, mcol).distinct().collect()
         ]
+        touched = list(batch_touched)
+        for part in delete_touched or []:
+            if part not in touched:
+                touched.append(part)
     if existing is not None:
         # Partition-scoped merge (gluejob.py:190-205): only read lake
         # partitions the batch touches (null-safety: see
-        # _partition_predicate).
+        # _partition_predicate), and only THIS company's — company is
+        # a partition column, so on a multi-company lake an unscoped
+        # read would merge other companies' rows into this company's
+        # rewrite (re-stamped with the wrong company literal) while
+        # dynamic overwrite left their own partitions intact —
+        # duplication, and under the fused delete arm, cross-company
+        # erasure. Both predicates push down as partition pruning.
         pred = _partition_predicate(ycol, mcol, touched)
+        if "company" in existing.columns:
+            existing = existing.filter(F.col("company") == company)
         existing = existing.filter(pred)  # pushed as partition pruning
         # Schema evolution: a registry column added AFTER these lake
         # files were written is absent from the merged scan — backfill
@@ -160,6 +191,36 @@ def write_partitioned_upsert(
             existing.select(*spec.columns)  # drop partition/company cols
             .transform(lambda d: derive_partitions(d, spec.ts_col, spec.name))
         )
+
+    emptied: list[tuple] = []
+    if delete_keys is not None and existing is not None:
+        if single_object_compat:
+            raise ValueError(
+                "write_partitioned_upsert: delete_keys is not "
+                "supported with single_object_compat (the rename "
+                "scope and emptied-dir removal would conflict)"
+            )
+        key = delete_keys.select(
+            F.col(delete_keys.columns[0]).alias(spec.id_col)
+        ).distinct()
+        existing = existing.join(F.broadcast(key), spec.id_col, "left_anti")
+        # Which delete-arm partitions still hold rows after the fused
+        # merge — resolved BEFORE the overwrite (the write mutates the
+        # path this plan reads). A partition receiving batch rows can
+        # never empty; only delete_touched - batch_touched can.
+        at_risk = [
+            p for p in (delete_touched or []) if p not in batch_touched
+        ]
+        if at_risk:
+            risk_pred = _partition_predicate(ycol, mcol, at_risk)
+            kept = {
+                (r[0], r[1])
+                for r in existing.filter(risk_pred)
+                .select(ycol, mcol)
+                .distinct()
+                .collect()
+            }
+            emptied = [p for p in at_risk if p not in kept]
 
     merged = upsert_dedup(prepared, existing, spec.id_col)  # O6+O7
     # Row count via an Observation on the write itself: a separate
@@ -197,8 +258,28 @@ def write_partitioned_upsert(
     n = int(obs.get["n"])
     if single_object_compat:
         _rename_to_single_objects(spark, root, spec.name, company, touched)
+    if emptied:
+        _remove_partition_dirs(spark, root, spec.name, company, emptied)
     log.info("upserted %d rows into %s", n, root)
     return n
+
+
+def _remove_partition_dirs(
+    spark: SparkSession, root: str, table: str, company: str, parts
+) -> None:
+    """Explicitly delete partition directories dynamic overwrite left
+    behind (it cannot clear a partition that produced no output rows)
+    — shared by the fused CDC write and forget_rows, Hadoop FS API so
+    it works on local/HDFS/s3a alike."""
+    jvm = spark._jvm
+    fs = None
+    for y, m in parts:
+        part_dir = _partition_dir(root, table, company, y, m)
+        path = jvm.org.apache.hadoop.fs.Path(part_dir)
+        if fs is None:
+            fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
 
 
 def _part_dir_value(v) -> str:
@@ -583,17 +664,13 @@ def forget_rows(
         .parquet(root)
     )
     n_after = int(obs.get["n"])
-    jvm = spark._jvm
-    fs = None
-    for y, m in touched:
-        if (y, m) in kept:
-            continue
-        part_dir = _partition_dir(root, spec.name, company, y, m)
-        path = jvm.org.apache.hadoop.fs.Path(part_dir)
-        if fs is None:
-            fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(path):
-            fs.delete(path, True)
+    _remove_partition_dirs(
+        spark,
+        root,
+        spec.name,
+        company,
+        [p for p in touched if p not in kept],
+    )
     n = n_before - n_after
     log.info("forgot %d rows from %s across %d partitions",
              n, root, len(touched))
@@ -675,14 +752,51 @@ def apply_cdc_batch(
         )
         upserts = latest.filter(op != "D").select(*spec.columns)
         deletes = latest.filter(op == "D").select(spec.id_col)
+        ycol, mcol = f"{spec.name}_year", f"{spec.name}_month"
         # count the CHANGE rows applied, not the writer's merged-rows
         # return (which includes surviving lake rows of touched
         # partitions); cheap — the batch is persisted above
         n_up = upserts.count()
-        write_partitioned_upsert(
-            spark, upserts, spec, lake_root, company=company
+        if n_up == 0:
+            # pure-erasure batch: the fused write needs batch rows to
+            # flow through its Observation — forget_rows IS the fused
+            # plan minus the merge
+            n_del = forget_rows(
+                spark, deletes, spec, lake_root, company=company
+            )
+            return 0, n_del
+        # Fused apply: discover the delete victims' partitions and row
+        # count in ONE aggregation over the company-scoped lake, then
+        # run a SINGLE partition-scoped rewrite that merges the
+        # upserts AND anti-joins the deleted keys — one lake read and
+        # one write where upsert-then-forget_rows paid two of each on
+        # overlapping partitions (r9 steady-state CDC cost, PLANS.md).
+        n_del = 0
+        delete_touched: list[tuple] = []
+        del_keys = None
+        lake = read_parquet_table(
+            spark, lake_table_root(lake_root, spec.name)
         )
-        n_del = forget_rows(spark, deletes, spec, lake_root, company=company)
+        if lake is not None and deletes.limit(1).count() > 0:
+            del_keys = deletes.distinct()
+            victims = (
+                lake.filter(F.col("company") == company)
+                .join(F.broadcast(del_keys), spec.id_col, "left_semi")
+                .groupBy(ycol, mcol)
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            n_del = sum(r["n"] for r in victims)
+            delete_touched = [(r[0], r[1]) for r in victims]
+        write_partitioned_upsert(
+            spark,
+            upserts,
+            spec,
+            lake_root,
+            company=company,
+            delete_keys=del_keys if delete_touched else None,
+            delete_touched=delete_touched,
+        )
         return n_up, n_del
     finally:
         changes.unpersist()

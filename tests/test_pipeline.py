@@ -890,3 +890,109 @@ def test_apply_cdc_batch_null_wm_delete_wins(spark, tmp_path, lake):
     got = {r.id: r.status for r in spark.read.parquet(root).collect()}
     assert set(got) == {"s1", "s2"}  # s0 erased by the tombstone
     assert got["s1"] == "dated"
+
+
+def test_apply_cdc_batch_fused_cross_partition_delete(spark, tmp_path, lake):
+    """Round-9 fused CDC apply: deletes landing in a partition the
+    upserts never touch still erase (and a fully-emptied partition's
+    directory disappears), untouched partitions stay byte-identical,
+    and the counts match the unfused contract."""
+    import os
+
+    from data_ingestor_gluejob_script_spark.pipeline import (
+        apply_cdc_batch,
+        write_partitioned_upsert,
+    )
+
+    spec = CATALOG["retail_subscriptions"]
+    # three monthly partitions: Jan (s0,s1), Feb (f0 -- will fully
+    # empty), Mar (m0 -- untouched)
+    base = [
+        _sub("s0", "2024-01-10 10:00:00", "2024-01-10 10:00:00"),
+        _sub("s1", "2024-01-11 10:00:00", "2024-01-11 10:00:00"),
+        _sub("f0", "2024-02-10 10:00:00", "2024-02-10 10:00:00"),
+        _sub("m0", "2024-03-10 10:00:00", "2024-03-10 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        [[r[c] for c in spec.columns] for r in base], list(spec.columns)
+    )
+    write_partitioned_upsert(spark, df, spec, lake)
+    root = f"{lake}/raw/locaweb/{spec.name}"
+    mar_dir = (
+        f"{root}/company=Locaweb/{spec.name}_year=2024/{spec.name}_month=3"
+    )
+    feb_dir = (
+        f"{root}/company=Locaweb/{spec.name}_year=2024/{spec.name}_month=2"
+    )
+    mar_files = {
+        f: os.path.getmtime(f"{mar_dir}/{f}") for f in os.listdir(mar_dir)
+    }
+
+    cols = list(spec.columns) + ["_op"]
+    changes = []
+    u = _sub("s0", "2024-01-10 10:00:00", "2024-01-12 00:00:00",
+             status="cancelled")
+    u["_op"] = "U"
+    changes.append(u)
+    d = _sub("f0", "2024-02-10 10:00:00", "2024-02-12 00:00:00")
+    d["_op"] = "D"
+    changes.append(d)
+    cdf = spark.createDataFrame(
+        [[r[c] for c in cols] for r in changes], cols
+    )
+    n_up, n_del = apply_cdc_batch(spark, cdf, spec, lake)
+    assert (n_up, n_del) == (1, 1)
+
+    got = {r.id: r.status for r in spark.read.parquet(root).collect()}
+    assert got == {"s0": "cancelled", "s1": "active", "m0": "active"}
+    # Feb fully emptied -> directory gone; Mar untouched byte-for-byte
+    assert not os.path.exists(feb_dir)
+    assert {
+        f: os.path.getmtime(f"{mar_dir}/{f}") for f in os.listdir(mar_dir)
+    } == mar_files
+
+
+def test_upsert_is_company_scoped_on_multi_company_lake(
+    spark, tmp_path, lake
+):
+    """Round-9 fix: the merge's existing read filters to the target
+    company — on a two-company lake an upsert into A must neither
+    absorb B's rows into A's partitions nor disturb B's files."""
+    import os
+
+    from data_ingestor_gluejob_script_spark.pipeline import (
+        write_partitioned_upsert,
+    )
+
+    spec = CATALOG["retail_subscriptions"]
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [[r[c] for c in spec.columns] for r in rows],
+            list(spec.columns),
+        )
+
+    a = [_sub("a0", "2024-01-10 10:00:00", "2024-01-10 10:00:00")]
+    b = [_sub("b0", "2024-01-15 10:00:00", "2024-01-15 10:00:00")]
+    write_partitioned_upsert(spark, df_of(a), spec, lake, company="A")
+    write_partitioned_upsert(spark, df_of(b), spec, lake, company="B")
+    root = f"{lake}/raw/locaweb/{spec.name}"
+    b_dir = f"{root}/company=B/{spec.name}_year=2024/{spec.name}_month=1"
+    b_files = {
+        f: os.path.getmtime(f"{b_dir}/{f}") for f in os.listdir(b_dir)
+    }
+
+    upd = [
+        _sub("a0", "2024-01-10 10:00:00", "2024-01-20 00:00:00",
+             status="cancelled")
+    ]
+    write_partitioned_upsert(spark, df_of(upd), spec, lake, company="A")
+
+    rows = spark.read.parquet(root).collect()
+    by_company = {}
+    for r in rows:
+        by_company.setdefault(r["company"], set()).add(r.id)
+    assert by_company == {"A": {"a0"}, "B": {"b0"}}
+    assert {
+        f: os.path.getmtime(f"{b_dir}/{f}") for f in os.listdir(b_dir)
+    } == b_files
