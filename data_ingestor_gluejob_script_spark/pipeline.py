@@ -80,14 +80,21 @@ def _partition_predicate(ycol: str, mcol: str, touched: list[tuple]):
 
 
 def _partition_dir(
-    root: str, table: str, company: str, y, m
+    spark: SparkSession, root: str, table: str, company: str, y, m
 ) -> str:
     """Filesystem path of one (company, year, month) partition
     directory — the single spelling of the Hive layout used by the
-    compat rename and the erasure cleanup."""
+    compat rename and the erasure cleanup. Values go through Spark's
+    own Hive path escaping (ExternalCatalogUtils.escapePathName), so
+    a company like "Foo:Bar" resolves to the company=Foo%3ABar
+    directory the writer actually created — a hand-built unescaped
+    path would silently miss it and, on the erasure paths, leave
+    supposedly-deleted rows readable (round-9 review finding)."""
+    esc = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     return (
-        f"{root}/company={company}/{table}_year={_part_dir_value(y)}"
-        f"/{table}_month={_part_dir_value(m)}"
+        f"{root}/company={esc(company)}"
+        f"/{table}_year={esc(_part_dir_value(y))}"
+        f"/{table}_month={esc(_part_dir_value(m))}"
     )
 
 
@@ -274,7 +281,7 @@ def _remove_partition_dirs(
     jvm = spark._jvm
     fs = None
     for y, m in parts:
-        part_dir = _partition_dir(root, table, company, y, m)
+        part_dir = _partition_dir(spark, root, table, company, y, m)
         path = jvm.org.apache.hadoop.fs.Path(part_dir)
         if fs is None:
             fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -314,7 +321,7 @@ def _rename_to_single_objects(
     jvm = spark._jvm
     fs = None
     for y, m in touched:
-        part_dir = _partition_dir(root, table, company, y, m)
+        part_dir = _partition_dir(spark, root, table, company, y, m)
         pattern = jvm.org.apache.hadoop.fs.Path(f"{part_dir}/part-*.parquet")
         if fs is None:
             fs = pattern.getFileSystem(spark._jsc.hadoopConfiguration())

@@ -62,6 +62,7 @@ def classifier_score_frame(
     weights: DataFrame,
     text_col: str = "text",
     bias: float = DEFAULT_BIAS,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Score every document with the hashed linear model. Returns
     (doc_id, n_tokens, logit, score) where
@@ -77,7 +78,7 @@ def classifier_score_frame(
     shuffle, keyed by doc_id.
     """
     toks = docs.select(
-        "doc_id",
+        id_col,
         # NULL text scores as empty text: split(NULL) is a NULL array
         # whose explode emits nothing, which would silently drop the
         # document from the scores — breaking the every-row contract
@@ -85,19 +86,22 @@ def classifier_score_frame(
             F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
         ).alias("tok"),
     ).select(
-        "doc_id",
+        id_col,
         (F.crc32(F.col("tok").cast("binary")) % F.lit(N_BUCKETS)).alias(
             "bucket"
         ),
     )
     joined = toks.join(F.broadcast(weights), "bucket", "left")
-    agg = joined.groupBy("doc_id").agg(
+    # groupBy pools rows sharing an id (including all-NULL ids) into
+    # ONE score row — callers wanting per-row scores must supply
+    # unique ids
+    agg = joined.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
         F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_wsum"),
     )
     logit = F.col("_wsum") / F.col("n_tokens") + F.lit(bias)
     return agg.select(
-        "doc_id",
+        id_col,
         "n_tokens",
         F.round(logit, 6).alias("logit"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),

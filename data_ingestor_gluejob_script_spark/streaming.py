@@ -889,6 +889,56 @@ def run_neardup_ingest(
     )
 
 
+
+def _collapse_batch(batch_df: DataFrame, id_col: str):
+    """Shared micro-batch preamble for the gated ingests: ONE
+    deterministic survivor per id (all-NULL ids count as one id; the
+    tie-break is the null-safe row_digest so different-content rows
+    never compare equal), stamped with the null-safe content digest
+    over every source column. Returns (collapsed frame, source column
+    list) — the digest guard recomputes from src_cols later, so the
+    list is captured BEFORE the digest column is added."""
+    src_cols = list(batch_df.columns)
+    payload = [c for c in src_cols if c != id_col]
+    tie = row_digest(payload) if payload else F.lit("0")
+    w = Window.partitionBy(id_col).orderBy(tie.asc_nulls_last())
+    collapsed = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("_ingest_digest", row_digest(src_cols))
+    )
+    return collapsed, src_cols
+
+
+def _guarded_append(
+    spark: SparkSession, side_df: DataFrame, out_dir: str, src_cols
+) -> None:
+    """Append with the recomputed-digest exactly-once guard: the
+    destination's digests are RECOMPUTED from its stored source
+    columns (present in every file, legacy or new), so mixed-schema
+    directories get deterministic full-history protection — see
+    run_audited_ingest's docstring for the full rationale. Only
+    "no destination yet" may skip the guard; anything else aborts
+    rather than double-ingest."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        seen = spark.read.parquet(out_dir).select(
+            row_digest(src_cols).alias("_ingest_digest")
+        )
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" not in str(ex):
+            raise
+        seen = None
+    fresh = (
+        side_df
+        if seen is None
+        else side_df.join(seen, "_ingest_digest", "left_anti")
+    )
+    fresh.write.mode("append").parquet(out_dir)
+
+
 def run_audited_ingest(
     spark: SparkSession,
     src_dir: str,
@@ -953,54 +1003,16 @@ def run_audited_ingest(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         # Collapse in-batch duplicate ids FIRST (same row delivered in
         # two files of one trigger, or redelivered within a batch):
-        # the destination anti-join below can't see rows that aren't
-        # written yet, so without this both copies would append. One
-        # deterministic survivor per id — min by full-row hash, the
-        # run_doc_dedup_ingest tie-break convention.
-        src_cols = list(batch_df.columns)
-        payload = [c for c in src_cols if c != id_col]
-        # null-safe tie (row_digest, not xxhash64-of-casts): two
-        # different-content rows must never compare equal or the
-        # window's survivor is partitioning-dependent
-        tie = row_digest(payload) if payload else F.lit("0")
-        w = Window.partitionBy(id_col).orderBy(tie.asc_nulls_last())
-        batch_df = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-            # content key for the cross-batch guard: ALL source columns
-            # (id included), computed before the split so both sides
-            # carry the identical digest for the identical source row
-            .withColumn("_ingest_digest", row_digest(src_cols))
-            .persist()
-        )
+        # the destination anti-join can't see rows that aren't written
+        # yet, so without this both copies would append.
+        batch_df, src_cols = _collapse_batch(batch_df, id_col)
+        batch_df = batch_df.persist()
         try:
             clean, bad = split_quarantine(batch_df, checks)
             for side_df, out_dir in ((clean, lake_dir), (bad, quarantine_dir)):
-                try:
-                    # recompute the digest from the stored SOURCE
-                    # columns (present in every file, legacy or new) —
-                    # see docstring for why the stored digest column
-                    # can't be the guard key on mixed-schema dirs
-                    seen = spark.read.parquet(out_dir).select(
-                        row_digest(src_cols).alias("_ingest_digest")
-                    )
-                except AnalysisException as ex:
-                    # only "no destination yet" may skip the guard —
-                    # anything else must abort, not double-ingest
-                    if "PATH_NOT_FOUND" not in str(ex):
-                        raise
-                    seen = None
-                fresh = (
-                    side_df
-                    if seen is None
-                    else side_df.join(seen, "_ingest_digest", "left_anti")
-                )
-                fresh.write.mode("append").parquet(out_dir)
+                _guarded_append(spark, side_df, out_dir, src_cols)
         finally:
             batch_df.unpersist()
 
@@ -1052,47 +1064,32 @@ def run_scored_ingest(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        src_cols = list(batch_df.columns)
-        payload = [c for c in src_cols if c != id_col]
-        tie = row_digest(payload) if payload else F.lit("0")
-        w = Window.partitionBy(id_col).orderBy(tie.asc_nulls_last())
-        batch = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-            .withColumn("_ingest_digest", row_digest(src_cols))
-            .persist()
+        batch, src_cols = _collapse_batch(batch_df, id_col)
+        # Persist the SCORED frame, not just the raw batch: both
+        # destination writes derive from it, and the scoring plan
+        # (token explode + broadcast model join + id-keyed shuffle) is
+        # the dominant per-batch cost — unpersisted it would run twice
+        # (round-9 third-pass review finding). The score join is
+        # null-SAFE on the id: after the collapse there is at most one
+        # null-id row, the scorer pools it into one score row, and a
+        # plain equi-join would silently drop it from BOTH outputs.
+        scores = classifier_score_frame(
+            batch, weights, text_col=text_col, id_col=id_col
+        ).select(
+            F.col(id_col).alias("_score_id"), "logit", "score"
         )
+        scored = batch.join(
+            scores, F.col(id_col).eqNullSafe(F.col("_score_id"))
+        ).drop("_score_id").persist()
         try:
-            scores = classifier_score_frame(
-                batch, weights, text_col=text_col
-            ).select(id_col, "logit", "score")
-            scored = batch.join(scores, id_col)
             keep = scored.filter(
                 F.col("score") >= F.lit(threshold)
             ).drop("logit", "score")
             reject = scored.filter(F.col("score") < F.lit(threshold))
             for side_df, out_dir in ((keep, lake_dir), (reject, rejects_dir)):
-                try:
-                    seen = spark.read.parquet(out_dir).select(
-                        row_digest(src_cols).alias("_ingest_digest")
-                    )
-                except AnalysisException as ex:
-                    if "PATH_NOT_FOUND" not in str(ex):
-                        raise
-                    seen = None
-                fresh = (
-                    side_df
-                    if seen is None
-                    else side_df.join(
-                        seen, "_ingest_digest", "left_anti"
-                    )
-                )
-                fresh.write.mode("append").parquet(out_dir)
+                _guarded_append(spark, side_df, out_dir, src_cols)
         finally:
-            batch.unpersist()
+            scored.unpersist()
 
     return (
         stream.writeStream.foreachBatch(sink)

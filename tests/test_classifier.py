@@ -176,3 +176,38 @@ def test_scored_ingest_matches_batch_partition_and_replays_clean(
     q2.awaitTermination()
     assert spark.read.parquet(lake).count() == n_lake
     assert spark.read.parquet(rej).count() == n_rej
+
+
+def test_scored_ingest_null_id_and_custom_id_col(spark, tmp_path):
+    """Third-pass review findings: a NULL-id row must land on exactly
+    one side (not vanish through the inner score join), and id_col
+    must actually work for non-doc_id sources."""
+    import pandas as pd
+
+    from data_ingestor_gluejob_script_spark.streaming import (
+        run_scored_ingest,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "item_id": pd.array([1, None], dtype="Int64"),
+            "text": ["some real words", "null id words"],
+        }
+    ).to_parquet(src / "b0.parquet")
+
+    w = standin_weights(spark)
+    lake, rej = str(tmp_path / "lake"), str(tmp_path / "rej")
+    q = run_scored_ingest(
+        spark, str(src), lake, rej, str(tmp_path / "ck"), w,
+        threshold=0.0, id_col="item_id",
+    )
+    q.awaitTermination(120)
+    # threshold 0 keeps everything -> both rows (incl. NULL id) land
+    got = spark.read.parquet(lake).collect()
+    assert len(got) == 2
+    assert sorted(
+        (r["item_id"] is None, r["text"]) for r in got
+    ) == [(False, "some real words"), (True, "null id words")]
+    assert spark.read.parquet(rej).count() == 0

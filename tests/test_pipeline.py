@@ -996,3 +996,46 @@ def test_upsert_is_company_scoped_on_multi_company_lake(
     assert {
         f: os.path.getmtime(f"{b_dir}/{f}") for f in os.listdir(b_dir)
     } == b_files
+
+
+def test_erasure_on_hive_escaped_company_dir(spark, tmp_path, lake):
+    """Third-pass review finding: the writer Hive-escapes partition
+    values in directory names (company=Foo%3ABar for "Foo:Bar"); the
+    erasure cleanup must address the SAME escaped path or a fully-
+    erased partition's files survive and the deleted rows stay
+    readable."""
+    import os
+
+    from data_ingestor_gluejob_script_spark.pipeline import (
+        forget_rows,
+        write_partitioned_upsert,
+    )
+
+    spec = CATALOG["retail_subscriptions"]
+    rows = [_sub("x0", "2024-02-10 10:00:00", "2024-02-10 10:00:00")]
+    df = spark.createDataFrame(
+        [[r[c] for c in spec.columns] for r in rows], list(spec.columns)
+    )
+    write_partitioned_upsert(spark, df, spec, lake, company="Foo:Bar")
+    root = f"{lake}/raw/locaweb/{spec.name}"
+    esc_dir = f"{root}/company=Foo%3ABar"
+    assert os.path.exists(esc_dir)  # the writer escaped the value
+
+    month_dir = (
+        f"{esc_dir}/{spec.name}_year=2024/{spec.name}_month=2"
+    )
+    assert os.path.exists(month_dir)
+    ids = spark.createDataFrame([("x0",)], "id string")
+    n = forget_rows(spark, ids, spec, lake, company="Foo:Bar")
+    assert n == 1
+    # the fully-erased partition directory is GONE (an unescaped path
+    # would have missed it and left the row readable); the empty
+    # company shell above it remains, same as for plain companies
+    assert not os.path.exists(month_dir)
+    remaining = [
+        f
+        for _, _, files in os.walk(esc_dir)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    assert remaining == []
