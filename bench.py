@@ -60,6 +60,18 @@ Protocol hardening:
   in BASELINE.md (same forward-defined protocol and 2× bar as the
   round-2 core baseline), so regressions in unregistered code are
   caught the same way as registered ones.
+- Extras protocol hardening (round 10, after BENCH_r09's extras block
+  was captured during a load-2→8.7 contention wave and put five
+  entries formally over the 2× bar on byte-identical code): the
+  extras suite gates on a MUCH quieter host than the core set
+  (0.15 × ncpus vs 0.5 — best-of-2 has no headroom to absorb a
+  wave), entries whose recorded baseline exceeds 2 s run ≥3
+  round-robin reps (in their own batches so the fast entries don't
+  pay for it), and any entry whose best still exceeds 1.5× of its
+  ``EXTRAS_BASELINE.json`` row is automatically re-run ONCE in a
+  fresh re-gated JVM with ≥3 reps, keeping the overall min. The
+  re-run list and per-batch loads land in BENCH_DETAIL.json so the
+  artifact shows whether an over-bar number survived a quiet retry.
 """
 
 from __future__ import annotations
@@ -177,17 +189,29 @@ def main() -> int:
     # (composed pipeline, connected components) are multi-second.
     extras_reps = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRAS_REPS", "2"))
     extra_names = sorted(extras())
+    # Forward per-entry extras baselines (r8 frozen table + first-measured
+    # rows appended each round). Drives the slow-entry rep floor and the
+    # over-bar auto-rerun; a new entry (no row yet) gets defaults.
+    try:
+        with open(os.path.join(REPO, "EXTRAS_BASELINE.json")) as f:
+            extras_base = {k: v["sec"] for k, v in json.load(f).items()}
+    except (OSError, ValueError, KeyError, TypeError):
+        extras_base = {}
     start_load = wait_for_quiet_host(max_load=0.5 * ncpus)
 
     def run_batches(
-        batch_names: list[str], batch_reps: int, gate_first: bool
+        batch_names: list[str],
+        batch_reps: int,
+        gate_first: bool,
+        max_load: float | None = None,
     ) -> tuple[dict[str, list[float]], list[list[float]]]:
+        gate = 0.5 * ncpus if max_load is None else max_load
         detail: dict[str, list[float]] = {}
         loads: list[list[float]] = []
         for i in range(0, len(batch_names), batch_size):
             batch = batch_names[i : i + batch_size]
             if i or gate_first:  # re-gate; a short wait beats a noisy batch
-                wait_for_quiet_host(max_load=0.5 * ncpus, timeout_sec=60.0)
+                wait_for_quiet_host(max_load=gate, timeout_sec=120.0)
             proc = subprocess.run(
                 [
                     sys.executable,
@@ -244,15 +268,49 @@ def main() -> int:
         return detail, loads
 
     reps_detail, batch_loads = run_batches(names, reps, gate_first=False)
+
+    # Extras: quieter gate than the core set, and entries whose baseline
+    # exceeds 2 s get >=3 reps in their own batches (slow first, so the
+    # expensive ones run while the gate's quiet reading is freshest).
+    extras_gate = 0.15 * ncpus
+    slow_reps = max(extras_reps, 3)
+    slow = [n for n in extra_names if extras_base.get(n, 0.0) > 2.0]
+    fast = [n for n in extra_names if n not in slow]
     extras_detail, extras_loads = run_batches(
-        extra_names, extras_reps, gate_first=True
+        slow, slow_reps, gate_first=True, max_load=extras_gate
     )
+    fast_detail, fast_loads = run_batches(
+        fast, extras_reps, gate_first=True, max_load=extras_gate
+    )
+    extras_detail.update(fast_detail)
+    extras_loads.extend(fast_loads)
 
     def best_of(detail: dict[str, list[float]]) -> dict[str, float]:
         return {
             name: (min(ok) if (ok := [t for t in ts if t >= 0]) else -1.0)
             for name, ts in detail.items()
         }
+
+    # Auto-rerun: any entry whose best still exceeds 1.5x its recorded
+    # baseline gets ONE more re-gated fresh-JVM batch at >=3 reps; the
+    # overall min across both runs stands. A contention wave inflates
+    # one-sidedly, so a quiet retry either clears the entry or confirms
+    # a real regression — either way the artifact is trustworthy.
+    first_best = best_of(extras_detail)
+    rerun = sorted(
+        n
+        for n, t in first_best.items()
+        if t >= 0 and extras_base.get(n) and t > 1.5 * extras_base[n]
+    )
+    if rerun:
+        print(f"bench extras re-run (over 1.5x baseline): {rerun}",
+              file=sys.stderr)
+        rerun_detail, rerun_loads = run_batches(
+            rerun, slow_reps, gate_first=True, max_load=extras_gate
+        )
+        for name, ts in rerun_detail.items():
+            extras_detail[name] = extras_detail.get(name, []) + ts
+        extras_loads.extend(rerun_loads)
 
     extras_timings = best_of(extras_detail)
     timings = best_of(reps_detail)
@@ -286,6 +344,8 @@ def main() -> int:
                 **summary,
                 "batch_size": batch_size,
                 "extras_reps": extras_reps,
+                "extras_gate": round(extras_gate, 2),
+                "extras_rerun": rerun,
                 "reps_detail": reps_detail,
                 "extras_reps_detail": extras_detail,
                 "batch_loads": batch_loads,
