@@ -119,8 +119,16 @@ def quality_partition(
     inner join of the score frame back onto the docs — the scored ids
     are corpus-sized, so the join shuffles both sides on doc_id (the
     same key the score aggregation just produced, so AQE reuses the
-    partitioning on the score side)."""
+    partitioning on the score side). The join is null-SAFE on the id:
+    the scorer deliberately scores null-id documents (pooled into one
+    score row), and a plain equi-join would silently drop them from
+    the output, breaking batch-parity with ``run_scored_ingest``
+    (round-9 advice finding) — each null-id doc row gets the pooled
+    keep flag, matching the streaming twin."""
     scores = classifier_score_frame(docs, weights, text_col).select(
-        "doc_id", (F.col("score") >= threshold).alias("keep")
+        F.col("doc_id").alias("_score_id"),
+        (F.col("score") >= threshold).alias("keep"),
     )
-    return docs.join(scores, "doc_id")
+    return docs.join(
+        scores, F.col("doc_id").eqNullSafe(F.col("_score_id"))
+    ).drop("_score_id")

@@ -23,6 +23,8 @@ from hypothesis import strategies as st
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from data_ingestor_gluejob_script_spark.queries._util import load  # noqa: E402
 from data_ingestor_gluejob_script_spark.queries.classifier import (  # noqa: E402
     DEFAULT_BIAS,
@@ -98,6 +100,29 @@ def test_quality_partition_flags_match_scores(spark):
     # threshold actually separates (both classes present)
     kept = sum(r["keep"] for r in rows)
     assert 0 < kept < len(rows)
+
+
+def test_quality_partition_keeps_null_id_docs(spark):
+    """Null-id documents are scored (pooled into one score row, per
+    classifier_score_frame's every-row contract) and must keep their
+    flag through the join back — a plain equi-join on doc_id silently
+    dropped them (round-9 advice finding). Each null-id row carries
+    the POOLED flag, matching run_scored_ingest's null-safe join."""
+    df = spark.createDataFrame(
+        [(1, "spark scan spark"), (None, "zz9 zz9"), (None, "the the")],
+        "doc_id bigint, text string",
+    )
+    w = standin_weights(spark)
+    part = quality_partition(df, w, threshold=0.45)
+    rows = part.collect()
+    assert len(rows) == 3  # nothing dropped, nothing duplicated
+    null_flags = {r["keep"] for r in rows if r["doc_id"] is None}
+    assert len(null_flags) == 1  # both null-id rows share the pooled flag
+    pooled = classifier_score_frame(
+        df.filter(F.col("doc_id").isNull()), w
+    ).collect()
+    assert len(pooled) == 1
+    assert null_flags == {pooled[0]["score"] >= 0.45}
 
 
 @given(
