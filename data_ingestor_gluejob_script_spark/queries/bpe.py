@@ -1,0 +1,402 @@
+"""Byte-pair-encoding tokenization — the real subword tokenizer a
+training pipeline runs between curation and packing (Sennrich et al.
+2016; the GPT-2 rank-merge formulation for encoding).
+
+Spec (deterministic, engine-independent — the pytest oracle re-derives
+it in pure python):
+
+- Pre-tokenization: split text on single spaces (the package-wide
+  whitespace convention), drop empty words. NULL text → zero tokens.
+- Training: words → character symbol sequences; repeatedly merge the
+  adjacent symbol pair with the highest corpus count (frequency =
+  word frequency, counted over the deduplicated word table), ties
+  broken by lexicographically smallest pair. Stops after ``n_merges``
+  merges or when no pair reaches ``min_pair_count``. No end-of-word
+  marker: words are pre-split, so boundaries are already explicit.
+- Encoding: per word, repeatedly merge the present pair with the
+  LOWEST merge rank until none applies (ranks are unique, so this is
+  deterministic).
+
+Scale shape:
+
+- The corpus-scale work — word frequency aggregation, encoding — is
+  distributed. Word counting is one partial-aggregated shuffle whose
+  output is the Heaps-law-bounded vocabulary.
+- Merge LEARNING runs driver-side on that frequency table, like the
+  IVF codebook and the PCA Gram matrix: the model is metadata-sized
+  (a web-scale crawl's distinct-word table is ~10^8 rows vs 10^12
+  corpus tokens) and the trainer's pair-count updates are inherently
+  sequential across merges. ``max_words`` caps driver memory by
+  frequency truncation (the standard practice: rare words contribute
+  negligibly to pair counts, and the encoder handles them anyway —
+  unseen words simply segment further).
+- Encoding is Arrow-batched ``mapInPandas`` with the rank table in a
+  broadcast and a per-batch distinct-word memo — each distinct word
+  in a batch is encoded ONCE regardless of its frequency (Zipf makes
+  this the dominant saving); no per-row Python beyond the batch body.
+- The merge table round-trips through parquet (``save_merges`` /
+  ``load_merges``), so a tokenizer trained elsewhere (or by a
+  previous run) drops in as a model artifact — the same swap seam as
+  the classifier weight table.
+
+The reference has no tokenizer (gluejob.py is ingestion-only); this
+extends the engine for the LLM-pipeline contract. Not
+driver-registered (inventory pinned at 50); differential-tested in
+tests/test_bpe.py, benched as ``x_bpe_encode``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ._util import load, spread
+
+
+# ---------------------------------------------------------------- train
+
+
+def _merge_word(sym: tuple, pair: tuple) -> tuple:
+    """One left-to-right greedy merge pass of ``pair`` over a symbol
+    sequence ('aaa' + (a,a) → (aa, a), like subword-nmt/GPT-2)."""
+    a, b = pair
+    out = []
+    i = 0
+    n = len(sym)
+    while i < n:
+        if i < n - 1 and sym[i] == a and sym[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def _pairs_of(sym: tuple) -> Iterable[tuple]:
+    return zip(sym, sym[1:])
+
+
+def _train_merges(
+    word_freqs: dict[str, int], n_merges: int, min_pair_count: int
+) -> list[tuple[str, str]]:
+    """Driver-side BPE trainer over a word-frequency dict, with
+    incremental pair-count maintenance (only words containing the
+    merged pair are re-examined per step — the subword-nmt update)."""
+    syms = {w: tuple(w) for w in word_freqs}
+    pair_counts: dict[tuple, int] = {}
+    where: dict[tuple, set] = {}
+    for w, f in word_freqs.items():
+        for p in _pairs_of(syms[w]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            where.setdefault(p, set()).add(w)
+    merges: list[tuple[str, str]] = []
+    floor = max(min_pair_count, 1)
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        best_count = max(pair_counts.values())
+        if best_count < floor:
+            break
+        best = min(
+            p for p, c in pair_counts.items() if c == best_count
+        )
+        merges.append(best)
+        for w in list(where.get(best, ())):
+            f = word_freqs[w]
+            old = syms[w]
+            # a pair can occur several times in one word ("aaaa" holds
+            # (a,a) three times) — aggregate multiplicities first so
+            # the subtract runs once per distinct pair
+            old_pairs: dict[tuple, int] = {}
+            for p in _pairs_of(old):
+                old_pairs[p] = old_pairs.get(p, 0) + 1
+            for p, m in old_pairs.items():
+                c = pair_counts[p] - f * m
+                if c > 0:
+                    pair_counts[p] = c
+                else:
+                    del pair_counts[p]
+                s = where[p]
+                s.discard(w)
+                if not s:
+                    del where[p]
+            new = _merge_word(old, best)
+            syms[w] = new
+            new_pairs: dict[tuple, int] = {}
+            for p in _pairs_of(new):
+                new_pairs[p] = new_pairs.get(p, 0) + 1
+            for p, m in new_pairs.items():
+                pair_counts[p] = pair_counts.get(p, 0) + f * m
+                where.setdefault(p, set()).add(w)
+    return merges
+
+
+def word_freq_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) over the corpus — one partial-aggregated shuffle,
+    output Heaps-bounded. Empty words (adjacent spaces, empty/NULL
+    text) are dropped per the module spec."""
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    max_words: int | None = 1 << 20,
+) -> DataFrame:
+    """Learn a BPE merge table from the corpus. Returns an ordered
+    (rank, left, right) DataFrame (rank 0 = first merge) — the model
+    artifact; persist it with ``save_merges`` and feed it to
+    ``bpe_encode_flat``.
+
+    The corpus-scale pass (word counting) is distributed; the merge
+    loop runs driver-side on the frequency table (see module
+    docstring for the scale argument). ``max_words`` keeps the
+    driver-side table bounded via frequency truncation (ties broken
+    by word for determinism); None collects the full vocabulary.
+    """
+    spark = docs.sparkSession
+    wf = word_freq_frame(docs, text_col)
+    if max_words is not None:
+        # TakeOrdered: per-partition top-k + driver merge, no global sort
+        wf = wf.orderBy(F.col("count").desc(), F.col("word")).limit(
+            max_words
+        )
+    freqs = {r["word"]: r["count"] for r in wf.collect()}
+    merges = _train_merges(freqs, n_merges, min_pair_count)
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.LongType(), False),
+            T.StructField("left", T.StringType(), False),
+            T.StructField("right", T.StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)], schema
+    )
+
+
+def save_merges(merges: DataFrame, path: str) -> None:
+    """Persist the merge table (single file — it is model-sized)."""
+    merges.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> DataFrame:
+    """Load a merge table written by ``save_merges`` (or any external
+    trainer exporting the same (rank, left, right) schema)."""
+    return spark.read.parquet(path)
+
+
+# --------------------------------------------------------------- encode
+
+
+def _rank_table(merges) -> dict[tuple, int]:
+    """Merge table (DataFrame or [(left, right), ...] list) → the
+    {(left, right): rank} dict the encoder broadcasts."""
+    if isinstance(merges, DataFrame):
+        rows = merges.select("rank", "left", "right").collect()
+        return {(r["left"], r["right"]): r["rank"] for r in rows}
+    return {tuple(p): i for i, p in enumerate(merges)}
+
+
+def _encode_word(word: str, ranks: dict[tuple, int]) -> tuple:
+    """GPT-2-style rank-merge loop: always merge the present pair with
+    the lowest rank. Deterministic (ranks are unique)."""
+    sym = list(word)
+    while len(sym) >= 2:
+        best = None
+        best_rank = None
+        for p in zip(sym, sym[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = p, r
+        if best is None:
+            break
+        sym = list(_merge_word(tuple(sym), best))
+    return tuple(sym)
+
+
+def bpe_encode_flat(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pos, token): every document's BPE token sequence, flat,
+    with ``pos`` the 0-based position across the document's whole
+    subword stream. Arrow-batched ``mapInPandas``; the rank table is
+    a broadcast, and each distinct word in a batch is encoded once
+    (per-batch memo) — Zipf makes the memo hit rate ≈ the corpus
+    token/type ratio. NULL/empty text yields zero rows (no symbols)."""
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(_rank_table(merges))
+    src = docs.select(id_col, text_col)
+    out_schema = T.StructType(
+        [
+            src.schema[id_col],
+            T.StructField("pos", T.LongType(), False),
+            T.StructField("token", T.StringType(), False),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ranks = bc.value
+        memo: dict[str, tuple] = {}
+        for pdf in batches:
+            ids, poss, toks = [], [], []
+            for doc_id, text in zip(
+                pdf[id_col].values, pdf[text_col].values
+            ):
+                if not isinstance(text, str) or not text:
+                    continue
+                p = 0
+                for w in text.split(" "):
+                    if not w:
+                        continue
+                    t = memo.get(w)
+                    if t is None:
+                        t = _encode_word(w, ranks)
+                        memo[w] = t
+                    for tok in t:
+                        ids.append(doc_id)
+                        poss.append(p)
+                        toks.append(tok)
+                        p += 1
+            yield pd.DataFrame(
+                {id_col: ids, "pos": poss, "token": toks}
+            )
+
+    return src.mapInPandas(encode, out_schema)
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_bpe_tokens): the REAL subword count per document — what
+    ``q_token_count``'s regex heuristic estimates. Same memoized
+    Arrow-batch encode, but only lengths leave the batch body, so the
+    output is one row per document (no token explosion)."""
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(_rank_table(merges))
+    src = docs.select(id_col, text_col)
+    out_schema = T.StructType(
+        [
+            src.schema[id_col],
+            T.StructField("n_bpe_tokens", T.LongType(), False),
+        ]
+    )
+
+    def count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ranks = bc.value
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            ids, ns = [], []
+            for doc_id, text in zip(
+                pdf[id_col].values, pdf[text_col].values
+            ):
+                n = 0
+                if isinstance(text, str) and text:
+                    for w in text.split(" "):
+                        if not w:
+                            continue
+                        c = memo.get(w)
+                        if c is None:
+                            c = len(_encode_word(w, ranks))
+                            memo[w] = c
+                        n += c
+                ids.append(doc_id)
+                ns.append(n)
+            yield pd.DataFrame({id_col: ids, "n_bpe_tokens": ns})
+
+    return src.mapInPandas(count, out_schema)
+
+
+def bpe_pack_token_stream(
+    docs: DataFrame,
+    merges,
+    pack_tokens: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The subword twin of ``tokenizer.pack_token_stream``: the whole
+    corpus as one contiguous BPE-token stream cut into fixed-length
+    packs — (pack_id, pack_pos, doc_id, token). Same
+    concatenate-then-chunk semantics, same distributed prefix sum for
+    the per-document stream offsets (block-local window + one window
+    over BLOCK TOTALS — never a global window over documents), with
+    the real subword counts in place of the whitespace counts."""
+    from pyspark.sql import Window
+
+    from .traindata import PACK_BLOCK, PACK_TOKENS
+
+    if pack_tokens is None:
+        pack_tokens = PACK_TOKENS
+    flat = bpe_encode_flat(docs, merges, text_col, id_col)
+    counts = bpe_token_counts(docs, merges, text_col, id_col).select(
+        id_col,
+        F.col("n_bpe_tokens").alias("n_tokens"),
+        F.floor(F.col(id_col) / PACK_BLOCK).alias("_blk"),
+    )
+    in_blk = Window.partitionBy("_blk").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = counts.withColumn(
+        "_local_before",
+        F.coalesce(F.sum("n_tokens").over(in_blk), F.lit(0)),
+    )
+    blk_running = Window.orderBy("_blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        counts.groupBy("_blk")
+        .agg(F.sum("n_tokens").alias("_blk_total"))
+        .withColumn(
+            "_blk_before",
+            F.coalesce(F.sum("_blk_total").over(blk_running), F.lit(0)),
+        )
+        .select("_blk", "_blk_before")
+    )
+    pre = (
+        local.join(F.broadcast(offsets), "_blk", "inner")
+        .select(
+            id_col,
+            (F.col("_blk_before") + F.col("_local_before")).alias(
+                "tokens_before"
+            ),
+        )
+    )
+    gpos = F.col("tokens_before") + F.col("pos")
+    return flat.join(pre, id_col).select(
+        F.floor(gpos / pack_tokens).cast("long").alias("pack_id"),
+        (gpos % pack_tokens).cast("long").alias("pack_pos"),
+        id_col,
+        "token",
+    )
+
+
+def x_bpe_encode(spark, sf_dir: str) -> DataFrame:
+    """Bench entry: train a 200-merge BPE on the documents corpus and
+    produce the real per-document subword counts (train + the memoized
+    distributed encode, without the flat token explosion dominating
+    the timing)."""
+    docs = spread(spark, load(spark, sf_dir, "documents"))
+    merges = bpe_train(docs, n_merges=200)
+    return bpe_token_counts(docs, merges)

@@ -42,6 +42,7 @@ from ..operators.layout import zorder_layout
 from ..operators.skew import skew_report
 from ._util import load, spread
 from .bloom import bloom_decontaminate
+from .bpe import x_bpe_encode
 from .classifier import classifier_score_frame, standin_weights
 from .docclean import (
     dedup_spans_frame,
@@ -386,6 +387,10 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ivfpq_topk": lambda s, d: ivfpq_topk(_emb(s, d)),
         "x_vocab_ids": lambda s, d: vocab_with_ids(_docs(s, d)),
         "x_encode_corpus": q_encode_corpus,
+        # real subword tokenization: 200-merge BPE trained on the
+        # corpus (distributed word counts -> driver merge loop on the
+        # Heaps-bounded table) + memoized Arrow-batch encode
+        "x_bpe_encode": x_bpe_encode,
         "x_pack_token_stream": lambda s, d: (
             lambda docs: pack_token_stream(docs, vocab_with_ids(docs))
         )(_docs(s, d)),

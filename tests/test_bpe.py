@@ -1,0 +1,281 @@
+"""Differential tests for queries/bpe.py against an independent
+pure-python BPE reference (naive recount-per-iteration trainer + naive
+rank-loop encoder — deliberately shares no code with the engine's
+incremental trainer or memoized Arrow encoder)."""
+
+from __future__ import annotations
+
+import sys
+from collections import Counter
+from pathlib import Path
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from data_ingestor_gluejob_script_spark.queries._util import load  # noqa: E402
+from data_ingestor_gluejob_script_spark.queries.bpe import (  # noqa: E402
+    bpe_encode_flat,
+    bpe_pack_token_stream,
+    bpe_token_counts,
+    bpe_train,
+    load_merges,
+    save_merges,
+    word_freq_frame,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------- pure-python reference
+
+
+def ref_words(text):
+    if not isinstance(text, str):
+        return []
+    return [w for w in text.split(" ") if w]
+
+
+def ref_train(word_freqs, n_merges, min_pair_count=2):
+    """Naive trainer: recount every pair from scratch each iteration."""
+    vocab = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for w, sym in vocab.items():
+            f = word_freqs[w]
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] += f
+        if not counts:
+            break
+        best_n = max(counts.values())
+        if best_n < max(min_pair_count, 1):
+            break
+        best = min(p for p, c in counts.items() if c == best_n)
+        merges.append(best)
+        a, b = best
+        for w, sym in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def ref_encode(word, merges):
+    """Naive encoder: scan all pairs, merge the lowest-rank present."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    sym = list(word)
+    while len(sym) >= 2:
+        cands = [
+            (ranks[(sym[i], sym[i + 1])], i)
+            for i in range(len(sym) - 1)
+            if (sym[i], sym[i + 1]) in ranks
+        ]
+        if not cands:
+            break
+        r, _ = min(cands)
+        a, b = merges[r]
+        out, i = [], 0
+        while i < len(sym):
+            if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def ref_corpus_freqs(texts):
+    c = Counter()
+    for t in texts:
+        c.update(ref_words(t))
+    return dict(c)
+
+
+# ------------------------------------------------------------- fixtures
+
+
+def _merges_list(merges_df):
+    rows = sorted(merges_df.collect(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(len(rows)))
+    return [(r["left"], r["right"]) for r in rows]
+
+
+def test_bpe_train_matches_reference_on_crafted_corpus(spark):
+    texts = [
+        "low low low low low lower lower lowest",
+        "new new new newer newer newest widest wide wide",
+        "aaaa aaa aa a banana bandana",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = _merges_list(bpe_train(df, n_merges=30, min_pair_count=2))
+    want = ref_train(ref_corpus_freqs(texts), 30, 2)
+    assert got == want
+    assert len(got) > 5  # the corpus actually yields merges
+
+
+def test_bpe_encode_matches_reference_including_overlaps(spark):
+    texts = ["aaaa abab low lowest banana unseen zzz"]
+    df = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    merges_df = bpe_train(df, n_merges=10, min_pair_count=1)
+    merges = _merges_list(merges_df)
+    flat = bpe_encode_flat(df, merges_df).collect()
+    got: dict[int, list] = {}
+    for r in sorted(flat, key=lambda r: (r["doc_id"], r["pos"])):
+        got.setdefault(r["doc_id"], []).append(r["token"])
+    want = [t for w in ref_words(texts[0]) for t in ref_encode(w, merges)]
+    assert got[0] == want
+    # positions are a contiguous 0-based run
+    assert [r["pos"] for r in sorted(flat, key=lambda r: r["pos"])] == list(
+        range(len(flat))
+    )
+
+
+def test_bpe_on_sf0001_documents_differential(spark):
+    docs = load(spark, SF_DIR, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    texts = [r["text"] for r in rows]
+    merges_df = bpe_train(docs, n_merges=50)
+    merges = _merges_list(merges_df)
+    assert merges == ref_train(ref_corpus_freqs(texts), 50, 2)
+
+    # word-frequency frame is exact
+    wf = {r["word"]: r["count"] for r in word_freq_frame(docs).collect()}
+    assert wf == ref_corpus_freqs(texts)
+
+    # token counts == reference, and == the flat frame's group sizes
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(docs, merges_df).collect()
+    }
+    enc_memo = {}
+    for r in rows:
+        n = 0
+        for w in ref_words(r["text"]):
+            if w not in enc_memo:
+                enc_memo[w] = len(ref_encode(w, merges))
+            n += enc_memo[w]
+        assert counts[r["doc_id"]] == n
+    flat_sizes = Counter(
+        r["doc_id"] for r in bpe_encode_flat(docs, merges_df).collect()
+    )
+    for did, n in counts.items():
+        assert flat_sizes.get(did, 0) == n
+
+    # subword stream reconstructs the text (tokens concatenate back to
+    # the space-stripped document)
+    flat = bpe_encode_flat(docs.limit(20), merges_df).collect()
+    per_doc: dict = {}
+    for r in sorted(flat, key=lambda r: (r["doc_id"], r["pos"])):
+        per_doc.setdefault(r["doc_id"], []).append(r["token"])
+    by_id = {r["doc_id"]: r["text"] for r in rows}
+    for did, toks in per_doc.items():
+        assert "".join(toks) == "".join(ref_words(by_id[did]))
+
+
+def test_bpe_null_and_empty_text_yield_zero_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "ok")],
+        "doc_id long, text string",
+    )
+    merges_df = bpe_train(df, n_merges=5, min_pair_count=1)
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(df, merges_df).collect()
+    }
+    assert counts[1] == 0 and counts[2] == 0 and counts[3] == 0
+    assert counts[4] >= 1
+    flat = bpe_encode_flat(df, merges_df).collect()
+    assert {r["doc_id"] for r in flat} == {4}
+
+
+def test_merges_parquet_round_trip_is_the_model_seam(spark, tmp_path):
+    """A merge table written to disk loads back and encodes
+    identically — the swap seam for an externally-trained tokenizer."""
+    df = spark.createDataFrame(
+        [(0, "low lower lowest low low")], "doc_id long, text string"
+    )
+    trained = bpe_train(df, n_merges=8, min_pair_count=1)
+    path = str(tmp_path / "merges")
+    save_merges(trained, path)
+    loaded = load_merges(spark, path)
+    assert _merges_list(loaded) == _merges_list(trained)
+    a = sorted(
+        (r["doc_id"], r["pos"], r["token"])
+        for r in bpe_encode_flat(df, trained).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["pos"], r["token"])
+        for r in bpe_encode_flat(df, loaded).collect()
+    )
+    assert a == b and a
+
+
+def test_bpe_pack_token_stream_chunks_the_global_stream(spark):
+    docs = load(spark, SF_DIR, "documents").limit(40)
+    merges_df = bpe_train(docs, n_merges=30)
+    merges = _merges_list(merges_df)
+    pack = 64
+    got = bpe_pack_token_stream(docs, merges_df, pack_tokens=pack).collect()
+    # reference stream: docs in doc_id order, concatenated
+    rows = sorted(
+        docs.select("doc_id", "text").collect(), key=lambda r: r["doc_id"]
+    )
+    stream = []
+    for r in rows:
+        for w in ref_words(r["text"]):
+            stream.extend(
+                (r["doc_id"], t) for t in ref_encode(w, merges)
+            )
+    want = [
+        (i // pack, i % pack, did, tok)
+        for i, (did, tok) in enumerate(stream)
+    ]
+    assert sorted(
+        (r["pack_id"], r["pack_pos"], r["doc_id"], r["token"])
+        for r in got
+    ) == want
+    # every pack full except possibly the last
+    sizes = Counter(r["pack_id"] for r in got)
+    last = max(sizes)
+    assert all(sizes[p] == pack for p in sizes if p != last)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc d", min_size=0, max_size=24),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=0, max_value=12),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_fuzz_differential(spark, texts, n_merges):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges_df = bpe_train(df, n_merges=n_merges, min_pair_count=1)
+    merges = _merges_list(merges_df)
+    assert merges == ref_train(ref_corpus_freqs(texts), n_merges, 1)
+    flat = bpe_encode_flat(df, merges_df).collect()
+    got: dict[int, list] = {}
+    for r in sorted(flat, key=lambda r: (r["doc_id"], r["pos"])):
+        got.setdefault(r["doc_id"], []).append(r["token"])
+    for i, t in enumerate(texts):
+        want = [tok for w in ref_words(t) for tok in ref_encode(w, merges)]
+        assert got.get(i, []) == want
