@@ -92,11 +92,35 @@ def embed_documents(
     return docs.select(id_col, text_col).mapInPandas(encode, schema)
 
 
+def table_encoder(
+    emb_table: DataFrame, id_col: str = "doc_id", vec_col: str = "emb"
+):
+    """Encoder seam backed by a PRECOMPUTED id→vector table — e.g. a
+    parquet export of a real model's batch-inference run. "Encoding"
+    a frame of documents becomes a join on the id (the table side is
+    corpus-sized, so this is one keyed shuffle, no broadcast), letting
+    ``semantic_dedup_docs`` run on real embeddings with no operator
+    changes: pass ``encoder=table_encoder(spark.read.parquet(p))``.
+    The table must cover every doc id it will be asked for (missing
+    ids would silently drop from the dedup — an inner join, asserted
+    nowhere cheaper than the caller's own coverage check) and, like
+    any encoder used for clone-collapsed dedup, must give identical
+    texts identical vectors."""
+
+    def encode(docs_frame: DataFrame) -> DataFrame:
+        return docs_frame.select(id_col).join(
+            emb_table.select(id_col, vec_col), id_col
+        )
+
+    return encode
+
+
 def semantic_dedup_docs(
     docs: DataFrame,
     threshold: float | None = None,
     n_cells: int | None = None,
     target_cell_size: int = 100,
+    encoder=None,
 ):
     """End-to-end semantic dedup FROM TEXT: encode (map-only, payload
     dropped at the encoder) then SemDeDup over the embedding space.
@@ -120,6 +144,12 @@ def semantic_dedup_docs(
     encoder is a pure function of the text (true for the stand-in and
     for any real deterministic encoder), so per-class encoding loses
     nothing; clones rejoin linearly from the digest ledger at the end.
+
+    ``encoder`` swaps the embedding source without touching the dedup:
+    any callable (docs frame with doc_id+text) → (doc_id, emb) frame —
+    ``embed_documents`` (the default stand-in), a real mapInPandas
+    model call, or ``table_encoder`` over a precomputed id→vec parquet
+    export.
     """
     import pyspark.sql.functions as F
     from pyspark.sql import Window
@@ -163,7 +193,8 @@ def semantic_dedup_docs(
     )
     if n_cells is None:
         n_cells = max(16, reps.count() // target_cell_size)
-    emb = embed_documents(reps).selectExpr("doc_id as vec_id", "emb")
+    encode = embed_documents if encoder is None else encoder
+    emb = encode(reps).selectExpr("doc_id as vec_id", "emb")
     out = semantic_dedup_frame(
         emb,
         threshold=(

@@ -57,6 +57,58 @@ def standin_weight_of(bucket: int) -> float:
     return ((bucket * 2654435761) % 1024) / 1024.0 - 0.5
 
 
+def weights_from_tokens(token_weights: DataFrame) -> DataFrame:
+    """(token, weight) → the (bucket, weight) model frame the scorer
+    consumes: tokens are hashed into the classifier's bucket space
+    JVM-side (same crc32 expression the scorer uses, so a token's
+    weight lands exactly where its occurrences will look it up) and
+    collision weights are SUMMED — the standard feature-hashing
+    treatment (Weinberger et al. 2009: collisions add, they don't
+    overwrite). One aggregation over a model-sized frame."""
+    return (
+        token_weights.select(
+            (F.crc32(F.col("token").cast("binary")) % F.lit(N_BUCKETS))
+            .alias("bucket"),
+            F.col("weight").cast("double").alias("weight"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def load_weights_text(spark: SparkSession, path: str) -> DataFrame:
+    """Load a real exported weight table from a fastText-.vec-style
+    text file: one ``<token> <weight>`` pair per line (any whitespace
+    separator). Blank lines and ``#`` comments are skipped, and so is
+    a ``<n_words> <dim>``-shaped header (both fields bare integers —
+    exporters write real weights with a decimal point, which is what
+    disambiguates them). Returns the (bucket, weight) frame —
+    ``classifier_score_frame`` and ``run_scored_ingest`` take it with
+    no operator changes; this is the swap seam the deterministic
+    ``standin_weights`` stands in for. The read is distributed
+    (``spark.read.text``), so even a very large vocabulary export
+    never bottlenecks on the driver."""
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    tw = (
+        spark.read.text(path)
+        .select(parts.alias("p"))
+        .filter(
+            (F.size("p") == 2)
+            & ~F.element_at("p", 1).startswith("#")
+            & ~(
+                F.element_at("p", 1).rlike("^-?[0-9]+$")
+                & F.element_at("p", 2).rlike("^-?[0-9]+$")
+            )
+        )
+        .select(
+            F.element_at("p", 1).alias("token"),
+            F.element_at("p", 2).cast("double").alias("weight"),
+        )
+        .filter(F.col("weight").isNotNull())
+    )
+    return weights_from_tokens(tw)
+
+
 def classifier_score_frame(
     docs: DataFrame,
     weights: DataFrame,

@@ -30,6 +30,7 @@ from data_ingestor_gluejob_script_spark.queries.classifier import (  # noqa: E40
     DEFAULT_BIAS,
     bucket_of,
     classifier_score_frame,
+    load_weights_text,
     quality_partition,
     standin_weight_of,
     standin_weights,
@@ -100,6 +101,60 @@ def test_quality_partition_flags_match_scores(spark):
     # threshold actually separates (both classes present)
     kept = sum(r["keep"] for r in rows)
     assert 0 < kept < len(rows)
+
+
+def test_load_weights_text_real_model_seam(spark, tmp_path):
+    """A fastText-.vec-style text export (header + comments + token
+    weight lines, including two tokens that collide into one bucket)
+    loads into the (bucket, weight) frame and scores through
+    classifier_score_frame with NO operator changes; scores match a
+    pure-python twin that hashes and sums the same way."""
+    # find two distinct tokens colliding into one bucket so the
+    # collision-sum path is exercised deterministically
+    collide = {}
+    pair = None
+    for i in range(100_000):
+        t = f"tok{i}"
+        b = bucket_of(t)
+        if b in collide:
+            pair = (collide[b], t)
+            break
+        collide[b] = t
+    assert pair is not None
+    wfile = tmp_path / "model.vec"
+    wfile.write_text(
+        "5 1\n"                      # fastText header: skipped
+        "# comment line\n"           # comment: skipped
+        "\n"                         # blank: skipped
+        f"{pair[0]} 0.25\n"
+        f"{pair[1]} 0.5\n"           # collides with pair[0]: sums
+        "spark -0.125\n"
+        "scan 0.375\n"
+    )
+    w = load_weights_text(spark, str(wfile))
+    wrows = {r["bucket"]: r["weight"] for r in w.collect()}
+    assert wrows[bucket_of(pair[0])] == 0.75  # 0.25 + 0.5 summed
+    assert wrows[bucket_of("spark")] == -0.125
+    assert len(wrows) == 3  # collided pair shares one bucket row
+
+    docs = spark.createDataFrame(
+        [(1, f"spark {pair[0]} unseen"), (2, "scan scan")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in classifier_score_frame(docs, w).collect()
+    }
+
+    def twin(tokens):
+        s = sum(wrows.get(bucket_of(t), 0.0) for t in tokens)
+        logit = s / len(tokens) + DEFAULT_BIAS
+        return _round6(logit), _round6(1.0 / (1.0 + math.exp(-logit)))
+
+    for did, toks in ((1, ["spark", pair[0], "unseen"]), (2, ["scan"] * 2)):
+        logit, score = twin(toks)
+        assert got[did]["logit"] == logit
+        assert got[did]["score"] == score
+        assert got[did]["n_tokens"] == len(toks)
 
 
 def test_quality_partition_keeps_null_id_docs(spark):

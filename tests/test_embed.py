@@ -17,6 +17,7 @@ from data_ingestor_gluejob_script_spark.operators.embed import (  # noqa: E402
     EMBED_DIM,
     embed_documents,
     semantic_dedup_docs,
+    table_encoder,
 )
 from data_ingestor_gluejob_script_spark.queries._util import load  # noqa: E402
 
@@ -85,3 +86,28 @@ def test_semantic_dedup_docs_groups_exact_duplicates(spark):
         r.is_representative and r.doc_id >= 1_000_000
         for r in out.collect()
     )
+
+
+def test_semantic_dedup_docs_file_backed_encoder_seam(spark, tmp_path):
+    """The real-model seam: a precomputed id→vec parquet table (the
+    shape a real encoder's batch-inference export has) drops in via
+    ``encoder=table_encoder(...)`` with no operator changes, and —
+    because the stand-in wrote the table — reproduces the default
+    path's output exactly."""
+    docs = load(spark, SF_DIR, "documents").limit(120)
+    path = str(tmp_path / "embeddings")
+    embed_documents(docs).write.parquet(path)
+    emb_table = spark.read.parquet(path)
+
+    via_table = semantic_dedup_docs(docs, encoder=table_encoder(emb_table))
+    default = semantic_dedup_docs(docs)
+    a = sorted(
+        (r.doc_id, r.group_id, r.is_representative)
+        for r in via_table.collect()
+    )
+    b = sorted(
+        (r.doc_id, r.group_id, r.is_representative)
+        for r in default.collect()
+    )
+    assert a == b
+    assert len(a) == 120
