@@ -292,6 +292,49 @@ def dhash64(
     return df.select(id_col, payload_col).mapInPandas(hash_batches, schema)
 
 
+def phash_bands(
+    hashes: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, phash, band_idx, band_val): the pigeonhole bit-slice rows
+    a banded hamming join keys on — ``max_hamming + 1`` disjoint
+    slices of the 64-bit hash, so two hashes within ``max_hamming``
+    bits agree on at least one slice. Shared by the batch dedup
+    (``image_dedup_frame``) and the streaming ingest
+    (``streaming.run_image_dedup_ingest``), which band the SAME way so
+    their candidate sets coincide. Slices are ``64 // n_bands`` bits
+    with the last slice taking the remainder."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+
+    def band_val(i: int) -> Column:
+        bits = 64 - i * width if i == n_bands - 1 else width
+        mask = F.lit((1 << bits) - 1 if bits < 64 else -1)
+        return F.shiftrightunsigned(F.col("phash"), i * width).bitwiseAND(
+            mask
+        )
+
+    return hashes.select(
+        id_col,
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        band_val(i).alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(
+        id_col,
+        "phash",
+        F.col("_b.band_idx").alias("band_idx"),
+        F.col("_b.band_val").alias("band_val"),
+    )
+
+
 def image_dedup_frame(
     df: DataFrame,
     max_hamming: int = 3,
@@ -319,39 +362,11 @@ def image_dedup_frame(
     ``max_hamming + 1`` must divide 64 reasonably: slices are
     ``64 // n_bands`` bits with the last slice taking the remainder.
     """
-    n_bands = max_hamming + 1
-    width = 64 // n_bands
-
     hashes = dhash64(df, id_col=id_col, payload_col=payload_col)
     reps = hashes.groupBy("phash").agg(F.min(id_col).alias(id_col))
-
-    def band_val(i: int) -> Column:
-        bits = 64 - i * width if i == n_bands - 1 else width
-        mask = F.lit((1 << bits) - 1 if bits < 64 else -1)
-        return F.shiftrightunsigned(F.col("phash"), i * width).bitwiseAND(
-            mask
-        )
-
-    bands = reps.select(
-        id_col,
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        band_val(i).alias("band_val"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("_b"),
-    ).select(
-        id_col,
-        "phash",
-        F.col("_b.band_idx").alias("band_idx"),
-        F.col("_b.band_val").alias("band_val"),
-    ).repartition("band_idx", "band_val")
+    bands = phash_bands(reps, max_hamming, id_col=id_col).repartition(
+        "band_idx", "band_val"
+    )
 
     right = bands.select(
         F.col(id_col).alias("_r_id"),

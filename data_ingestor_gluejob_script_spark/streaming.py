@@ -903,6 +903,158 @@ def run_neardup_ingest(
 
 
 
+def run_image_dedup_ingest(
+    spark: SparkSession,
+    media_dir: str,
+    lake_dir: str,
+    sig_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+    max_files_per_trigger: int = 1,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+):
+    """Continuous image ingestion with perceptual (dHash) near-dup
+    dedup against everything already seen — the streaming composition
+    of ``operators.multimodal.image_dedup_frame``, structured exactly
+    like the MinHash text twin (``run_neardup_ingest``).
+
+    Two lakes:
+    - ``lake_dir``: the retained images (payloads included).
+    - ``sig_dir``: the dedup state — one row per DISTINCT payload
+      ever seen, retained or dropped: (id, payload_md5, phash).
+      16 + 8 bytes per image regardless of payload size, so the state
+      scan stays cheap at any corpus scale; recording DROPPED images'
+      hashes is what makes the keep decision batching-invariant (a
+      near-dup of a dropped image is still a near-dup of something
+      seen).
+
+    Per micro-batch:
+    1. exact collapse on md5(payload) within the batch (min id
+       survivor) and ledger anti-join on ``sig_dir``'s payload_md5 —
+       replay idempotence and cross-batch exact dedup in one narrow
+       join.
+    2. dHash the fresh payloads (Arrow map — payload bytes never
+       shuffle; 8-byte hashes do).
+    3. candidates: fresh band rows (``phash_bands`` — the SAME
+       pigeonhole bit-slices the batch twin uses) joined against the
+       state's band rows plus the batch's own; a row drops iff a
+       state row or a smaller-id batch row lies within
+       ``max_hamming`` bits (``bit_count(xor)`` verified inline).
+    4. append ALL fresh signature rows to ``sig_dir``, retained
+       images to ``lake_dir`` — corpus append FIRST, ledger LAST,
+       same crash-replay argument as ``run_neardup_ingest``: a crash
+       between the writes replays the batch, the deterministic
+       decisions recompute identically, and the corpus guard
+       (payload_md5 anti-join) makes the re-append a no-op.
+
+    Precedence is arrival order (state beats any newcomer), then
+    smaller id within a batch — with id-ordered arrival this
+    reproduces ``image_dedup_frame``'s retained set exactly (pinned
+    by tests/test_image_dedup.py).
+    """
+    from pyspark.errors import AnalysisException
+
+    from .operators.multimodal import dhash64, phash_bands
+
+    batch0 = spark.read.parquet(media_dir)
+    stream = (
+        spark.readStream.schema(batch0.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(media_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # null payload hashes like the empty payload (md5 of NULL is
+        # NULL — it would silently fall out of every join)
+        hashed = batch_df.withColumn(
+            "payload_md5",
+            F.md5(F.coalesce(F.col(payload_col), F.lit(b""))),
+        )
+        w = Window.partitionBy("payload_md5").orderBy(
+            F.col(id_col).asc_nulls_last()
+        )
+        fresh = (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            state = spark.read.parquet(sig_dir)
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
+            state = None
+        if state is not None:
+            fresh = fresh.join(
+                state.select("payload_md5"), "payload_md5", "left_anti"
+            )
+        # consumed by the dHash pass, the band join, and both appends
+        fresh = fresh.persist()
+        try:
+            sig = dhash64(fresh, id_col=id_col, payload_col=payload_col)
+            sig_rows = fresh.select(id_col, "payload_md5").join(
+                sig, id_col, "left"
+            )
+            new_bands = phash_bands(sig, max_hamming, id_col=id_col)
+            batch_ref = new_bands.select(
+                F.col(id_col).alias("_r_id"),
+                F.col("phash").alias("_r_phash"),
+                "band_idx",
+                "band_val",
+                F.lit(False).alias("_r_state"),
+            )
+            ref = batch_ref
+            if state is not None:
+                ref = ref.unionByName(
+                    phash_bands(
+                        state.select(id_col, "phash"),
+                        max_hamming,
+                        id_col=id_col,
+                    ).select(
+                        F.col(id_col).alias("_r_id"),
+                        F.col("phash").alias("_r_phash"),
+                        "band_idx",
+                        "band_val",
+                        F.lit(True).alias("_r_state"),
+                    )
+                )
+            ham = F.bit_count(
+                F.col("phash").bitwiseXOR(F.col("_r_phash"))
+            )
+            dropped = (
+                new_bands.join(ref, ["band_idx", "band_val"])
+                .filter(
+                    F.col("_r_state") | (F.col("_r_id") < F.col(id_col))
+                )
+                .filter(ham <= F.lit(max_hamming))
+                .select(id_col)
+                .distinct()
+            )
+            retained = fresh.join(dropped, id_col, "left_anti")
+            try:
+                corpus_seen = spark.read.parquet(lake_dir).select(
+                    "payload_md5"
+                )
+                retained = retained.join(
+                    corpus_seen, "payload_md5", "left_anti"
+                )
+            except AnalysisException as ex:
+                if "PATH_NOT_FOUND" not in str(ex):
+                    raise
+            retained.write.mode("append").parquet(lake_dir)
+            sig_rows.write.mode("append").parquet(sig_dir)
+        finally:
+            fresh.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _collapse_batch(batch_df: DataFrame, id_col: str):
     """Shared micro-batch preamble for the gated ingests: ONE
     deterministic survivor per id (all-NULL ids count as one id; the

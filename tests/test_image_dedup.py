@@ -105,3 +105,92 @@ def test_image_dedup_near_pairs_with_crafted_pixels(spark):
     h0, h1 = _dhash_py(base), _dhash_py(bytes(near))
     assert 1 <= bin((h0 ^ h1) & ((1 << 64) - 1)).count("1") <= 3
     assert 1 not in ids
+
+
+def _write_payload_batches(spark, rows, out_dir, n_batches=3):
+    """Id-ordered slices as separate parquet files so
+    maxFilesPerTrigger=1 yields deterministic id-ordered batches."""
+    rows = sorted(rows)
+    per = (len(rows) + n_batches - 1) // n_batches
+    for b in range(n_batches):
+        chunk = rows[b * per : (b + 1) * per]
+        if not chunk:
+            continue
+        spark.createDataFrame(
+            chunk, "doc_id long, payload binary"
+        ).coalesce(1).write.mode("append").parquet(out_dir)
+
+
+def test_image_dedup_ingest_matches_batch_twin_and_replays_clean(
+    spark, tmp_path
+):
+    """Streaming dHash ingest == image_dedup_frame on the union of
+    all batches (id-ordered arrival), on sf0.001 payloads spliced
+    with the crafted near/clone/far pixel fixtures — including pairs
+    that STRADDLE batch boundaries; then a full replay with a fresh
+    checkpoint appends nothing to either lake."""
+    import shutil
+
+    from data_ingestor_gluejob_script_spark.streaming import (
+        run_image_dedup_ingest,
+    )
+
+    pay = _payloads(spark, SF_DIR)
+    rows = [
+        (r["doc_id"], bytes(r["payload"])) for r in pay.collect()
+    ][:120]
+    base = bytes(
+        [(16 * (c % 2) + r) % 256 for r in range(8) for c in range(9)]
+    )
+    near = bytearray(base)
+    near[4] = 255
+    far = bytes(255 - b for b in base)
+    # ids spread far apart so the near-dup cluster straddles batches
+    rows += [
+        (10_000, base),
+        (20_000, bytes(near)),   # near dup of 10_000, later batch
+        (30_000, base),          # exact clone of 10_000, later batch
+        (30_001, far),
+    ]
+
+    media = str(tmp_path / "in")
+    lake = str(tmp_path / "lake")
+    sigs = str(tmp_path / "sigs")
+    _write_payload_batches(spark, rows, media)
+
+    q = run_image_dedup_ingest(
+        spark, media, lake, sigs, str(tmp_path / "ck1")
+    )
+    q.awaitTermination(300)
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(lake).collect())
+    df_all = spark.createDataFrame(rows, "doc_id long, payload binary")
+    want = sorted(
+        r["doc_id"] for r in image_dedup_frame(df_all).collect()
+    )
+    assert got == want
+    assert 10_000 in got and 20_000 not in got and 30_000 not in got
+    assert 30_001 in got
+    # signature lake: one row per distinct payload, hashes populated
+    sig_rows = spark.read.parquet(sigs).collect()
+    assert len(sig_rows) == len({p for _, p in rows})
+    assert all(r["phash"] is not None for r in sig_rows)
+    # cross-check the ledger against the python twin
+    twin = {r["doc_id"]: r["phash"] for r in sig_rows}
+    by_payload = {}
+    for i, p in sorted(rows):
+        by_payload.setdefault(p, i)
+    for p, i in by_payload.items():
+        assert twin[i] == _dhash_py(p)
+
+    # full replay, fresh checkpoint: ledger absorbs everything
+    q2 = run_image_dedup_ingest(
+        spark, media, lake, sigs, str(tmp_path / "ck2")
+    )
+    q2.awaitTermination(300)
+    assert (
+        sorted(r["doc_id"] for r in spark.read.parquet(lake).collect())
+        == want
+    )
+    assert spark.read.parquet(sigs).count() == len(sig_rows)
+    shutil.rmtree(str(tmp_path / "ck1"), ignore_errors=True)
