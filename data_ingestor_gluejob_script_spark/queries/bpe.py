@@ -191,6 +191,108 @@ def bpe_train(
     )
 
 
+def bpe_train_distributed(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """The fully-distributed twin of ``bpe_train`` for vocabularies
+    too large to collect: the (word, freq, symbols) state stays a
+    DataFrame; each merge step is ONE weighted pair-count aggregation
+    (explode adjacent pairs → partial-aggregated sum → 1-row argmax
+    collect) plus a map-only pure-Catalyst fold applying the merge to
+    every symbol array. Produces the IDENTICAL merge table to
+    ``bpe_train`` (same counts, same lexicographic tie-break —
+    parity-asserted in tests), at the cost of 2 passes over the
+    vocabulary PER MERGE — the right trade only when the vocabulary
+    itself is too big for the driver; prefer ``bpe_train`` otherwise.
+
+    The fold trick: a left-to-right greedy single-pass merge is
+    expressible as ``F.aggregate``: append each symbol unless the
+    accumulator's LAST element is ``left`` and the symbol is
+    ``right`` — the merged token ``left+right`` can never equal
+    ``left`` (``right`` is non-empty), so a merged token is never
+    re-merged within the pass, exactly the single-pass semantics.
+    Lineage grows per step, so the state is ``localCheckpoint``-ed
+    every ``checkpoint_every`` merges (at production scale, a real
+    checkpoint dir)."""
+    spark = docs.sparkSession
+    state = word_freq_frame(docs, text_col).select(
+        "word", "count", F.split(F.col("word"), "").alias("syms")
+    ).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    floor = max(min_pair_count, 1)
+    for step in range(n_merges):
+        pair_counts = (
+            state.select(
+                F.col("count"),
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(
+                            F.col("syms"), 1, F.size("syms") - 1
+                        ).alias("a"),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1)
+                        .alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("count").alias("n"))
+        )
+        best = (
+            pair_counts.orderBy(
+                F.col("n").desc(), F.col("a"), F.col("b")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < floor:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        merged = a + b
+
+        def make_fold(a, b, merged):
+            def fold(acc, x):
+                # try_element_at: NULL (not an ANSI error) on the
+                # empty accumulator — NULL == a is NULL, so the
+                # when() falls through to append, as wanted
+                last = F.try_element_at(acc, F.lit(-1))
+                return F.when(
+                    (last == F.lit(a)) & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x)))
+
+            return fold
+
+        state = state.select(
+            "word",
+            "count",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                make_fold(a, b, merged),
+            ).alias("syms"),
+        )
+        if (step + 1) % checkpoint_every == 0:
+            state = state.localCheckpoint()
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.LongType(), False),
+            T.StructField("left", T.StringType(), False),
+            T.StructField("right", T.StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)], schema
+    )
+
+
 def save_merges(merges: DataFrame, path: str) -> None:
     """Persist the merge table (single file — it is model-sized)."""
     merges.coalesce(1).write.mode("overwrite").parquet(path)

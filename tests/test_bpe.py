@@ -20,6 +20,7 @@ from data_ingestor_gluejob_script_spark.queries.bpe import (  # noqa: E402
     bpe_pack_token_stream,
     bpe_token_counts,
     bpe_train,
+    bpe_train_distributed,
     load_merges,
     save_merges,
     word_freq_frame,
@@ -182,6 +183,34 @@ def test_bpe_on_sf0001_documents_differential(spark):
     by_id = {r["doc_id"]: r["text"] for r in rows}
     for did, toks in per_doc.items():
         assert "".join(toks) == "".join(ref_words(by_id[did]))
+
+
+def test_bpe_train_distributed_parity(spark):
+    """The fully-distributed trainer (per-merge weighted pair-count
+    agg + pure-Catalyst fold) produces the IDENTICAL merge table to
+    the driver-side trainer — including repeated-symbol words
+    ('aaaa', where the fold's no-remerge property matters), ties, and
+    a checkpoint boundary (checkpoint_every=4 < n_merges)."""
+    texts = [
+        "low low low low low lower lower lowest",
+        "aaaa aaa aa a banana bandana abab",
+        "new new newer newest",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = _merges_list(bpe_train(df, n_merges=12, min_pair_count=1))
+    got = _merges_list(
+        bpe_train_distributed(
+            df, n_merges=12, min_pair_count=1, checkpoint_every=4
+        )
+    )
+    assert got == want
+    assert len(got) == 12  # the corpus sustains all 12 merges
+    # and the early-stop floor agrees too
+    g2 = _merges_list(bpe_train_distributed(df, 40, min_pair_count=3))
+    w2 = _merges_list(bpe_train(df, 40, min_pair_count=3))
+    assert g2 == w2 and len(g2) < 40
 
 
 def test_bpe_null_and_empty_text_yield_zero_tokens(spark):

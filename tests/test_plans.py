@@ -163,6 +163,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     ("queries/traindata.py", 'blk_running = Window.orderBy("_blk").rowsBetween('),
     # dense-index prefix sum: same shape, #blocks rows
     ("queries/corpusstats.py", 'blk_running = Window.orderBy("_blk").rowsBetween('),
+    # BPE pack prefix sum: same shape again — runs over per-block
+    # TOTALS (#blocks rows), never the token stream
+    ("queries/bpe.py", 'blk_running = Window.orderBy("_blk").rowsBetween('),
     # IVF seed codebook: runs AFTER .limit(N_IVF_CELLS), K=8 rows
     (
         "queries/similarity.py",
