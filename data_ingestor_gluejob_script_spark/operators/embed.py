@@ -23,6 +23,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 EMBED_DIM = 64
@@ -105,12 +106,17 @@ def table_encoder(
     ids would silently drop from the dedup — an inner join, asserted
     nowhere cheaper than the caller's own coverage check) and, like
     any encoder used for clone-collapsed dedup, must give identical
-    texts identical vectors."""
+    texts identical vectors. Whatever the table's own column names,
+    the encoder output is normalized to the (doc_id, emb) contract
+    every embedding consumer expects."""
 
     def encode(docs_frame: DataFrame) -> DataFrame:
-        return docs_frame.select(id_col).join(
-            emb_table.select(id_col, vec_col), id_col
+        # id_col/vec_col name the TABLE's columns; the docs side and
+        # the output follow the operator contract (doc_id, emb)
+        tbl = emb_table.select(
+            F.col(id_col).alias("doc_id"), F.col(vec_col).alias("emb")
         )
+        return docs_frame.select("doc_id").join(tbl, "doc_id")
 
     return encode
 

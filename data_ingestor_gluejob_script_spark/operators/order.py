@@ -78,3 +78,52 @@ def global_row_number(
         .withColumn(out_col, (F.col("_before") + F.col("_local")).cast("long"))
         .drop("_pid", "_local", "_before")
     )
+
+
+def block_prefix_offsets(
+    counts: DataFrame,
+    id_col: str = "doc_id",
+    n_col: str = "n_tokens",
+    block: int = 1000,
+) -> DataFrame:
+    """(id, n, tokens_before): exact running sum of ``n_col`` in
+    ``id_col`` order — the numeric-id specialization of the module's
+    prefix-sum shape, shared by ``traindata.seq_pack_frame``
+    (whitespace token counts) and ``queries.bpe.bpe_pack_token_stream``
+    (subword counts). Phase 1: within-block running sums via a window
+    PARTITIONED by ``floor(id / block)`` (parallel); phase 2: one
+    global-order window over per-block TOTALS (#blocks rows, never the
+    corpus) broadcast back as offsets. Identical to the sequential
+    scan at any partitioning. ``id_col`` must be numeric (the block id
+    is a division) and unique per row."""
+    t = counts.select(
+        id_col,
+        n_col,
+        F.floor(F.col(id_col) / block).alias("_blk"),
+    )
+    in_blk = Window.partitionBy("_blk").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = t.withColumn(
+        "_local_before", F.coalesce(F.sum(n_col).over(in_blk), F.lit(0))
+    )
+    blk_running = Window.orderBy("_blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        t.groupBy("_blk")
+        .agg(F.sum(n_col).alias("_blk_total"))
+        .withColumn(
+            "_blk_before",
+            F.coalesce(F.sum("_blk_total").over(blk_running), F.lit(0)),
+        )
+        .select("_blk", "_blk_before")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_blk", "inner")
+        .withColumn(
+            "tokens_before",
+            F.col("_blk_before") + F.col("_local_before"),
+        )
+        .select(id_col, n_col, "tokens_before")
+    )

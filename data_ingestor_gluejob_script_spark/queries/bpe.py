@@ -56,6 +56,23 @@ from pyspark.sql import types as T
 
 from ._util import load, spread
 
+# The merge-table model artifact's schema — single source for both
+# trainers, save_merges/load_merges, and every consumer.
+_MERGES_SCHEMA = T.StructType(
+    [
+        T.StructField("rank", T.LongType(), False),
+        T.StructField("left", T.StringType(), False),
+        T.StructField("right", T.StringType(), False),
+    ]
+)
+
+
+def _merges_frame(spark, merges: list[tuple[str, str]]) -> DataFrame:
+    """Ordered [(left, right), ...] → the (rank, left, right) frame."""
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)], _MERGES_SCHEMA
+    )
+
 
 # ---------------------------------------------------------------- train
 
@@ -178,17 +195,7 @@ def bpe_train(
             max_words
         )
     freqs = {r["word"]: r["count"] for r in wf.collect()}
-    merges = _train_merges(freqs, n_merges, min_pair_count)
-    schema = T.StructType(
-        [
-            T.StructField("rank", T.LongType(), False),
-            T.StructField("left", T.StringType(), False),
-            T.StructField("right", T.StringType(), False),
-        ]
-    )
-    return spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(merges)], schema
-    )
+    return _merges_frame(spark, _train_merges(freqs, n_merges, min_pair_count))
 
 
 def bpe_train_distributed(
@@ -204,10 +211,14 @@ def bpe_train_distributed(
     (explode adjacent pairs → partial-aggregated sum → 1-row argmax
     collect) plus a map-only pure-Catalyst fold applying the merge to
     every symbol array. Produces the IDENTICAL merge table to
-    ``bpe_train`` (same counts, same lexicographic tie-break —
-    parity-asserted in tests), at the cost of 2 passes over the
-    vocabulary PER MERGE — the right trade only when the vocabulary
-    itself is too big for the driver; prefer ``bpe_train`` otherwise.
+    ``bpe_train(max_words=None)`` (same counts, same lexicographic
+    tie-break — parity-asserted in tests); note ``bpe_train``'s
+    DEFAULT frequency-truncates at 2^20 words, so on a vocabulary
+    larger than that the two differ unless the caller passes
+    ``max_words=None`` — which is exactly the regime this trainer
+    exists for. Cost: 2 passes over the vocabulary PER MERGE — the
+    right trade only when the vocabulary itself is too big for the
+    driver; prefer ``bpe_train`` otherwise.
 
     The fold trick: a left-to-right greedy single-pass merge is
     expressible as ``F.aggregate``: append each symbol unless the
@@ -281,16 +292,7 @@ def bpe_train_distributed(
         )
         if (step + 1) % checkpoint_every == 0:
             state = state.localCheckpoint()
-    schema = T.StructType(
-        [
-            T.StructField("rank", T.LongType(), False),
-            T.StructField("left", T.StringType(), False),
-            T.StructField("right", T.StringType(), False),
-        ]
-    )
-    return spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(merges)], schema
-    )
+    return _merges_frame(spark, merges)
 
 
 def save_merges(merges: DataFrame, path: str) -> None:
@@ -441,50 +443,33 @@ def bpe_pack_token_stream(
     """The subword twin of ``tokenizer.pack_token_stream``: the whole
     corpus as one contiguous BPE-token stream cut into fixed-length
     packs — (pack_id, pack_pos, doc_id, token). Same
-    concatenate-then-chunk semantics, same distributed prefix sum for
-    the per-document stream offsets (block-local window + one window
-    over BLOCK TOTALS — never a global window over documents), with
-    the real subword counts in place of the whitespace counts."""
-    from pyspark.sql import Window
+    concatenate-then-chunk semantics, same shared distributed prefix
+    sum (``operators.order.block_prefix_offsets`` — never a global
+    window over documents), with the real subword counts in place of
+    the whitespace counts.
 
+    Encode-pass budget: the Python BPE encode is the dominant cost,
+    and the counts frame feeds TWO prefix-sum branches (block window
+    + block totals) — unmaterialized it would re-encode the corpus
+    once per branch on top of the flat stream's own pass. The counts
+    frame is therefore ``localCheckpoint``-ed (one row per document —
+    metadata-sized), capping the total at 2 encode passes (counts +
+    flat). A production pipeline gets to 1 pass by writing ``flat``
+    to its token lake first and deriving counts from it
+    (``max(pos) + 1`` per doc)."""
+    from ..operators.order import block_prefix_offsets
     from .traindata import PACK_BLOCK, PACK_TOKENS
 
     if pack_tokens is None:
         pack_tokens = PACK_TOKENS
     flat = bpe_encode_flat(docs, merges, text_col, id_col)
-    counts = bpe_token_counts(docs, merges, text_col, id_col).select(
-        id_col,
-        F.col("n_bpe_tokens").alias("n_tokens"),
-        F.floor(F.col(id_col) / PACK_BLOCK).alias("_blk"),
+    counts = (
+        bpe_token_counts(docs, merges, text_col, id_col)
+        .select(id_col, F.col("n_bpe_tokens").alias("n_tokens"))
+        .localCheckpoint()
     )
-    in_blk = Window.partitionBy("_blk").orderBy(id_col).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    local = counts.withColumn(
-        "_local_before",
-        F.coalesce(F.sum("n_tokens").over(in_blk), F.lit(0)),
-    )
-    blk_running = Window.orderBy("_blk").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = (
-        counts.groupBy("_blk")
-        .agg(F.sum("n_tokens").alias("_blk_total"))
-        .withColumn(
-            "_blk_before",
-            F.coalesce(F.sum("_blk_total").over(blk_running), F.lit(0)),
-        )
-        .select("_blk", "_blk_before")
-    )
-    pre = (
-        local.join(F.broadcast(offsets), "_blk", "inner")
-        .select(
-            id_col,
-            (F.col("_blk_before") + F.col("_local_before")).alias(
-                "tokens_before"
-            ),
-        )
-    )
+    pre = block_prefix_offsets(counts, id_col=id_col, block=PACK_BLOCK)
+    pre = pre.select(id_col, "tokens_before")
     gpos = F.col("tokens_before") + F.col("pos")
     return flat.join(pre, id_col).select(
         F.floor(gpos / pack_tokens).cast("long").alias("pack_id"),

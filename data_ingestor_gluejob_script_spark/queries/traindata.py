@@ -128,49 +128,22 @@ def seq_pack_frame(docs: DataFrame) -> DataFrame:
     (doc → pack, offset within pack).
 
     Distributed prefix sum, NOT a global-order window (which is a
-    single reducer): phase 1 computes within-block running sums with a
-    window partitioned by block id (parallel); phase 2 aggregates one
-    total per block (rows = #blocks) and broadcasts the running block
-    offsets back. Identical result to the sequential scan at any
-    partitioning."""
-    toks = F.size(F.split(F.col("text"), " "))
-    t = docs.select(
+    single reducer) — the shared ``operators.order.
+    block_prefix_offsets`` primitive over whitespace token counts
+    (the BPE pack stream feeds the same primitive its subword
+    counts)."""
+    from ..operators.order import block_prefix_offsets
+
+    counts = docs.select(
         "doc_id",
-        toks.alias("n_tokens"),
-        F.floor(F.col("doc_id") / PACK_BLOCK).alias("_blk"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
     )
-    in_blk = Window.partitionBy("_blk").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    local = t.withColumn(
-        "_local_before", F.coalesce(F.sum("n_tokens").over(in_blk), F.lit(0))
-    )
-    blk_running = Window.orderBy("_blk").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    # One row per block — the only global-order window runs over
-    # #blocks rows, not #docs.
-    offsets = (
-        t.groupBy("_blk")
-        .agg(F.sum("n_tokens").alias("_blk_total"))
-        .withColumn(
-            "_blk_before",
-            F.coalesce(F.sum("_blk_total").over(blk_running), F.lit(0)),
-        )
-        .select("_blk", "_blk_before")
-    )
-    return (
-        local.join(F.broadcast(offsets), "_blk", "inner")
-        .withColumn(
-            "tokens_before", F.col("_blk_before") + F.col("_local_before")
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            "tokens_before",
-            F.floor(F.col("tokens_before") / PACK_TOKENS).alias("pack_id"),
-            (F.col("tokens_before") % PACK_TOKENS).alias("pack_offset"),
-        )
+    return block_prefix_offsets(counts, block=PACK_BLOCK).select(
+        "doc_id",
+        "n_tokens",
+        "tokens_before",
+        F.floor(F.col("tokens_before") / PACK_TOKENS).alias("pack_id"),
+        (F.col("tokens_before") % PACK_TOKENS).alias("pack_offset"),
     )
 
 

@@ -830,11 +830,22 @@ def run_neardup_ingest(
         # both appends — pin it so the lake isn't re-scanned per use.
         fresh = fresh.persist()
         try:
-            sig = minhash_signature_frame(fresh)
+            # sign keyed on text_md5, NOT doc_id: after the exact
+            # collapse text_md5 is unique and non-null per fresh row,
+            # while a NULL doc_id would miss the equi-join back and
+            # ledger NULL signature slots for a doc that HAS a
+            # signature — silently exempting its future near-dups
+            sig_md5 = minhash_signature_frame(
+                fresh.select(F.col("text_md5").alias("doc_id"), "text")
+            ).withColumnRenamed("doc_id", "text_md5")
             sig_rows = fresh.select("doc_id", "text_md5").join(
-                sig, "doc_id", "left"
+                sig_md5, "text_md5", "left"
             )
-            new_bands = banded_signature_frame(sig)
+            new_bands = banded_signature_frame(
+                sig_rows.filter(F.col("s0").isNotNull()).select(
+                    "doc_id", *slot_cols
+                )
+            )
             batch_ref = new_bands.select(
                 F.col("doc_id").alias("_r_doc_id"),
                 "band_idx",
@@ -992,11 +1003,22 @@ def run_image_dedup_ingest(
         # consumed by the dHash pass, the band join, and both appends
         fresh = fresh.persist()
         try:
-            sig = dhash64(fresh, id_col=id_col, payload_col=payload_col)
-            sig_rows = fresh.select(id_col, "payload_md5").join(
-                sig, id_col, "left"
+            # hash keyed on payload_md5, NOT the id: after the exact
+            # collapse payload_md5 is unique and non-null per fresh
+            # row, while a NULL id would miss the equi-join back and
+            # persist a NULL phash into the ledger — silently exempting
+            # that image (and all its future near-dups) from dedup
+            sig_pm = dhash64(
+                fresh, id_col="payload_md5", payload_col=payload_col
             )
-            new_bands = phash_bands(sig, max_hamming, id_col=id_col)
+            sig_rows = fresh.select(id_col, "payload_md5").join(
+                sig_pm, "payload_md5", "left"
+            )
+            new_bands = phash_bands(
+                sig_rows.select(id_col, "phash"),
+                max_hamming,
+                id_col=id_col,
+            )
             batch_ref = new_bands.select(
                 F.col(id_col).alias("_r_id"),
                 F.col("phash").alias("_r_phash"),

@@ -96,10 +96,16 @@ def test_semantic_dedup_docs_file_backed_encoder_seam(spark, tmp_path):
     path's output exactly."""
     docs = load(spark, SF_DIR, "documents").limit(120)
     path = str(tmp_path / "embeddings")
-    embed_documents(docs).write.parquet(path)
+    # export under NON-default column names to prove the id_col/vec_col
+    # seam parameters actually work (review finding: they didn't)
+    embed_documents(docs).selectExpr(
+        "doc_id as id", "emb as vector"
+    ).write.parquet(path)
     emb_table = spark.read.parquet(path)
 
-    via_table = semantic_dedup_docs(docs, encoder=table_encoder(emb_table))
+    via_table = semantic_dedup_docs(
+        docs, encoder=table_encoder(emb_table, id_col="id", vec_col="vector")
+    )
     default = semantic_dedup_docs(docs)
     a = sorted(
         (r.doc_id, r.group_id, r.is_representative)

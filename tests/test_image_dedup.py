@@ -194,3 +194,46 @@ def test_image_dedup_ingest_matches_batch_twin_and_replays_clean(
     )
     assert spark.read.parquet(sigs).count() == len(sig_rows)
     shutil.rmtree(str(tmp_path / "ck1"), ignore_errors=True)
+
+
+def test_image_dedup_ingest_null_id_image_still_guards_neardups(
+    spark, tmp_path
+):
+    """Review finding: the phash was joined back on the id, so a
+    NULL-id image persisted a NULL phash into the ledger and its
+    future near-dups were silently exempt from dedup. The hash is now
+    keyed on payload_md5 — a NULL-id image's signature lands in the
+    state, and a near-dup arriving in a LATER batch is dropped."""
+    from data_ingestor_gluejob_script_spark.streaming import (
+        run_image_dedup_ingest,
+    )
+
+    base = bytes(
+        [(16 * (c % 2) + r) % 256 for r in range(8) for c in range(9)]
+    )
+    near = bytearray(base)
+    near[4] = 255
+    media = str(tmp_path / "in")
+    # batch 1: the null-id image; batch 2: its near-dup + a far image
+    spark.createDataFrame(
+        [(None, base)], "doc_id long, payload binary"
+    ).coalesce(1).write.mode("append").parquet(media)
+    spark.createDataFrame(
+        [(7, bytes(near)), (8, bytes(255 - b for b in base))],
+        "doc_id long, payload binary",
+    ).coalesce(1).write.mode("append").parquet(media)
+
+    q = run_image_dedup_ingest(
+        spark, media, str(tmp_path / "lake"), str(tmp_path / "sigs"),
+        str(tmp_path / "ck")
+    )
+    q.awaitTermination(300)
+
+    sig_rows = spark.read.parquet(str(tmp_path / "sigs")).collect()
+    assert all(r["phash"] is not None for r in sig_rows)  # incl. null id
+    lake_ids = sorted(
+        (r["doc_id"] is None, r["doc_id"])
+        for r in spark.read.parquet(str(tmp_path / "lake")).collect()
+    )
+    # null-id original retained; its near-dup (7) dropped; far (8) kept
+    assert lake_ids == [(False, 8), (True, None)]

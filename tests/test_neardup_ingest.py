@@ -253,3 +253,42 @@ def test_null_text_docs_survive_exact_and_neardup_dedup(spark):
         assert got_stream == got_near
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_neardup_ingest_null_id_doc_still_guards_neardups(spark, tmp_path):
+    """Review finding (latent twin of the image-ingest bug): the
+    signature was joined back on doc_id, so a NULL-id document with a
+    real signature ledgered NULL slots and its future near-dups were
+    exempt from dedup. Signing is now keyed on text_md5: the NULL-id
+    doc's signature lands in the state and a near-dup arriving in a
+    LATER batch is dropped."""
+    docs_dir = str(tmp_path / "in")
+    # batch 1: NULL-id long doc; batch 2: its near-dup + an unrelated doc
+    spark.createDataFrame(
+        [(None, BASE)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+    spark.createDataFrame(
+        [
+            (7, BASE + " extra"),
+            (8, "completely different words about spark shuffles"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    q = run_neardup_ingest(
+        spark, docs_dir, str(tmp_path / "lake"), str(tmp_path / "sigs"),
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination(300)
+
+    sig_rows = spark.read.parquet(str(tmp_path / "sigs")).collect()
+    # all three docs have >= 3 words: every ledger row carries slots,
+    # INCLUDING the null-id doc's
+    assert all(r["s0"] is not None for r in sig_rows)
+    assert len(sig_rows) == 3
+    lake_ids = sorted(
+        (r["doc_id"] is None, r["doc_id"])
+        for r in spark.read.parquet(str(tmp_path / "lake")).collect()
+    )
+    # null-id original retained; its near-dup (7) dropped; 8 kept
+    assert lake_ids == [(False, 8), (True, None)]

@@ -159,13 +159,14 @@ GLOBAL_WINDOW_ALLOWLIST = {
         "queries/retrieval.py",
         "w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())",
     ),
-    # seq-pack prefix sum: runs over per-block TOTALS (#blocks rows)
-    ("queries/traindata.py", 'blk_running = Window.orderBy("_blk").rowsBetween('),
-    # dense-index prefix sum: same shape, #blocks rows
+    # dense-index prefix sum: runs over per-block TOTALS (#blocks rows)
     ("queries/corpusstats.py", 'blk_running = Window.orderBy("_blk").rowsBetween('),
-    # BPE pack prefix sum: same shape again — runs over per-block
-    # TOTALS (#blocks rows), never the token stream
-    ("queries/bpe.py", 'blk_running = Window.orderBy("_blk").rowsBetween('),
+    # shared block prefix sum (seq-pack + BPE pack stream): the global
+    # window runs over per-block TOTALS (#blocks rows), never the corpus
+    (
+        "operators/order.py",
+        'blk_running = Window.orderBy("_blk").rowsBetween(',
+    ),
     # IVF seed codebook: runs AFTER .limit(N_IVF_CELLS), K=8 rows
     (
         "queries/similarity.py",
