@@ -479,6 +479,68 @@ def bpe_pack_token_stream(
     )
 
 
+def bpe_vocab_with_ids(
+    docs: DataFrame,
+    merges,
+    v_max: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(token, token_id, n_docs, n_occurrences) over the SUBWORD
+    vocabulary: dense 1-based ids in descending-frequency order (ties
+    by token — a total order, so ids are deterministic across runs
+    and partitionings), the BPE twin of ``tokenizer.vocab_with_ids``.
+    Two partial-aggregated shuffles (per-doc distinct first, so
+    ``count(*)`` IS document frequency), then the distributed
+    global-row-number primitive — no single-reducer sort. ``v_max``
+    truncates AFTER ranking (the standard vocabulary cap). The BPE
+    vocabulary is bounded by |chars| + n_merges, so the ranked frame
+    is model-sized by construction."""
+    from ..operators.order import global_row_number
+
+    flat = bpe_encode_flat(docs, merges, text_col, id_col)
+    per_doc = flat.groupBy(id_col, "token").agg(
+        F.count("*").alias("tf")
+    )
+    vocab = per_doc.groupBy("token").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tf").alias("n_occurrences"),
+    )
+    v = global_row_number(
+        vocab,
+        [F.col("n_occurrences").desc(), F.col("token")],
+        out_col="token_id",
+    )
+    if v_max is not None:
+        v = v.filter(F.col("token_id") <= v_max)
+    return v.select("token", "token_id", "n_docs", "n_occurrences")
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pos, token_id): the corpus as subword ID sequences — the
+    training-ready form. One Arrow encode pass + a broadcast left
+    join of the (model-sized) vocabulary; out-of-vocabulary subwords
+    (possible when ``v_max`` truncated the vocab, or when encoding a
+    NEW corpus against a trained artifact) map to ``tokenizer.OOV_ID``
+    (0; real ids are 1-based)."""
+    from .tokenizer import OOV_ID
+
+    flat = bpe_encode_flat(docs, merges, text_col, id_col)
+    return flat.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(OOV_ID)).alias("token_id"),
+    )
+
+
 def x_bpe_encode(spark, sf_dir: str) -> DataFrame:
     """Bench entry: train a 200-merge BPE on the documents corpus and
     produce the real per-document subword counts (train + the memoized

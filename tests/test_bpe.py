@@ -308,3 +308,49 @@ def test_bpe_fuzz_differential(spark, texts, n_merges):
     for i, t in enumerate(texts):
         want = [tok for w in ref_words(t) for tok in ref_encode(w, merges)]
         assert got.get(i, []) == want
+
+
+def test_bpe_vocab_ids_and_id_encoding(spark):
+    """Subword vocabulary ids: dense 1-based by (n_occurrences desc,
+    token), doc frequencies exact, and the id encoding reproduces the
+    token encoding through the id map with OOV -> 0 under v_max
+    truncation. All cross-checked against the pure-python reference."""
+    from data_ingestor_gluejob_script_spark.queries.bpe import (
+        bpe_encode_ids,
+        bpe_vocab_with_ids,
+    )
+
+    docs = load(spark, SF_DIR, "documents").limit(60)
+    rows = docs.select("doc_id", "text").collect()
+    merges_df = bpe_train(docs, n_merges=40)
+    merges = _merges_list(merges_df)
+
+    # reference: per-doc token streams -> vocab stats
+    streams = {
+        r["doc_id"]: [
+            t for w in ref_words(r["text"]) for t in ref_encode(w, merges)
+        ]
+        for r in rows
+    }
+    occ = Counter(t for s in streams.values() for t in s)
+    ndocs = Counter(t for s in streams.values() for t in set(s))
+    ranked = sorted(occ, key=lambda t: (-occ[t], t))
+    want_ids = {t: i + 1 for i, t in enumerate(ranked)}
+
+    v = bpe_vocab_with_ids(docs, merges_df)
+    got = {r["token"]: r for r in v.collect()}
+    assert {t: r["token_id"] for t, r in got.items()} == want_ids
+    for t, r in got.items():
+        assert r["n_occurrences"] == occ[t]
+        assert r["n_docs"] == ndocs[t]
+
+    # id encoding under a truncated vocab: OOV -> 0, others exact
+    v_max = max(3, len(ranked) // 2)
+    vocab_cut = bpe_vocab_with_ids(docs, merges_df, v_max=v_max)
+    enc = bpe_encode_ids(docs, merges_df, vocab_cut)
+    got_ids: dict[int, list] = {}
+    for r in sorted(enc.collect(), key=lambda r: (r["doc_id"], r["pos"])):
+        got_ids.setdefault(r["doc_id"], []).append(r["token_id"])
+    for did, s in streams.items():
+        want = [want_ids[t] if want_ids[t] <= v_max else 0 for t in s]
+        assert got_ids.get(did, []) == want
