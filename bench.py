@@ -299,23 +299,43 @@ def main() -> int:
             for name, ts in detail.items()
         }
 
-    core_first = best_of(reps_detail)
-    core_rerun = sorted(
-        n
-        for n, t in core_first.items()
-        if t >= 0 and core_base.get(n) and t > 1.5 * core_base[n]
+    def rerun_over_baseline(
+        detail: dict[str, list[float]],
+        loads: list[list[float]],
+        base: dict[str, float],
+        label: str,
+    ) -> list[str]:
+        """Shared 1.5x defense for the core and extras suites: entries
+        whose best exceeds 1.5x their baseline get ONE more re-gated
+        (0.15x-ncpus) fresh-JVM batch at >=3 reps; the overall min
+        across both runs stands. Contention inflates one-sidedly, so
+        a quiet retry either clears the entry or confirms a real
+        regression — either way the artifact is trustworthy. Mutates
+        detail/loads in place; returns the re-run list for the
+        artifact."""
+        best = best_of(detail)
+        over = sorted(
+            n
+            for n, t in best.items()
+            if t >= 0 and base.get(n) and t > 1.5 * base[n]
+        )
+        if over:
+            print(
+                f"bench {label} re-run (over 1.5x baseline): {over}",
+                file=sys.stderr,
+            )
+            rr_detail, rr_loads = run_batches(
+                over, max(reps, 3), gate_first=True,
+                max_load=0.15 * ncpus,
+            )
+            for name, ts in rr_detail.items():
+                detail[name] = detail.get(name, []) + ts
+            loads.extend(rr_loads)
+        return over
+
+    core_rerun = rerun_over_baseline(
+        reps_detail, batch_loads, core_base, "core"
     )
-    if core_rerun:
-        print(
-            f"bench core re-run (over 1.5x baseline): {core_rerun}",
-            file=sys.stderr,
-        )
-        rr_detail, rr_loads = run_batches(
-            core_rerun, reps, gate_first=True, max_load=0.15 * ncpus
-        )
-        for name, ts in rr_detail.items():
-            reps_detail[name] = reps_detail.get(name, []) + ts
-        batch_loads.extend(rr_loads)
 
     # Extras: quieter gate than the core set, and entries whose baseline
     # exceeds 2 s get >=3 reps in their own batches (slow first, so the
@@ -333,26 +353,9 @@ def main() -> int:
     extras_detail.update(fast_detail)
     extras_loads.extend(fast_loads)
 
-    # Auto-rerun: any entry whose best still exceeds 1.5x its recorded
-    # baseline gets ONE more re-gated fresh-JVM batch at >=3 reps; the
-    # overall min across both runs stands. A contention wave inflates
-    # one-sidedly, so a quiet retry either clears the entry or confirms
-    # a real regression — either way the artifact is trustworthy.
-    first_best = best_of(extras_detail)
-    rerun = sorted(
-        n
-        for n, t in first_best.items()
-        if t >= 0 and extras_base.get(n) and t > 1.5 * extras_base[n]
+    rerun = rerun_over_baseline(
+        extras_detail, extras_loads, extras_base, "extras"
     )
-    if rerun:
-        print(f"bench extras re-run (over 1.5x baseline): {rerun}",
-              file=sys.stderr)
-        rerun_detail, rerun_loads = run_batches(
-            rerun, slow_reps, gate_first=True, max_load=extras_gate
-        )
-        for name, ts in rerun_detail.items():
-            extras_detail[name] = extras_detail.get(name, []) + ts
-        extras_loads.extend(rerun_loads)
 
     extras_timings = best_of(extras_detail)
     timings = best_of(reps_detail)

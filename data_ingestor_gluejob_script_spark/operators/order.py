@@ -95,8 +95,14 @@ def block_prefix_offsets(
     global-order window over per-block TOTALS (#blocks rows, never the
     corpus) broadcast back as offsets. Identical to the sequential
     scan at any partitioning. ``id_col`` must be numeric (the block id
-    is a division) and unique per row."""
-    t = counts.select(
+    is a division) and unique per row; NULL-id rows are EXCLUDED — a
+    null has no place in the global order, and counting its tokens
+    into later documents' offsets while the id-keyed join back drops
+    its rows would leave permanent holes in the packed stream (review
+    finding, repro'd: a null-id doc produced an underfull pack with a
+    phantom gap). Both pack-stream consumers therefore see a stream
+    over non-null-id documents only."""
+    t = counts.filter(F.col(id_col).isNotNull()).select(
         id_col,
         n_col,
         F.floor(F.col(id_col) / block).alias("_blk"),

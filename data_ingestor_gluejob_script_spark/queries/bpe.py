@@ -456,7 +456,12 @@ def bpe_pack_token_stream(
     metadata-sized), capping the total at 2 encode passes (counts +
     flat). A production pipeline gets to 1 pass by writing ``flat``
     to its token lake first and deriving counts from it
-    (``max(pos) + 1`` per doc)."""
+    (``max(pos) + 1`` per doc).
+
+    NULL-id documents are excluded from the stream entirely (no
+    global order exists for them — ``block_prefix_offsets`` filters
+    them, and the id join here drops their token rows), so every pack
+    stays exactly full except the last."""
     from ..operators.order import block_prefix_offsets
     from .traindata import PACK_BLOCK, PACK_TOKENS
 

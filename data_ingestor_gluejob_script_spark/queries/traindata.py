@@ -131,7 +131,8 @@ def seq_pack_frame(docs: DataFrame) -> DataFrame:
     single reducer) — the shared ``operators.order.
     block_prefix_offsets`` primitive over whitespace token counts
     (the BPE pack stream feeds the same primitive its subword
-    counts)."""
+    counts). NULL-id documents are excluded (no global order exists
+    for them; see the primitive's docstring)."""
     from ..operators.order import block_prefix_offsets
 
     counts = docs.select(

@@ -32,7 +32,7 @@ import shutil
 import tempfile
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -727,6 +727,102 @@ def run_doc_dedup_ingest(
     )
 
 
+def _ledgered_fresh(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    sig_dir: str,
+    digest_col: str,
+    digest_expr,
+    id_col: str,
+):
+    """Shared micro-batch preamble of the near-dup ingest twins
+    (text MinHash / image dHash): stamp the content digest, collapse
+    in-batch exact duplicates to ONE deterministic survivor per digest
+    (min id, nulls last, remaining columns tie-broken by hash), read
+    the signature-lake state, and anti-join the batch against the
+    digests already ledgered. Returns (fresh, state) — ``state`` is
+    None only when no signature lake exists yet; any OTHER read
+    failure aborts the batch (treating e.g. a corrupt footer as
+    "first batch" would skip dedup and double-ingest on replay)."""
+    from pyspark.errors import AnalysisException
+
+    hashed = batch_df.withColumn(digest_col, digest_expr)
+    payload = [
+        c for c in hashed.columns if c not in (digest_col, id_col)
+    ]
+    tie = (
+        F.xxhash64(*[F.col(c).cast("string") for c in payload])
+        if payload
+        else F.lit(0)
+    )
+    w = Window.partitionBy(digest_col).orderBy(
+        F.col(id_col).asc_nulls_last(), tie.asc_nulls_last()
+    )
+    fresh = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    try:
+        state = spark.read.parquet(sig_dir)
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" not in str(ex):
+            raise
+        state = None
+    if state is not None:
+        fresh = fresh.join(
+            state.select(digest_col), digest_col, "left_anti"
+        )
+    return fresh, state
+
+
+def _newcomer_loses(ref_id, my_id) -> Column:
+    """Arrival-order precedence for the near-dup ingest twins: a
+    newcomer drops to anything already in the state, to a smaller id
+    within its own batch, and — when its own id is NULL — to any
+    non-null-id batch row (nulls sort last, matching the exact
+    collapse). Two null-id rows have no order and never drop each
+    other; NULL comparisons coalesce to False rather than silently
+    poisoning the filter (the review-finding this encodes: an id-keyed
+    anti-join could never drop a NULL-id newcomer at all, so the drop
+    set must be keyed on the content digest and this predicate must
+    be null-aware)."""
+    return (
+        F.col("_r_state")
+        | F.coalesce(ref_id < my_id, F.lit(False))
+        | (ref_id.isNotNull() & my_id.isNull())
+    )
+
+
+def _two_lake_append(
+    spark: SparkSession,
+    retained: DataFrame,
+    sig_rows: DataFrame,
+    lake_dir: str,
+    sig_dir: str,
+    digest_col: str,
+) -> None:
+    """Two-lake exactly-once tail of the near-dup ingest twins:
+    corpus append FIRST, guarded by its own digest anti-join;
+    signature ledger LAST. A crash between the appends leaves digests
+    out of the ledger, so the replayed batch reprocesses them (the
+    keep decisions are deterministic, so the retained set recomputes
+    identically) and the corpus guard turns the re-append into a
+    no-op. The reverse order would ledger the batch before its rows
+    exist — replay would skip it and the retained rows would be
+    lost."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        corpus_seen = spark.read.parquet(lake_dir).select(digest_col)
+        retained = retained.join(corpus_seen, digest_col, "left_anti")
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" not in str(ex):
+            raise
+    retained.write.mode("append").parquet(lake_dir)
+    sig_rows.write.mode("append").parquet(sig_dir)
+
+
 def run_neardup_ingest(
     spark: SparkSession,
     docs_dir: str,
@@ -776,8 +872,6 @@ def run_neardup_ingest(
     join, the same evolution write_partitioned_upsert documents for
     the id upsert.
     """
-    from pyspark.errors import AnalysisException
-
     from .queries.textops import (
         MINHASH_DEDUP_TAU,
         N_MINHASH,
@@ -798,33 +892,10 @@ def run_neardup_ingest(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        hashed = batch_df.withColumn("text_md5", row_digest(["text"]))
-        payload = [
-            c for c in hashed.columns if c not in ("text_md5", "doc_id")
-        ]
-        tie = (
-            F.xxhash64(*[F.col(c).cast("string") for c in payload])
-            if payload
-            else F.lit(0)
+        fresh, state = _ledgered_fresh(
+            spark, batch_df, sig_dir, "text_md5",
+            row_digest(["text"]), "doc_id",
         )
-        w = Window.partitionBy("text_md5").orderBy(
-            F.col("doc_id").asc_nulls_last(), tie.asc_nulls_last()
-        )
-        fresh = (
-            hashed.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        try:
-            state = spark.read.parquet(sig_dir)
-        except AnalysisException as ex:
-            if "PATH_NOT_FOUND" not in str(ex):
-                raise
-            state = None
-        if state is not None:
-            fresh = fresh.join(
-                state.select("text_md5"), "text_md5", "left_anti"
-            )
         # The fresh slice is consumed by the signing pass, the band
         # join (twice: probe side and in-batch reference side), and
         # both appends — pin it so the lake isn't re-scanned per use.
@@ -841,10 +912,15 @@ def run_neardup_ingest(
             sig_rows = fresh.select("doc_id", "text_md5").join(
                 sig_md5, "text_md5", "left"
             )
-            new_bands = banded_signature_frame(
-                sig_rows.filter(F.col("s0").isNotNull()).select(
-                    "doc_id", *slot_cols
+            # probe band rows carry BOTH keys: doc_id for precedence,
+            # text_md5 (non-null) for the drop set — see _newcomer_loses
+            new_bands = (
+                banded_signature_frame(
+                    sig_md5.filter(F.col("s0").isNotNull())
+                    .withColumnRenamed("text_md5", "doc_id")
                 )
+                .withColumnRenamed("doc_id", "text_md5")
+                .join(fresh.select("text_md5", "doc_id"), "text_md5")
             )
             batch_ref = new_bands.select(
                 F.col("doc_id").alias("_r_doc_id"),
@@ -873,35 +949,16 @@ def run_neardup_ingest(
             dropped = (
                 new_bands.join(ref, ["band_idx", "band_hash"])
                 .filter(
-                    F.col("_r_state")
-                    | (F.col("_r_doc_id") < F.col("doc_id"))
+                    _newcomer_loses(F.col("_r_doc_id"), F.col("doc_id"))
                 )
                 .filter(est_jaccard_col() >= F.lit(tau))
-                .select("doc_id")
+                .select("text_md5")
                 .distinct()
             )
-            retained = fresh.join(dropped, "doc_id", "left_anti")
-            # Two-lake exactly-once: corpus append FIRST, guarded by
-            # its own digest anti-join; signature ledger LAST. A crash
-            # between the appends leaves digests out of the ledger, so
-            # the replayed batch reprocesses them (decisions are
-            # deterministic, so the retained set recomputes
-            # identically) and the corpus guard turns the re-append
-            # into a no-op. The reverse order would ledger the batch
-            # before its documents exist — replay would skip it and
-            # the retained rows would be lost.
-            try:
-                corpus_seen = spark.read.parquet(lake_dir).select(
-                    "text_md5"
-                )
-                retained = retained.join(
-                    corpus_seen, "text_md5", "left_anti"
-                )
-            except AnalysisException as ex:
-                if "PATH_NOT_FOUND" not in str(ex):
-                    raise
-            retained.write.mode("append").parquet(lake_dir)
-            sig_rows.write.mode("append").parquet(sig_dir)
+            retained = fresh.join(dropped, "text_md5", "left_anti")
+            _two_lake_append(
+                spark, retained, sig_rows, lake_dir, sig_dir, "text_md5"
+            )
         finally:
             fresh.unpersist()
 
@@ -964,8 +1021,6 @@ def run_image_dedup_ingest(
     reproduces ``image_dedup_frame``'s retained set exactly (pinned
     by tests/test_image_dedup.py).
     """
-    from pyspark.errors import AnalysisException
-
     from .operators.multimodal import dhash64, phash_bands
 
     batch0 = spark.read.parquet(media_dir)
@@ -978,28 +1033,10 @@ def run_image_dedup_ingest(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # null payload hashes like the empty payload (md5 of NULL is
         # NULL — it would silently fall out of every join)
-        hashed = batch_df.withColumn(
-            "payload_md5",
-            F.md5(F.coalesce(F.col(payload_col), F.lit(b""))),
+        fresh, state = _ledgered_fresh(
+            spark, batch_df, sig_dir, "payload_md5",
+            F.md5(F.coalesce(F.col(payload_col), F.lit(b""))), id_col,
         )
-        w = Window.partitionBy("payload_md5").orderBy(
-            F.col(id_col).asc_nulls_last()
-        )
-        fresh = (
-            hashed.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        try:
-            state = spark.read.parquet(sig_dir)
-        except AnalysisException as ex:
-            if "PATH_NOT_FOUND" not in str(ex):
-                raise
-            state = None
-        if state is not None:
-            fresh = fresh.join(
-                state.select("payload_md5"), "payload_md5", "left_anti"
-            )
         # consumed by the dHash pass, the band join, and both appends
         fresh = fresh.persist()
         try:
@@ -1014,11 +1051,12 @@ def run_image_dedup_ingest(
             sig_rows = fresh.select(id_col, "payload_md5").join(
                 sig_pm, "payload_md5", "left"
             )
+            # probe band rows carry BOTH keys: the id for precedence,
+            # payload_md5 (non-null) for the drop set — see
+            # _newcomer_loses
             new_bands = phash_bands(
-                sig_rows.select(id_col, "phash"),
-                max_hamming,
-                id_col=id_col,
-            )
+                sig_pm, max_hamming, id_col="payload_md5"
+            ).join(fresh.select("payload_md5", id_col), "payload_md5")
             batch_ref = new_bands.select(
                 F.col(id_col).alias("_r_id"),
                 F.col("phash").alias("_r_phash"),
@@ -1046,26 +1084,16 @@ def run_image_dedup_ingest(
             )
             dropped = (
                 new_bands.join(ref, ["band_idx", "band_val"])
-                .filter(
-                    F.col("_r_state") | (F.col("_r_id") < F.col(id_col))
-                )
+                .filter(_newcomer_loses(F.col("_r_id"), F.col(id_col)))
                 .filter(ham <= F.lit(max_hamming))
-                .select(id_col)
+                .select("payload_md5")
                 .distinct()
             )
-            retained = fresh.join(dropped, id_col, "left_anti")
-            try:
-                corpus_seen = spark.read.parquet(lake_dir).select(
-                    "payload_md5"
-                )
-                retained = retained.join(
-                    corpus_seen, "payload_md5", "left_anti"
-                )
-            except AnalysisException as ex:
-                if "PATH_NOT_FOUND" not in str(ex):
-                    raise
-            retained.write.mode("append").parquet(lake_dir)
-            sig_rows.write.mode("append").parquet(sig_dir)
+            retained = fresh.join(dropped, "payload_md5", "left_anti")
+            _two_lake_append(
+                spark, retained, sig_rows, lake_dir, sig_dir,
+                "payload_md5",
+            )
         finally:
             fresh.unpersist()
 
@@ -1117,7 +1145,16 @@ def _guarded_append(
     payload) per micro-batch and growing (round-9 advice finding);
     this keeps full-history protection at one narrow column per
     modern row. Only "no destination yet" may skip the guard;
-    anything else aborts rather than double-ingest."""
+    anything else aborts rather than double-ingest.
+
+    Source-schema evolution caveat: a stored digest was computed over
+    the column set at WRITE time. If the source later gains a column
+    and redelivers old content (now with the new column NULL), the
+    current-schema side digest differs and the replay guard misses —
+    run a one-time digest backfill (rewrite ``_ingest_digest`` under
+    the new column set) when evolving the source schema. Within one
+    stream run the schema is pinned at start, so crash-replay
+    idempotence is unaffected."""
     from pyspark.errors import AnalysisException
 
     expected = side_df.select(*src_cols, "_ingest_digest").schema

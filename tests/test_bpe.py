@@ -354,3 +354,24 @@ def test_bpe_vocab_ids_and_id_encoding(spark):
     for did, s in streams.items():
         want = [want_ids[t] if want_ids[t] <= v_max else 0 for t in s]
         assert got_ids.get(did, []) == want
+
+
+def test_bpe_pack_token_stream_excludes_null_id_docs(spark):
+    """Review finding (live-repro'd): a NULL-id document's tokens were
+    counted into later documents' offsets but dropped from the stream
+    by the id join, leaving phantom gaps and underfull packs. NULL-id
+    docs are now excluded from offsets AND stream — packs stay exactly
+    full."""
+    df = spark.createDataFrame(
+        [(None, "aa aa ab"), (2, "aa ab ab"), (3, "ab aa")],
+        "doc_id bigint, text string",
+    )
+    merges_df = bpe_train(df, n_merges=2, min_pair_count=1)
+    got = bpe_pack_token_stream(df, merges_df, pack_tokens=2).collect()
+    assert all(r["doc_id"] is not None for r in got)
+    sizes = Counter(r["pack_id"] for r in got)
+    last = max(sizes)
+    assert all(sizes[p] == 2 for p in sizes if p != last)
+    # the stream is gapless: positions 0..n-1 across (pack_id, pack_pos)
+    stream = sorted((r["pack_id"], r["pack_pos"]) for r in got)
+    assert stream == [(i // 2, i % 2) for i in range(len(got))]

@@ -237,3 +237,94 @@ def test_image_dedup_ingest_null_id_image_still_guards_neardups(
     )
     # null-id original retained; its near-dup (7) dropped; far (8) kept
     assert lake_ids == [(False, 8), (True, None)]
+
+
+def test_image_dedup_ingest_corrupt_sig_lake_aborts_batch(spark, tmp_path):
+    """A signature-lake read failure that is NOT path-not-found must
+    abort the micro-batch (same contract as the doc-dedup twin):
+    treating a corrupt footer as 'first batch, no state yet' would
+    skip the ledger anti-join and double-ingest on replay."""
+    import os
+
+    from pyspark.errors import StreamingQueryException
+
+    from data_ingestor_gluejob_script_spark.streaming import (
+        run_image_dedup_ingest,
+    )
+
+    base = bytes(range(72))
+    media = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, base)], "doc_id long, payload binary"
+    ).coalesce(1).write.parquet(media)
+    sigs = tmp_path / "sigs"
+    sigs.mkdir()
+    (sigs / "part-00000.parquet").write_bytes(b"this is not parquet")
+
+    q = run_image_dedup_ingest(
+        spark, media, str(tmp_path / "lake"), str(sigs),
+        str(tmp_path / "ck")
+    )
+    try:
+        q.awaitTermination(120)
+        failed = q.exception() is not None
+    except StreamingQueryException:
+        failed = True
+    assert failed, "corrupt sig lake must abort the batch, not skip dedup"
+    # nothing was appended on top of the corrupt state
+    leftover = [
+        f
+        for f in os.listdir(sigs)
+        if not f.startswith(("part-00000", "."))
+    ]
+    assert leftover == []
+
+
+def test_image_dedup_ingest_null_id_neardup_arriving_later_is_dropped(
+    spark, tmp_path
+):
+    """Second review finding (live-repro'd): the drop set was keyed on
+    the id, and a left_anti equi-join can never drop a NULL-key row —
+    so a NULL-id near-duplicate of an already-ingested image was
+    retained. The drop set is now keyed on payload_md5 and the
+    precedence predicate is null-aware."""
+    from data_ingestor_gluejob_script_spark.streaming import (
+        run_image_dedup_ingest,
+    )
+
+    base = bytes(
+        [(16 * (c % 2) + r) % 256 for r in range(8) for c in range(9)]
+    )
+    near = bytearray(base)
+    near[4] = 255
+    media = str(tmp_path / "in")
+    # batch 1: the original with a real id; batch 2: a NULL-id near-dup
+    spark.createDataFrame(
+        [(1, base)], "doc_id long, payload binary"
+    ).coalesce(1).write.mode("append").parquet(media)
+    spark.createDataFrame(
+        [(None, bytes(near))], "doc_id long, payload binary"
+    ).coalesce(1).write.mode("append").parquet(media)
+
+    q = run_image_dedup_ingest(
+        spark, media, str(tmp_path / "lake"), str(tmp_path / "sigs"),
+        str(tmp_path / "ck")
+    )
+    q.awaitTermination(300)
+    lake = spark.read.parquet(str(tmp_path / "lake")).collect()
+    assert [r["doc_id"] for r in lake] == [1]  # null-id near-dup dropped
+    # and the dropped image's hash is still ledgered
+    assert spark.read.parquet(str(tmp_path / "sigs")).count() == 2
+
+    # in-BATCH mixed null/non-null ids: non-null beats null
+    media2 = str(tmp_path / "in2")
+    spark.createDataFrame(
+        [(None, base), (5, bytes(near))], "doc_id long, payload binary"
+    ).coalesce(1).write.parquet(media2)
+    q2 = run_image_dedup_ingest(
+        spark, media2, str(tmp_path / "lake2"), str(tmp_path / "sigs2"),
+        str(tmp_path / "ck2")
+    )
+    q2.awaitTermination(300)
+    lake2 = spark.read.parquet(str(tmp_path / "lake2")).collect()
+    assert [r["doc_id"] for r in lake2] == [5]

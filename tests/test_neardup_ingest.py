@@ -292,3 +292,29 @@ def test_neardup_ingest_null_id_doc_still_guards_neardups(spark, tmp_path):
     )
     # null-id original retained; its near-dup (7) dropped; 8 kept
     assert lake_ids == [(False, 8), (True, None)]
+
+
+def test_neardup_ingest_null_id_neardup_arriving_later_is_dropped(
+    spark, tmp_path
+):
+    """Twin of the image-ingest finding: a NULL-id near-duplicate of
+    an already-ingested document must be dropped — the drop set is
+    keyed on text_md5 (non-null) with a null-aware precedence
+    predicate, since an id-keyed anti-join can never drop a NULL-key
+    row."""
+    docs_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(5, BASE)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+    spark.createDataFrame(
+        [(None, BASE + " extra")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    q = run_neardup_ingest(
+        spark, docs_dir, str(tmp_path / "lake"), str(tmp_path / "sigs"),
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination(300)
+    lake = spark.read.parquet(str(tmp_path / "lake")).collect()
+    assert [r["doc_id"] for r in lake] == [5]  # null-id near-dup dropped
+    assert spark.read.parquet(str(tmp_path / "sigs")).count() == 2
