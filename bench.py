@@ -304,6 +304,7 @@ def main() -> int:
         loads: list[list[float]],
         base: dict[str, float],
         label: str,
+        rerun_reps: int,
     ) -> list[str]:
         """Shared 1.5x defense for the core and extras suites: entries
         whose best exceeds 1.5x their baseline get ONE more re-gated
@@ -325,7 +326,7 @@ def main() -> int:
                 file=sys.stderr,
             )
             rr_detail, rr_loads = run_batches(
-                over, max(reps, 3), gate_first=True,
+                over, rerun_reps, gate_first=True,
                 max_load=0.15 * ncpus,
             )
             for name, ts in rr_detail.items():
@@ -334,7 +335,7 @@ def main() -> int:
         return over
 
     core_rerun = rerun_over_baseline(
-        reps_detail, batch_loads, core_base, "core"
+        reps_detail, batch_loads, core_base, "core", max(reps, 3)
     )
 
     # Extras: quieter gate than the core set, and entries whose baseline
@@ -354,7 +355,7 @@ def main() -> int:
     extras_loads.extend(fast_loads)
 
     rerun = rerun_over_baseline(
-        extras_detail, extras_loads, extras_base, "extras"
+        extras_detail, extras_loads, extras_base, "extras", slow_reps
     )
 
     extras_timings = best_of(extras_detail)

@@ -669,54 +669,25 @@ def run_doc_dedup_ingest(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        # Null-safe digest: md5(NULL) is NULL and every equality join
-        # on it silently drops the row — a missing-text document would
-        # never be ingested at all. row_digest gives NULL text a
-        # sentinel DISTINCT from '' (deterministic; null-text docs
-        # dedup together, but separately from empty-text docs).
+        # Null-safe digest via row_digest: md5(NULL) is NULL and every
+        # equality join on it silently drops the row — a missing-text
+        # document would never be ingested at all. row_digest gives
+        # NULL text a sentinel DISTINCT from '' (deterministic;
+        # null-text docs dedup together, separately from empty-text).
         # Migration note: lakes written by the pre-sentinel
         # md5(coalesce(text,'')) convention stored a different
         # text_md5 for null-text rows — on replay such a row no longer
         # matches its stored digest and would be ingested a second
-        # time. Upgrading an existing lake needs a one-time backfill
-        # (rewrite text_md5 = row_digest(["text"])); empty- and
-        # non-null-text digests are unchanged.
-        hashed = batch_df.withColumn("text_md5", row_digest(["text"]))
-        # One deterministic survivor per digest: min doc_id, remaining
-        # columns tie-broken by hash (a bare dropDuplicates keeps a
-        # partitioning-dependent row — the nondeterminism the batch
-        # dedup twin's docstring warns against). Also collapses the
-        # same row redelivered twice INSIDE one micro-batch.
-        payload = [
-            c for c in hashed.columns if c not in ("text_md5", "doc_id")
-        ]
-        tie = (
-            F.xxhash64(*[F.col(c).cast("string") for c in payload])
-            if payload
-            else F.lit(0)
+        # time; upgrading an existing lake needs a one-time backfill
+        # (rewrite text_md5 = row_digest(["text"])).
+        # The lake doubles as the dedup state here (no separate
+        # signature dir), so _ledgered_fresh's "state" read IS the
+        # lake — collapse, corruption-abort, and anti-join semantics
+        # are the shared contract (see its docstring).
+        fresh, _ = _ledgered_fresh(
+            spark, batch_df, lake_dir, "text_md5",
+            row_digest(["text"]), "doc_id",
         )
-        w = Window.partitionBy("text_md5").orderBy(
-            F.col("doc_id").asc_nulls_last(), tie.asc_nulls_last()
-        )
-        fresh = (
-            hashed.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        try:
-            seen = spark.read.parquet(lake_dir).select("text_md5")
-        except AnalysisException as ex:
-            # Only "no lake yet" may skip the anti-join; any other
-            # failure (corrupt footer, permissions, transient storage)
-            # must abort the batch — silently skipping it would
-            # double-ingest and break the idempotence contract.
-            if "PATH_NOT_FOUND" not in str(ex):
-                raise
-            seen = None
-        if seen is not None:
-            fresh = fresh.join(seen, "text_md5", "left_anti")
         fresh.write.mode("append").parquet(lake_dir)
 
     return (
