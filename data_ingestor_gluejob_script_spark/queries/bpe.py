@@ -230,8 +230,15 @@ def bpe_train_distributed(
     every ``checkpoint_every`` merges (at production scale, a real
     checkpoint dir)."""
     spark = docs.sparkSession
+    # Character decomposition via a zero-width split that can never
+    # yield a trailing empty element: F.split(word, '') returns the
+    # exact character array on Spark 4.x but a trailing '' on 3.x
+    # (round-10 advice finding — the repo pins no Spark version, and
+    # a phantom '' symbol would silently corrupt pair counts). The
+    # negative lookahead '(?!$)' matches every inter-character
+    # position except end-of-string on both lines.
     state = word_freq_frame(docs, text_col).select(
-        "word", "count", F.split(F.col("word"), "").alias("syms")
+        "word", "count", F.split(F.col("word"), "(?!$)").alias("syms")
     ).localCheckpoint()
     merges: list[tuple[str, str]] = []
     floor = max(min_pair_count, 1)

@@ -79,27 +79,32 @@ def weights_from_tokens(token_weights: DataFrame) -> DataFrame:
 def load_weights_text(spark: SparkSession, path: str) -> DataFrame:
     """Load a real exported weight table from a fastText-.vec-style
     text file: one ``<token> <weight>`` pair per line (any whitespace
-    separator). Blank lines and ``#`` comments are skipped, and so is
-    a ``<n_words> <dim>``-shaped header (both fields bare integers —
-    exporters write real weights with a decimal point, which is what
-    disambiguates them). Returns the (bucket, weight) frame —
-    ``classifier_score_frame`` and ``run_scored_ingest`` take it with
-    no operator changes; this is the swap seam the deterministic
-    ``standin_weights`` stands in for. The read is distributed
-    (``spark.read.text``), so even a very large vocabulary export
-    never bottlenecks on the driver."""
+    separator). A ``<n_words> <dim>``-shaped header (both fields bare
+    non-negative integers) is skipped ONLY when it is the file's
+    FIRST line — a real export has exactly one header, so legitimate
+    vocabulary entries that merely look header-ish ('1984 2') or
+    start with '#' ('#hashtag 0.3') anywhere else in the file load
+    normally (pattern-filtering every line dropped them — round-10
+    advice finding). Lines without exactly two fields (blanks, prose
+    comments) fall out of the field-count filter. Returns the
+    (bucket, weight) frame — ``classifier_score_frame`` and
+    ``run_scored_ingest`` take it with no operator changes; this is
+    the swap seam the deterministic ``standin_weights`` stands in
+    for. The read is distributed; ``zipWithIndex`` (one extra count
+    job over a model-sized file) pins line numbers so the header
+    test is positional, not content-global."""
+    lines = spark.sparkContext.textFile(path).zipWithIndex()
+    raw = spark.createDataFrame(lines, "value string, line_no long")
     parts = F.split(F.trim(F.col("value")), r"\s+")
+    is_header = (
+        (F.col("line_no") == 0)
+        & (F.size("p") == 2)
+        & F.element_at("p", 1).rlike("^[0-9]+$")
+        & F.element_at("p", 2).rlike("^[0-9]+$")
+    )
     tw = (
-        spark.read.text(path)
-        .select(parts.alias("p"))
-        .filter(
-            (F.size("p") == 2)
-            & ~F.element_at("p", 1).startswith("#")
-            & ~(
-                F.element_at("p", 1).rlike("^-?[0-9]+$")
-                & F.element_at("p", 2).rlike("^-?[0-9]+$")
-            )
-        )
+        raw.select(parts.alias("p"), "line_no")
+        .filter((F.size("p") == 2) & ~is_header)
         .select(
             F.element_at("p", 1).alias("token"),
             F.element_at("p", 2).cast("double").alias("weight"),

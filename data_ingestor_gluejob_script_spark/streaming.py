@@ -43,6 +43,23 @@ from .watermarks import WatermarkStore
 
 log = logging.getLogger(__name__)
 
+# NULL-payload digest sentinel: the same byte-shape as row_digest's
+# NULL sentinel, and not 32 hex characters, so it can never collide
+# with a real md5 digest of any payload (including the empty one).
+_NULL_PAYLOAD_DIGEST = "\x00NULL\x00"
+
+
+def image_payload_digest(payload_col: str = "payload") -> Column:
+    """The image ingest's content digest: md5 of the payload bytes,
+    with NULL payloads mapped to a sentinel DISTINCT from md5(b'') —
+    the binary-column counterpart of ``row_digest``'s null
+    convention (null and empty dedup separately). Shared by
+    ``run_image_dedup_ingest`` and the ``migrate`` backfill tool so
+    the lake and the ingest can never disagree on the convention."""
+    return F.coalesce(
+        F.md5(F.col(payload_col)), F.lit(_NULL_PAYLOAD_DIGEST)
+    )
+
 
 def read_events_stream(
     spark: SparkSession,
@@ -1002,11 +1019,22 @@ def run_image_dedup_ingest(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # null payload hashes like the empty payload (md5 of NULL is
-        # NULL — it would silently fall out of every join)
+        # md5 of NULL is NULL — it would silently fall out of every
+        # join — so NULL payloads digest to a SENTINEL distinct from
+        # md5(b'') (the text twin's row_digest convention: null and
+        # empty dedup separately; digesting NULL as the empty payload
+        # collapsed the two and permanently excluded the loser —
+        # round-10 advice finding). The sentinel is not 32 hex chars,
+        # so it can never collide with a real digest. Pre-sentinel
+        # ledgers digested NULL as md5(b''): on such a lake a replayed
+        # NULL-payload row re-ingests once under the new convention —
+        # backfill the LAKE's payload_md5 with
+        # migrate.backfill_digest_column(..., image_payload_digest())
+        # (the ledger row for a DROPPED null payload is not
+        # recoverable: signatures store no payload).
         fresh, state = _ledgered_fresh(
             spark, batch_df, sig_dir, "payload_md5",
-            F.md5(F.coalesce(F.col(payload_col), F.lit(b""))), id_col,
+            image_payload_digest(payload_col), id_col,
         )
         # consumed by the dHash pass, the band join, and both appends
         fresh = fresh.persist()

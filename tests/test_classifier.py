@@ -123,19 +123,27 @@ def test_load_weights_text_real_model_seam(spark, tmp_path):
     assert pair is not None
     wfile = tmp_path / "model.vec"
     wfile.write_text(
-        "5 1\n"                      # fastText header: skipped
-        "# comment line\n"           # comment: skipped
+        "5 1\n"                      # fastText header AT LINE 0: skipped
+        "# comment line\n"           # 3 fields: falls out of the filter
         "\n"                         # blank: skipped
         f"{pair[0]} 0.25\n"
         f"{pair[1]} 0.5\n"           # collides with pair[0]: sums
         "spark -0.125\n"
+        "1984 2\n"                   # header-SHAPED but not line 0: kept
+        "#hashtag 0.0625\n"          # '#' token is a real token: kept
         "scan 0.375\n"
     )
+    # the loaded-token set must land in 5 distinct buckets for the
+    # row-count assertion below (pair[0]/pair[1] share one by design)
+    toks = [pair[0], "spark", "1984", "#hashtag", "scan"]
+    assert len({bucket_of(t) for t in toks}) == 5
     w = load_weights_text(spark, str(wfile))
     wrows = {r["bucket"]: r["weight"] for r in w.collect()}
     assert wrows[bucket_of(pair[0])] == 0.75  # 0.25 + 0.5 summed
     assert wrows[bucket_of("spark")] == -0.125
-    assert len(wrows) == 3  # collided pair shares one bucket row
+    assert wrows[bucket_of("1984")] == 2.0    # r10 advice: not a header
+    assert wrows[bucket_of("#hashtag")] == 0.0625  # not a comment
+    assert len(wrows) == 5  # collided pair shares one bucket row
 
     docs = spark.createDataFrame(
         [(1, f"spark {pair[0]} unseen"), (2, "scan scan")],
