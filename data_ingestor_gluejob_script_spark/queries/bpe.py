@@ -440,45 +440,37 @@ def bpe_token_counts(
     return src.mapInPandas(count, out_schema)
 
 
-def bpe_pack_token_stream(
-    docs: DataFrame,
-    merges,
+def bpe_pack_from_flat(
+    flat: DataFrame,
     pack_tokens: int | None = None,
-    text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """The subword twin of ``tokenizer.pack_token_stream``: the whole
-    corpus as one contiguous BPE-token stream cut into fixed-length
-    packs — (pack_id, pack_pos, doc_id, token). Same
-    concatenate-then-chunk semantics, same shared distributed prefix
-    sum (``operators.order.block_prefix_offsets`` — never a global
-    window over documents), with the real subword counts in place of
-    the whitespace counts.
+    """Pack an ALREADY-ENCODED flat (id, pos, token) stream into
+    fixed-length packs — (pack_id, pack_pos, doc_id, token). This is
+    the production entry point: the corpus is encoded exactly once,
+    written to the token lake, and packing (including re-packing at a
+    different ``pack_tokens``) reads the lake without ever touching
+    the Python encoder again. Per-document counts derive from the
+    stream itself (``max(pos) + 1`` — ``pos`` is the 0-based position
+    across the document's whole subword stream, so its max is the
+    count), then the shared distributed prefix sum
+    (``operators.order.block_prefix_offsets`` — never a global window
+    over documents) assigns global offsets, exactly as in
+    ``tokenizer.pack_token_stream``.
 
-    Encode-pass budget: the Python BPE encode is the dominant cost,
-    and the counts frame feeds TWO prefix-sum branches (block window
-    + block totals) — unmaterialized it would re-encode the corpus
-    once per branch on top of the flat stream's own pass. The counts
-    frame is therefore ``localCheckpoint``-ed (one row per document —
-    metadata-sized), capping the total at 2 encode passes (counts +
-    flat). A production pipeline gets to 1 pass by writing ``flat``
-    to its token lake first and deriving counts from it
-    (``max(pos) + 1`` per doc).
-
-    NULL-id documents are excluded from the stream entirely (no
+    NULL-id token rows are excluded from the stream entirely (no
     global order exists for them — ``block_prefix_offsets`` filters
-    them, and the id join here drops their token rows), so every pack
-    stays exactly full except the last."""
+    their count row, and the id join here drops their token rows), so
+    every pack stays exactly full except the last. Zero-token
+    documents have no flat rows, hence no count row — they contribute
+    0 to every offset either way."""
     from ..operators.order import block_prefix_offsets
     from .traindata import PACK_BLOCK, PACK_TOKENS
 
     if pack_tokens is None:
         pack_tokens = PACK_TOKENS
-    flat = bpe_encode_flat(docs, merges, text_col, id_col)
-    counts = (
-        bpe_token_counts(docs, merges, text_col, id_col)
-        .select(id_col, F.col("n_bpe_tokens").alias("n_tokens"))
-        .localCheckpoint()
+    counts = flat.groupBy(id_col).agg(
+        (F.max("pos") + F.lit(1)).cast("long").alias("n_tokens")
     )
     pre = block_prefix_offsets(counts, id_col=id_col, block=PACK_BLOCK)
     pre = pre.select(id_col, "tokens_before")
@@ -489,6 +481,37 @@ def bpe_pack_token_stream(
         id_col,
         "token",
     )
+
+
+def bpe_pack_token_stream(
+    docs: DataFrame,
+    merges,
+    pack_tokens: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The subword twin of ``tokenizer.pack_token_stream``: the whole
+    corpus as one contiguous BPE-token stream cut into fixed-length
+    packs — (pack_id, pack_pos, doc_id, token). Same
+    concatenate-then-chunk semantics as the whitespace packer, with
+    the real subword counts.
+
+    Encode-pass budget: the Python BPE encode is the dominant cost,
+    so the corpus is encoded EXACTLY ONCE — the flat stream is
+    eagerly ``localCheckpoint``-ed and both downstream consumers (the
+    count derivation and the pack join in ``bpe_pack_from_flat``)
+    read the checkpointed partitions; the packed plan contains no
+    Python stage at all (pinned by tests/test_bpe.py's plan
+    assertion). The round-10 shape checkpointed the counts frame
+    instead, which still cost 2 encode passes (counts + flat). The
+    storage cost is one token-stream-scale checkpoint; at production
+    scale, write the flat encode to the token lake and call
+    ``bpe_pack_from_flat`` on the lake read — same single-encode
+    budget, durable artifact instead of executor storage."""
+    flat = bpe_encode_flat(
+        docs, merges, text_col, id_col
+    ).localCheckpoint()
+    return bpe_pack_from_flat(flat, pack_tokens, id_col)
 
 
 def bpe_vocab_with_ids(

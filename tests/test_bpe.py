@@ -17,6 +17,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from data_ingestor_gluejob_script_spark.queries._util import load  # noqa: E402
 from data_ingestor_gluejob_script_spark.queries.bpe import (  # noqa: E402
     bpe_encode_flat,
+    bpe_pack_from_flat,
     bpe_pack_token_stream,
     bpe_token_counts,
     bpe_train,
@@ -375,3 +376,105 @@ def test_bpe_pack_token_stream_excludes_null_id_docs(spark):
     # the stream is gapless: positions 0..n-1 across (pack_id, pack_pos)
     stream = sorted((r["pack_id"], r["pack_pos"]) for r in got)
     assert stream == [(i // 2, i % 2) for i in range(len(got))]
+
+
+def test_bpe_pack_token_stream_is_single_encode_pass(spark, monkeypatch):
+    """The pack stream encodes the corpus EXACTLY once (round-10
+    verdict item): (a) the composition calls bpe_encode_flat once —
+    the round-10 shape called it twice (counts + flat) — and (b) the
+    packed plan contains NO Python map stage, because the flat stream
+    is eagerly checkpointed before both consumers; with the encoder
+    absent from the plan, no action on the result can re-run it."""
+    import data_ingestor_gluejob_script_spark.queries.bpe as bpe_mod
+
+    docs = load(spark, SF_DIR, "documents").limit(20)
+    merges_df = bpe_train(docs, n_merges=10)
+    calls = []
+    real = bpe_mod.bpe_encode_flat
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(bpe_mod, "bpe_encode_flat", counting)
+    pack = bpe_mod.bpe_pack_token_stream(docs, merges_df, pack_tokens=32)
+    assert calls == [1]
+    plan = pack._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed flat stream
+    # and the result is still the real pack stream (non-empty, full
+    # packs except the last)
+    rows = pack.collect()
+    assert rows
+    sizes = Counter(r["pack_id"] for r in rows)
+    last = max(sizes)
+    assert all(sizes[p] == 32 for p in sizes if p != last)
+
+
+def test_bpe_pack_from_flat_token_lake_round_trip(spark, tmp_path):
+    """The production single-encode shape: write the flat encode to a
+    token lake ONCE, then pack from the lake read — output identical
+    to bpe_pack_token_stream on the same corpus, including a NULL-id
+    document (excluded from the stream by both paths)."""
+    docs = (
+        load(spark, SF_DIR, "documents")
+        .limit(30)
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(None, "aa aa ab")], "doc_id bigint, text string"
+            )
+        )
+    )
+    merges_df = bpe_train(docs, n_merges=20)
+    lake = str(tmp_path / "token_lake")
+    bpe_encode_flat(docs, merges_df).write.parquet(lake)
+    from_lake = bpe_pack_from_flat(
+        spark.read.parquet(lake), pack_tokens=48
+    ).collect()
+    direct = bpe_pack_token_stream(docs, merges_df, pack_tokens=48).collect()
+    key = lambda r: (r["pack_id"], r["pack_pos"], r["doc_id"], r["token"])  # noqa: E731
+    assert sorted(map(key, from_lake)) == sorted(map(key, direct))
+
+
+def test_external_trained_merges_drop_in_through_load_merges(spark, tmp_path):
+    """Round-10 verdict item: a tokenizer trained OUTSIDE the engine
+    drops in through the merge-table artifact unchanged. The naive
+    pure-python trainer (this file's independent reference — shares no
+    code with the engine's trainers) learns merges on the sf0.001
+    corpus; the merge table is exported by PYARROW directly (not
+    save_merges — simulating an external tool writing the documented
+    (rank, left, right) parquet format); load_merges ingests it and
+    bpe_encode_flat must reproduce the naive encoder token-for-token
+    on every document."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = load(spark, SF_DIR, "documents").limit(60)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    merges = ref_train(ref_corpus_freqs(texts), n_merges=80, min_pair_count=2)
+    assert len(merges) > 20  # the corpus actually trains a vocabulary
+
+    path = str(tmp_path / "external_merges.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "rank": pa.array(range(len(merges)), pa.int64()),
+                "left": pa.array([a for a, _ in merges], pa.string()),
+                "right": pa.array([b for _, b in merges], pa.string()),
+            }
+        ),
+        path,
+    )
+    loaded = load_merges(spark, path)
+    assert _merges_list(loaded) == merges
+
+    flat = bpe_encode_flat(docs, loaded).collect()
+    got: dict = {}
+    for r in sorted(flat, key=lambda r: (r["doc_id"], r["pos"])):
+        got.setdefault(r["doc_id"], []).append(r["token"])
+    for r in docs.select("doc_id", "text").collect():
+        want = [
+            tok for w in ref_words(r["text"]) for tok in ref_encode(w, merges)
+        ]
+        assert got.get(r["doc_id"], []) == want
