@@ -695,8 +695,9 @@ def run_doc_dedup_ingest(
         # md5(coalesce(text,'')) convention stored a different
         # text_md5 for null-text rows — on replay such a row no longer
         # matches its stored digest and would be ingested a second
-        # time; upgrading an existing lake needs a one-time backfill
-        # (rewrite text_md5 = row_digest(["text"])).
+        # time; upgrade an existing lake with the one-time
+        # migrate.backfill_doc_dedup_lake (file-scoped, crash-
+        # resumable; rewrites text_md5 = row_digest(["text"])).
         # The lake doubles as the dedup state here (no separate
         # signature dir), so _ledgered_fresh's "state" read IS the
         # lake — collapse, corruption-abort, and anti-join semantics
