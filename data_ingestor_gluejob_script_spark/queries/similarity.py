@@ -27,8 +27,12 @@ Reference parity note: the reference has no similarity operator at all
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.graph import connected_components
 from ._util import load
@@ -74,12 +78,54 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
-def lsh_signature(vec: Column) -> Column:
-    """8-bit sign signature: bit j = (vec · hyperplane_j >= 0)."""
-    sig = F.lit(0)
-    for j in range(N_HYPERPLANES):
-        w = F.array(*[F.lit(x) for x in _lsh_weights(j)])
-        sig = sig + F.when(dot(vec, w) >= 0, F.lit(2**j)).otherwise(F.lit(0))
+# Target mean LSH bucket size for the corpus-adaptive signature in
+# q_embed_neardup_pairs: candidate pairs ≈ n²/2^bits, so bits must
+# grow as log2(n / target) to keep the candidate set ~n × target —
+# the same K-grows-with-n rule as IVF_TARGET_CELL_SIZE, in log space.
+LSH_TARGET_BUCKET = 64
+
+
+def neardup_sig_bits(n: int) -> int:
+    """Signature width for an n-vector corpus: the fixed 8-bit floor
+    (bit-identical to the SQL oracle at every oracle/bench scale —
+    sf0.01 and sf0.1 are far below the first escalation point of
+    n > 64·2^8 ≈ 16k vectors) escalating logarithmically so the
+    bucket join stays candidate-linear. The round-11 sf10 smoke is
+    the motivation: at n=200k the fixed 8-bit signature put ~780
+    vectors in the mean bucket and the verify stage ran 613 s
+    (ratio 81.8x for 10x data); at 12 bits it is ~n×64 candidates."""
+    import math
+
+    if n <= LSH_TARGET_BUCKET * (1 << N_HYPERPLANES):
+        return N_HYPERPLANES
+    return math.ceil(math.log2(n / LSH_TARGET_BUCKET))
+
+
+def _lsh_weights_ext(j: int) -> list[float]:
+    """Hyperplane j for the extended (adaptive-width) signature. The
+    first N_HYPERPLANES planes are the oracle family VERBATIM. Planes
+    beyond it use a second integer family with a different modulus:
+    the mod-7 family has period 7 in j (17 ≡ 3 (mod 7), so plane j+7
+    would DUPLICATE plane j bit-for-bit — the original 8-bit
+    signature already carries only 7 distinct planes, mirrored by the
+    oracle, so it stays untouched; extending the same family would
+    add zero entropy per 7th bit)."""
+    if j < N_HYPERPLANES:
+        return _lsh_weights(j)
+    return [float(((i * 29 + j * 13) % 11) - 5) for i in range(EMB_DIM)]
+
+
+def lsh_signature(vec: Column, n_bits: int = N_HYPERPLANES) -> Column:
+    """Sign signature: bit j = (vec · hyperplane_j >= 0). The default
+    width is the oracle-mirrored 8 bits; pass ``neardup_sig_bits(n)``
+    for the corpus-adaptive width (long-typed — widths beyond 31 bits
+    overflow int)."""
+    sig = F.lit(0).cast("long")
+    for j in range(n_bits):
+        w = F.array(*[F.lit(x) for x in _lsh_weights_ext(j)])
+        sig = sig + F.when(
+            dot(vec, w) >= 0, F.lit(2 ** j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return sig
 
 
@@ -145,10 +191,21 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup taxonomy entry):
     candidate pairs share an LSH bucket (equi-join on signature — the
-    O(n²)-free shape), verified by exact cosine >= NEARDUP_COSINE."""
+    O(n²)-free shape), verified by exact cosine >= NEARDUP_COSINE.
+    The signature width is corpus-adaptive (``neardup_sig_bits`` —
+    one count() of the scan, then bits frozen into the plan): fixed
+    width means n²/2^bits candidates, which the sf10 scale smoke
+    measured as an 81.8x ratio at 200k vectors. At every scale the
+    driver's oracle runs (sf0.01, and the sf0.1 bench) the width is
+    the oracle's 8 bits, so the SQL twin stays bit-identical; above
+    ~16k vectors the bucket recall narrows as the width grows — the
+    documented deterministic-approximation contract, same trade as
+    SemDeDup's corpus-scaled K."""
+    emb0 = _load_emb(spark, sf_dir)
+    bits = neardup_sig_bits(emb0.count())
     emb = (
-        _load_emb(spark, sf_dir)
-        .withColumn("sig", lsh_signature(F.col("emb")))
+        emb0
+        .withColumn("sig", lsh_signature(F.col("emb"), bits))
         # Norm once per VECTOR, not per candidate pair: inside the
         # self-join each pair would otherwise re-fold both 64-dim
         # self-dot-products — 2/3 of the pair-verify arithmetic.
@@ -185,6 +242,13 @@ def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_IVF_CELLS = 16
 IVF_NPROBE = 2
+# Target expected cell size for corpus-scaled K in the cell-blocked
+# QUADRATIC consumers (semantic dedup): K = max(N_IVF_CELLS,
+# ceil(n_distinct / IVF_TARGET_CELL_SIZE)) keeps Σ|cell|² ≈ n × target
+# — linear in the corpus — instead of n²/16. The pure search entries
+# keep the small fixed default: their probe cost is nprobe cells, not
+# a cell self-join.
+IVF_TARGET_CELL_SIZE = 512
 
 
 def _ivf_centroid_row(emb: DataFrame, k: int = N_IVF_CELLS) -> DataFrame:
@@ -299,13 +363,67 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Above this K, nearest-centroid assignment switches from the
+# Catalyst fold (exact, plan-transparent, but an interpreted
+# K-element HOF per row — n×K×dim scalar ops) to an Arrow-batched
+# numpy matmul (BLAS; the round-11 sf10 smoke found the fold path
+# simply does not terminate at n=500k, K=5000 ≈ 1.6e11 scalar ops,
+# where the matmul is seconds). Small-K paths — every registered
+# query, every differential oracle — keep the fold, so their plans
+# and bit-exact tie behavior are untouched.
+VECTORIZED_ASSIGN_MIN_K = 128
+
+
 def ivf_assign(emb: DataFrame, codebook: DataFrame) -> DataFrame:
     """(vec_id, emb, cell): corpus with nearest-centroid cell ids — the
     map-only assignment stage shared by search and refinement. The
-    codebook is a one-row broadcast; nothing shuffles."""
-    return emb.crossJoin(F.broadcast(codebook)).select(
-        "vec_id", "emb", ivf_cell(F.col("emb"), F.col("cents")).alias("cell")
+    codebook is a one-row broadcast; nothing shuffles. Dispatches on K:
+    the Catalyst fold below ``VECTORIZED_ASSIGN_MIN_K`` (bit-exact with
+    the SQL oracles, ties to lowest cid via strict >), the numpy
+    matmul above it (same lowest-cid tie rule — argmax returns the
+    first maximum and cids are sorted — but BLAS summation order can
+    differ from the fold's sequential order in the last float ulp;
+    deterministic across runs, documented as part of the large-K
+    approximation contract)."""
+    row = codebook.select("cents").first()
+    cents = sorted(row["cents"], key=lambda ct: ct["cid"])
+    if len(cents) < VECTORIZED_ASSIGN_MIN_K:
+        return emb.crossJoin(F.broadcast(codebook)).select(
+            "vec_id",
+            "emb",
+            ivf_cell(F.col("emb"), F.col("cents")).alias("cell"),
+        )
+
+    import numpy as np
+
+    # affinity = dot(e, c)/|c| → one X @ (C/|c|).T per Arrow batch
+    C = np.asarray([list(ct["c"]) for ct in cents], dtype="float64")
+    cn = np.asarray([ct["cn"] for ct in cents], dtype="float64")
+    Ct = (C / cn[:, None]).T
+    bc = emb.sparkSession.sparkContext.broadcast(Ct)
+    src = emb.select("vec_id", "emb")
+    out_schema = T.StructType(
+        list(src.schema)
+        + [T.StructField("cell", T.IntegerType(), False)]
     )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ct = bc.value
+        for pdf in batches:
+            if len(pdf):
+                X = np.stack(pdf["emb"].to_numpy()).astype("float64")
+                cell = (X @ ct).argmax(axis=1).astype("int32")
+            else:
+                cell = np.array([], dtype="int32")
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "emb": pdf["emb"],
+                    "cell": cell,
+                }
+            )
+
+    return src.mapInPandas(assign, out_schema)
 
 
 def ivf_refine(
@@ -634,10 +752,14 @@ def semantic_dedup_frame(
     - Clustering is ``ivf_refine`` — per round one broadcast-codebook
       map + one K-key groupBy; the codebook never exceeds K×dim.
     - The pairwise step is BLOCKED BY CELL: a self-equi-join on the
-      cell id, never all-pairs. Cost is Σ|cell|², so K must grow with
-      the corpus to keep cells bounded (the paper uses K ≈ 11k for
-      100M docs; rule of thumb K ≈ n/target_cell_size). Locally
-      N_IVF_CELLS=16 over the sf embeddings keeps cells ~n/16.
+      cell id, never all-pairs. Cost is Σ|cell|², so K GROWS WITH THE
+      CORPUS by default (``n_cells=None`` → K = max(N_IVF_CELLS,
+      ceil(n_distinct / IVF_TARGET_CELL_SIZE)); the paper uses
+      K ≈ 11k for 100M docs — the same n/target rule). The round-11
+      sf10 scale smoke is why this is not a tuning knob: the old
+      fixed K=16 put ~31k vectors per cell at 500k docs (~15.6e9
+      candidate pairs) and the 40-second-at-sf1 entry simply did not
+      finish.
     - Norms are computed once per VECTOR before the join (same
       optimization as q_embed_neardup_pairs); one explicit
       repartition on cell is read by both self-join sides as a
@@ -659,7 +781,6 @@ def semantic_dedup_frame(
     # action) would re-execute that lineage. localCheckpoint pins the
     # row — the "checkpoint the K-row codebook" note in ivf_refine's
     # docstring, applied (measured 12.2 s → ~7 s at sf0.1).
-    k = N_IVF_CELLS if n_cells is None else n_cells
     if assume_distinct:
         # Caller guarantees vectors are already distinct (e.g.
         # ``semantic_dedup_docs`` collapsed text clones before
@@ -702,6 +823,24 @@ def semantic_dedup_frame(
             tagged.filter(F.col("vec_id") == F.col("class_rep"))
             .select("vec_id", "emb")
             .localCheckpoint()
+        )
+    # K grows with the corpus (n_cells=None, the default): the pair
+    # stage costs Σ|cell|² ≈ n²/K, so a FIXED K is a quadratic time
+    # bomb — the round-11 sf10 scale smoke measured exactly that
+    # (500k docs over K=16 → ~31k-vector cells → ~15.6e9 candidate
+    # pairs; the entry that ran in 40 s at sf1 did not finish at
+    # sf10). K ≈ n/IVF_TARGET_CELL_SIZE caps expected cell size, so
+    # pair work stays ~n × cell_size (linear in the corpus); the
+    # SemDeDup paper's K ≈ 11k for 100M docs follows the same rule.
+    # The count runs on the PINNED distinct-vector frame (one cheap
+    # metadata-ish pass; floor of N_IVF_CELLS keeps small corpora and
+    # every existing differential test byte-identical).
+    if n_cells is not None:
+        k = n_cells
+    else:
+        k = max(
+            N_IVF_CELLS,
+            -(-reps.count() // IVF_TARGET_CELL_SIZE),  # ceil div
         )
     # Cluster the DISTINCT vectors (dedup-weighted k-means — clone
     # mass doesn't drag centroids, and refine cost tracks distinct

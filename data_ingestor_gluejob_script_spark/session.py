@@ -39,6 +39,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Start shuffles WIDE and let AQE coalesce down: the static
+        # shuffle_partitions (=cpus) is the right POST-coalesce
+        # target, but as the pre-AQE width it caps big joins at
+        # ~|input|/cpus rows per reducer and spills (round-11 sf10
+        # smoke: the 60M-row full-outer diff ran 63.5 s at width 32,
+        # 29.5 s at 256 — AQE still coalesces sf0.1's tiny shuffles
+        # to a handful of partitions either way). At 100 TB the same
+        # principle holds with bigger numbers: initial width scales
+        # with the cluster, AQE owns the merge.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(256, shuffle_partitions * 8)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")

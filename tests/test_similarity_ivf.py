@@ -223,3 +223,105 @@ def test_ivf_search_join_never_shuffles_corpus_on_cell(spark):
     assert "hashpartitioning(cell" not in p
     assert "SortMergeJoin" not in p
     assert p.count("hashpartitioning(query_id") == 1
+
+
+def test_ivf_assign_vectorized_matches_fold_at_large_k(spark):
+    """Above VECTORIZED_ASSIGN_MIN_K, ivf_assign switches to the
+    Arrow/numpy matmul path (the round-11 sf10 smoke found the
+    Catalyst fold non-terminating at n=500k, K=5000). On vectors whose
+    affinities are exactly representable the two paths must agree
+    cell-for-cell; the output schema (vec_id, emb, cell) and the
+    lowest-cid tie rule carry over."""
+    import numpy as np
+
+    from data_ingestor_gluejob_script_spark.queries.similarity import (
+        VECTORIZED_ASSIGN_MIN_K,
+        _ivf_centroid_row,
+        ivf_assign,
+        ivf_cell,
+    )
+
+    k = VECTORIZED_ASSIGN_MIN_K  # exactly at the vectorized threshold
+    n, dim = 400, 8
+    rng = np.random.RandomState(7)
+    # small integer coordinates: dot products and norms are exact in
+    # float64 on both paths, so the comparison is equality, not ulp
+    vecs = rng.randint(-4, 5, size=(n, dim)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, emb array<float>"
+    ).filter(  # a zero vector would make |c| = 0; keep seeds nonzero
+        F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x) > 0
+    )
+    codebook = _ivf_centroid_row(emb, k=k)
+
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(emb, codebook).collect()
+    }
+    want = {
+        r["vec_id"]: r["cell"]
+        for r in emb.crossJoin(F.broadcast(codebook))
+        .select(
+            "vec_id",
+            ivf_cell(F.col("emb"), F.col("cents")).alias("cell"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) == emb.count()
+    assert min(got.values()) >= 0 and max(got.values()) < k
+
+
+def test_neardup_sig_bits_sizing_and_extended_planes(spark):
+    """Corpus-adaptive LSH width (round-11 sf10 smoke finding: fixed
+    8 bits → n²/256 candidates → 81.8x at 200k vectors): the width
+    stays at the oracle's 8 bits through every oracle/bench scale and
+    escalates logarithmically past n > 64·2^8; extended hyperplanes
+    must be genuinely new planes (the mod-7 family repeats with
+    period 7 in j, so naively extending it would add zero entropy
+    every 7th bit); and the Spark signature at an escalated width
+    matches a pure-python recomputation bit for bit."""
+    import numpy as np
+
+    from data_ingestor_gluejob_script_spark.queries.similarity import (
+        EMB_DIM,
+        N_HYPERPLANES,
+        _lsh_weights_ext,
+        lsh_signature,
+        neardup_sig_bits,
+    )
+
+    assert neardup_sig_bits(2_000) == 8       # bench scale: oracle width
+    assert neardup_sig_bits(16_384) == 8      # boundary inclusive
+    assert neardup_sig_bits(16_385) == 9      # first escalation
+    assert neardup_sig_bits(200_000) == 12    # the sf10 corpus
+    assert neardup_sig_bits(20_000_000) == 19
+
+    # extended planes distinct from every earlier plane (j >= 8), and
+    # the legacy period-7 duplicate stays confined to the oracle 8
+    planes = [tuple(_lsh_weights_ext(j)) for j in range(16)]
+    for j in range(N_HYPERPLANES, 16):
+        for i in range(j):
+            assert planes[j] != planes[i], (i, j)
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randint(-5, 6, size=(50, EMB_DIM)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, emb array<float>",
+    )
+    bits = 12
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in df.select(
+            "vec_id", lsh_signature(F.col("emb"), bits).alias("sig")
+        ).collect()
+    }
+    for i in range(50):
+        want = 0
+        for j in range(bits):
+            w = np.asarray(_lsh_weights_ext(j))
+            if float(vecs[i] @ w) >= 0:
+                want += 1 << j
+        assert got[i] == want, i

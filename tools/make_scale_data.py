@@ -18,11 +18,22 @@ Replication recipe (seedless — fully determined by the source data):
   would make every doc a 10-way near-duplicate and quadratically
   explode every LSH band bucket, which is NOT what a 10x-bigger crawl
   looks like).
-- embeddings: R copies with vec_id shifted and the vector cyclically
-  rotated by ``replica`` positions — norms survive (quantizers see
-  the same dynamic range), while rotated copies decorrelate in cosine
-  (same argument as the text permutation: 10x corpus, not 10x exact
-  clones).
+- embeddings: R copies with vec_id shifted and the vector multiplied
+  by a per-replica diagonal ±1 sign pattern (signs keyed on
+  (replica, position)). A diagonal ±1 matrix is orthogonal, so norms
+  AND within-replica geometry survive exactly (the natural near-dup
+  structure replicates, like the text dup groups), while
+  cross-replica cosines decorrelate. Sign patterns COMPOSE safely:
+  sf1→sf10 applies a second independent pattern, and two composed
+  64-bit patterns collide with probability ~2^-64. The first version
+  of this tool used cyclic ROTATION instead, which degenerates under
+  composition — rotation offsets ADD, so sf10-from-sf1 had only
+  2000 x 19 distinct vectors among 200k rows (162k manufactured
+  exact clones), and the sf10 scale smoke measured
+  q_embed_neardup_pairs at 67.9x: the band join correctly emitted the
+  quadratic clone-pair output the degenerate data demanded. The
+  operator was right; the data was wrong — kept here as the recipe's
+  cautionary note.
 
 Output: $OUT (default /root/repo/scale_data/sf1)/<table>.parquet,
 written once; reruns skip tables whose output already exists.
@@ -143,19 +154,29 @@ def main() -> int:
                     ),
                 )
             if t == "embeddings":
-                d = F.size("embedding")
-                rot = F.concat(
-                    F.slice(
-                        F.col("embedding"),
-                        F.col("_rep") + 1,
-                        d - F.col("_rep"),
-                    ),
-                    F.slice(F.col("embedding"), 1, F.col("_rep")),
+                # per-replica ±1 sign flip: orthogonal (norms and
+                # within-replica cosines exact), composition-safe
+                # across decades — see module docstring for why
+                # rotation is NOT used here
+                # the pattern is ALSO keyed on this generation level's
+                # stride: re-using one (replica, position) family at
+                # both decades would make s_a∘s_b == s_b∘s_a (and
+                # s_a∘s_a == identity) across levels and manufacture
+                # clones all over again
+                lvl = F.lit(int(strides["embeddings"]))
+                flipped = F.transform(
+                    F.col("embedding"),
+                    lambda x, k: x
+                    * F.when(
+                        F.pmod(F.xxhash64(F.col("_rep"), k, lvl), 2)
+                        == 0,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)).cast("float"),
                 )
                 big = big.withColumn(
                     "embedding",
                     F.when(F.col("_rep") == 0, F.col("embedding"))
-                    .otherwise(rot)
+                    .otherwise(flipped)
                     .cast("array<float>"),
                 )
             big = big.drop("_rep")
