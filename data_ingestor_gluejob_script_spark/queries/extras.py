@@ -82,6 +82,8 @@ from .textops import (
     q_simhash_neardup_pairs,
 )
 from .tokenizer import pack_token_stream, q_encode_corpus, vocab_with_ids
+from .urlops import domain_stats_frame, url_dedup_frame
+from .quality import compression_signals_frame
 from .traindata import (
     attrition_report,
     group_aware_split_frame,
@@ -185,6 +187,45 @@ def x_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread(spark, load(spark, sf_dir, "documents"))
+
+
+def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with a synthesized crawl URL: every 3 consecutive
+    doc_ids are syntactic variants of ONE page (mixed case, explicit
+    default port, fragment, tracking params), across a domain mix
+    that exercises the second-level-suffix table. Pure map — the URL
+    string is derived Catalyst-side, so the bench times the parser
+    and the dedup/stats shuffles, not data generation."""
+    docs = _docs(spark, sf_dir)
+    page = F.floor(F.col("doc_id") / 3)
+    tld = F.element_at(
+        F.array(F.lit(".com"), F.lit(".co.uk"), F.lit(".org")),
+        (page % 3 + 1).cast("int"),
+    )
+    host = F.concat(F.lit("www.site"), (page % 40), tld)
+    seg = F.element_at(
+        F.array(F.lit("en"), F.lit("es"), F.lit("de"), F.lit("zh")),
+        (page % 4 + 1).cast("int"),
+    )
+    base_path = F.concat(F.lit("/"), seg, F.lit("/page/"), page)
+    variant = F.col("doc_id") % 3
+    url = (
+        F.when(variant == 0, F.concat(F.lit("https://"), host, base_path))
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("HTTPS://"), F.upper(host), F.lit(":443"), base_path,
+                F.lit("?utm_source=bench&utm_medium=x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), host, base_path,
+                F.lit("?gclid=123&ref=feed#frag"),
+            )
+        )
+    )
+    return docs.withColumn("url", url)
 
 
 def multiline_docs(docs: DataFrame, words_per_line: int = 10) -> DataFrame:
@@ -394,4 +435,14 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pack_token_stream": lambda s, d: (
             lambda docs: pack_token_stream(docs, vocab_with_ids(docs))
         )(_docs(s, d)),
+        # web-curation toolkit: URL-exact dedup over 3 syntactic
+        # variants per page (case, default port, fragment, tracking
+        # params) -> ~1/3 survive; then per-domain mix stats
+        "x_url_dedup": lambda s, d: url_dedup_frame(_doc_urls(s, d)),
+        "x_domain_stats": lambda s, d: domain_stats_frame(_doc_urls(s, d)),
+        # information-theoretic quality signals (zlib ratio + char
+        # entropy) — Arrow-batched map, no shuffle
+        "x_quality_signals": lambda s, d: compression_signals_frame(
+            _docs(s, d)
+        ),
     }
