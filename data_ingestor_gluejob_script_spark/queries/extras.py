@@ -89,6 +89,8 @@ from .traindata import (
     group_aware_split_frame,
     pack_slices_frame,
     prepare_training_corpus,
+    quality_survivor_frame,
+    sample_to_token_budget,
     seq_pack_frame,
     split_leakage_report,
 )
@@ -444,5 +446,19 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entropy) — Arrow-batched map, no shuffle
         "x_quality_signals": lambda s, d: compression_signals_frame(
             _docs(s, d)
+        ),
+        # near-dup removal keeping the BEST group member (argmax
+        # lexical quality) instead of min doc_id
+        "x_quality_survivor": lambda s, d: quality_survivor_frame(
+            load(s, d, "documents"),
+            neardup_groups(
+                q_simhash_neardup_pairs(s, d).select("doc_a", "doc_b"),
+                load(s, d, "documents"),
+            ).select("doc_id", "group_id"),
+        ),
+        # deterministic subsample to a fixed token budget (hash order
+        # + distributed prefix sum)
+        "x_token_budget": lambda s, d: sample_to_token_budget(
+            _docs(s, d), budget_tokens=100_000
         ),
     }

@@ -625,3 +625,98 @@ def split_leakage_report(pairs: DataFrame, docs: DataFrame) -> DataFrame:
         .groupBy("split_a", "split_b", "is_leak")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+def quality_survivor_frame(
+    docs: DataFrame, groups: DataFrame, score: "F.Column | None" = None
+) -> DataFrame:
+    """Near-dup removal that keeps the BEST document of each dup
+    group, not the lowest-id one. Every dedup operator here keeps
+    min(doc_id) because that precedence is batching-invariant — but
+    at curation time the survivor should be the highest-quality group
+    member (the Dolma/RefinedWeb convention). ``groups`` is any
+    (doc_id, group_id) labeling (``neardup_groups`` output works
+    as-is); docs absent from ``groups`` form their own group. The
+    survivor is argmax(score), ties broken by min doc_id, so the
+    output is still deterministic under any partitioning.
+
+    ``score`` defaults to the lexical ``quality_score_col`` (needs
+    text + n_chars); pass any numeric column expression to rank by a
+    classifier or perplexity instead.
+
+    Plan: scores ride an id-keyed (doc_id, score, group_id) frame —
+    two keyed shuffles of 3-column rows (the groups join, then the
+    group argmax via min-of-struct) — and the corpus payload moves
+    only through the final LEFT SEMI on the winner ids. No windows,
+    so a mega-group (the clone pileup case) is one skewed AGGREGATE
+    key, which AQE splits — not a single-reducer sort.
+    """
+    from .textops import quality_score_col
+
+    if score is None:
+        score = quality_score_col(F.col("text"), F.col("n_chars"))
+    labeled = (
+        docs.select("doc_id", score.cast("double").alias("_score"))
+        .join(groups.select("doc_id", "group_id"), "doc_id", "left")
+        .withColumn("group_id", F.coalesce("group_id", "doc_id"))
+    )
+    winners = (
+        labeled.groupBy("group_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_score")).alias("_neg"),
+                    F.col("doc_id").alias("doc_id"),
+                )
+            ).alias("_w")
+        )
+        .select(F.col("_w.doc_id").alias("doc_id"))
+    )
+    return docs.join(winners, "doc_id", "left_semi")
+
+
+def sample_to_token_budget(
+    docs: DataFrame, budget_tokens: int, n_col: str | None = None
+) -> DataFrame:
+    """Deterministic corpus subsample hitting a token budget: order
+    documents by md5(doc_id) (an unbiased, partitioning-proof
+    shuffle order — the hash-not-rand rule), take the running token
+    sum in that order, and keep every document whose preceding total
+    is under ``budget_tokens``. The first document crossing the
+    boundary is INCLUDED (budget reads as "at least", the packing
+    convention); everything after is dropped. Re-running on the same
+    corpus reproduces the identical sample; growing the corpus only
+    perturbs the sample near the boundary.
+
+    Token counts come from ``n_col`` if given (e.g. a BPE count
+    column) else whitespace word counts. NULL-id docs are excluded —
+    they have no place in a global order (the
+    ``block_prefix_offsets`` contract).
+
+    Plan: the prefix sum is the shared two-phase shape — one range
+    shuffle to number the hash order (``global_row_number``), block
+    windows for local sums, ONE SinglePartition exchange of #blocks
+    rows — so there is no full-corpus single-reducer stage; the
+    payload moves only in the final LEFT SEMI.
+    """
+    from ..operators.order import block_prefix_offsets, global_row_number
+    from .textops import words_col
+
+    n = (
+        F.col(n_col)
+        if n_col is not None
+        else F.size(words_col(F.col("text")))
+    )
+    counts = docs.filter(F.col("doc_id").isNotNull()).select(
+        "doc_id",
+        n.cast("long").alias("_n"),
+        F.md5(F.col("doc_id").cast("string")).alias("_pri"),
+    )
+    ranked = global_row_number(counts, ["_pri", "doc_id"], out_col="_rid")
+    offs = block_prefix_offsets(
+        ranked, id_col="_rid", n_col="_n", block=8192
+    ).filter(F.col("tokens_before") < budget_tokens)
+    keep = ranked.join(offs.select("_rid"), "_rid", "left_semi").select(
+        "doc_id"
+    )
+    return docs.join(keep, "doc_id", "left_semi")

@@ -1,0 +1,112 @@
+"""Differentials for the quality-aware dedup survivor selection and
+the token-budget sampler (queries/traindata.py round-11 additions)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestor_gluejob_script_spark.queries.traindata import (
+    quality_survivor_frame,
+    sample_to_token_budget,
+)
+
+
+def _groups_df(spark, mapping):
+    return spark.createDataFrame(
+        list(mapping.items()), "doc_id long, group_id long"
+    )
+
+
+def test_quality_survivor_argmax_and_ties(spark):
+    # group 1: doc 2 has the best score -> survives over lower id 0
+    # group 2: tie on score -> min doc_id (10) survives
+    # doc 100 is in no group -> survives alone
+    docs = spark.createDataFrame(
+        [
+            (0, "a", 1.0),
+            (1, "b", 2.0),
+            (2, "c", 9.0),
+            (10, "d", 5.0),
+            (11, "e", 5.0),
+            (100, "f", 0.0),
+        ],
+        "doc_id long, text string, score double",
+    )
+    groups = _groups_df(spark, {0: 0, 1: 0, 2: 0, 10: 10, 11: 10})
+    out = quality_survivor_frame(docs, groups, score=F.col("score"))
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [2, 10, 100]
+    # full rows survive, not just ids
+    assert set(out.columns) == {"doc_id", "text", "score"}
+
+
+def test_quality_survivor_default_score_on_testdata(spark):
+    from data_ingestor_gluejob_script_spark.operators.graph import (
+        neardup_groups,
+    )
+    from data_ingestor_gluejob_script_spark.queries.textops import (
+        q_simhash_neardup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = q_simhash_neardup_pairs(spark, sf).select("doc_a", "doc_b")
+    groups = neardup_groups(pairs, docs).select("doc_id", "group_id")
+    out = quality_survivor_frame(docs, groups)
+    # exactly one survivor per group, and survivors are real docs
+    n_groups = groups.select("group_id").distinct().count()
+    assert out.count() == n_groups
+    assert out.join(docs, "doc_id", "left_anti").count() == 0
+
+
+def _budget_oracle(rows, budget):
+    order = sorted(
+        rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+    )
+    kept, before = [], 0
+    for doc_id, n in order:
+        if before < budget:
+            kept.append(doc_id)
+        before += n
+    return sorted(kept)
+
+
+def test_token_budget_differential(spark):
+    rows = [(i, f"{'w ' * (i % 7 + 1)}".strip()) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = [(i, i % 7 + 1) for i in range(50)]
+    for budget in (1, 37, 80, 10_000):
+        got = sorted(
+            r["doc_id"]
+            for r in sample_to_token_budget(docs, budget).collect()
+        )
+        assert got == _budget_oracle(counts, budget), budget
+
+
+def test_token_budget_explicit_count_column_and_nulls(spark):
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 10), (None, 10)],
+        "doc_id long, n_tok long",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in sample_to_token_budget(docs, 15, n_col="n_tok").collect()
+    )
+    # null-id excluded; boundary doc included (before=10 < 15)
+    assert got == _budget_oracle([(i, 10) for i in range(3)], 15)
+
+
+def test_token_budget_partitioning_invariant(spark):
+    rows = [(i, "one two three four") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        r["doc_id"] for r in sample_to_token_budget(docs, 60).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in sample_to_token_budget(docs.repartition(7), 60).collect()
+    )
+    assert a == b == _budget_oracle([(i, 4) for i in range(40)], 60)
