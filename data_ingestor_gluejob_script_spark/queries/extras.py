@@ -383,6 +383,15 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_records_per_file=5000,
             token_col="n_tokens",
         ),
+        # same export through the gzipped JSON-lines interchange path
+        "x_shard_export_jsonl": lambda s, d: write_training_shards(
+            seq_pack_frame(_docs(s, d)),
+            _shard_export_dir(),
+            shard_key="pack_id",
+            max_records_per_file=5000,
+            token_col="n_tokens",
+            fmt="jsonl",
+        ),
         "x_cdc_apply": x_cdc_apply,
         # snapshot diff of lineitem vs a mutated twin (1/7 removed,
         # 1/5 re-priced) — the post-backfill validation pass
