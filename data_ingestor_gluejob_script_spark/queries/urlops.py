@@ -187,17 +187,23 @@ def url_dedup_frame(
     Same plan as ``textops.exact_dedup_frame``: groupBy-min on the
     key + LEFT SEMI on (key, id); the shuffle carries normalized URL
     strings, and payload columns ride only through the semi join's
-    probe side. Adds the parse columns to the output (the caller just
-    paid for them; dropping them would force a re-parse downstream).
+    probe side. Malformed rows keep through the SAME join under a
+    per-row sentinel key ('\\x00' + id — unambiguous, no url_norm
+    starts with a control byte), not a separate union branch: a
+    filter+union shape would scan the parsed corpus a third time and
+    funnel nothing through AQE's exchange reuse. Adds the parse
+    columns to the output (the caller just paid for them; dropping
+    them would force a re-parse downstream).
     """
-    parsed = parse_urls_frame(df, url_col)
-    keep = (
-        parsed.filter(F.col("url_norm").isNotNull())
-        .groupBy("url_norm")
-        .agg(F.min(id_col).alias(id_col))
+    parsed = parse_urls_frame(df, url_col).withColumn(
+        "_k",
+        F.coalesce(
+            F.col("url_norm"),
+            F.concat(F.lit("\x00"), F.col(id_col).cast("string")),
+        ),
     )
-    survivors = parsed.join(keep, ["url_norm", id_col], "left_semi")
-    return survivors.unionByName(parsed.filter(F.col("url_norm").isNull()))
+    keep = parsed.groupBy("_k").agg(F.min(id_col).alias(id_col))
+    return parsed.join(keep, ["_k", id_col], "left_semi").drop("_k")
 
 
 def domain_stats_frame(
