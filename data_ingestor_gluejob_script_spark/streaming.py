@@ -716,6 +716,71 @@ def run_doc_dedup_ingest(
     )
 
 
+def run_url_dedup_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    lake_dir: str,
+    checkpoint_dir: str,
+    url_col: str = "url",
+    max_files_per_trigger: int = 1,
+):
+    """Continuous-crawl ingestion deduped by NORMALIZED URL — the
+    streaming twin of ``urlops.url_dedup_frame``, same lake-as-state
+    shape as ``run_doc_dedup_ingest``: each micro-batch is parsed and
+    normalized (``parse_urls_frame``), collapsed within itself to one
+    survivor per ``url_norm``, and anti-joined against the ``url_md5``
+    digests already in the lake before appending. First-arrival wins
+    across batches (crawl order), min doc_id within a batch — the
+    same precedence the content-keyed twins use.
+
+    Malformed URLs (NULL ``url_norm``) digest under a per-row
+    sentinel ('\\x00' + doc_id): two malformed rows never collapse,
+    while a crash-replayed malformed row still matches its own ledger
+    entry — append idempotence holds for them too. The lake persists
+    the parse columns alongside the document, so downstream domain
+    stats/caps read them for free.
+
+    Scale shape: identical to the doc-dedup ingest — the anti-join's
+    lake side is a column-pruned 32-byte digest scan; only the small
+    batch shuffles. Returns the started StreamingQuery.
+    """
+    from .queries.urlops import parse_urls_frame
+
+    batch0 = spark.read.parquet(docs_dir)
+    stream = (
+        spark.readStream.schema(batch0.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        parsed = parse_urls_frame(batch_df, url_col)
+        # NULL-id fallback inside the sentinel: md5(NULL) would give
+        # these rows a NULL digest, and a NULL ledger key matches
+        # nothing — replay would double-ingest them. With the '\x01'
+        # stand-in, all malformed null-id rows share one digest and
+        # collapse to one survivor (the null-text convention of the
+        # doc twin).
+        key = F.coalesce(
+            F.col("url_norm"),
+            F.concat(
+                F.lit("\x00"),
+                F.coalesce(F.col("doc_id").cast("string"), F.lit("\x01")),
+            ),
+        )
+        fresh, _ = _ledgered_fresh(
+            spark, parsed, lake_dir, "url_md5", F.md5(key), "doc_id"
+        )
+        fresh.write.mode("append").parquet(lake_dir)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _ledgered_fresh(
     spark: SparkSession,
     batch_df: DataFrame,

@@ -229,3 +229,81 @@ def test_cap_per_domain_deterministic(spark):
         for r in out2.filter("registered_domain = 'hot.com'").collect()
     )
     assert ids2 == sorted(by_dom["hot.com"])
+
+
+def test_url_dedup_ingest_stream_matches_batch_twin(spark, tmp_path):
+    """Streaming URL-dedup ingest: two arriving crawl files where the
+    second revisits half of the first's pages under different
+    syntactic URL forms. The lake must hold one survivor per
+    normalized URL (first arrival), malformed rows must all land
+    exactly once, a replay must append nothing, and — because
+    earlier files carry smaller doc_ids — the final lake must equal
+    the batch twin's min-id survivor set."""
+    import pandas as pd
+    import time as _time
+
+    from data_ingestor_gluejob_script_spark import streaming
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    a = pd.DataFrame(
+        {
+            "doc_id": list(range(10)),
+            "url": [f"https://site{i % 3}.com/page/{i}" for i in range(10)],
+        }
+    )
+    b = pd.DataFrame(
+        {
+            "doc_id": list(range(100, 110)),
+            "url": [
+                # 4 revisits of A's pages in different syntactic form
+                "HTTPS://SITE0.COM:443/page/0",
+                "https://site1.com/page/1?utm_source=rss",
+                "https://site2.com/page/2#frag",
+                "https://site0.com/page/3?gclid=9",
+                # 4 fresh pages
+                "https://site0.com/page/50",
+                "https://site1.com/page/51",
+                "https://site2.com/page/52",
+                "https://site0.com/page/53",
+                # 2 malformed
+                "not a url at all",
+                "::also bad",
+            ],
+        }
+    )
+    a.to_parquet(src / "a.parquet")
+    _time.sleep(0.05)
+    b.to_parquet(src / "b.parquet")
+
+    lake = str(tmp_path / "lake")
+    q = streaming.run_url_dedup_ingest(
+        spark, str(src), lake, str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(lake)
+    # 10 A pages + 4 fresh B pages + 2 malformed B rows
+    assert got.count() == 16
+    assert got.select("url_md5").distinct().count() == 16
+    kept = {r.doc_id for r in got.select("doc_id").collect()}
+    assert set(range(10)) <= kept
+    assert not kept & {100, 101, 102, 103}
+    assert {108, 109} <= kept  # malformed rows ingested, not dropped
+
+    # replay with a fresh checkpoint appends nothing
+    q2 = streaming.run_url_dedup_ingest(
+        spark, str(src), lake, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(lake).count() == 16
+
+    # batch-twin parity: arrival order == id order here, so the lake's
+    # survivor ids equal url_dedup_frame's min-id survivors
+    all_rows = spark.createDataFrame(
+        pd.concat([a, b], ignore_index=True)
+    )
+    batch_ids = sorted(
+        r.doc_id for r in url_dedup_frame(all_rows).select("doc_id").collect()
+    )
+    assert sorted(kept) == batch_ids
