@@ -642,7 +642,11 @@ def quality_survivor_frame(
 
     ``score`` defaults to the lexical ``quality_score_col`` (needs
     text + n_chars); pass any numeric column expression to rank by a
-    classifier or perplexity instead.
+    classifier or perplexity instead. A NULL score ranks BELOW every
+    real score (coalesced to -inf before the argmax — struct ordering
+    is NULLS FIRST ascending, so a raw NULL in the negated field would
+    otherwise WIN the group): an unscorable document survives only
+    when its whole group is unscorable.
 
     Plan: scores ride an id-keyed (doc_id, score, group_id) frame —
     two keyed shuffles of 3-column rows (the groups join, then the
@@ -656,7 +660,12 @@ def quality_survivor_frame(
     if score is None:
         score = quality_score_col(F.col("text"), F.col("n_chars"))
     labeled = (
-        docs.select("doc_id", score.cast("double").alias("_score"))
+        docs.select(
+            "doc_id",
+            F.coalesce(
+                score.cast("double"), F.lit(float("-inf"))
+            ).alias("_score"),
+        )
         .join(groups.select("doc_id", "group_id"), "doc_id", "left")
         .withColumn("group_id", F.coalesce("group_id", "doc_id"))
     )

@@ -43,6 +43,20 @@ def test_quality_survivor_argmax_and_ties(spark):
     assert set(out.columns) == {"doc_id", "text", "score"}
 
 
+def test_quality_survivor_null_score_loses(spark):
+    # NULL score ranks below any real score (struct min is NULLS
+    # FIRST ascending, so an uncoalesced NULL in the negated field
+    # would WIN — the exact bug this pins). A fully-unscorable group
+    # still keeps exactly one survivor (min id).
+    docs = spark.createDataFrame(
+        [(0, None), (1, -5.0), (10, None), (11, None)],
+        "doc_id long, score double",
+    )
+    groups = _groups_df(spark, {0: 0, 1: 0, 10: 10, 11: 10})
+    out = quality_survivor_frame(docs, groups, score=F.col("score"))
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 10]
+
+
 def test_quality_survivor_default_score_on_testdata(spark):
     from data_ingestor_gluejob_script_spark.operators.graph import (
         neardup_groups,
