@@ -411,3 +411,124 @@ def gopher_filter(
         .select("doc_id")
     )
     return docs.join(keep, "doc_id", "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020, §2.2). The C4 recipe has
+# three independent parts: the LINE rules and PAGE rules below, the
+# corpus-level line dedup (line_dedup_frame above), and the
+# three-sentence-span dedup (dedup_spans_frame covers the span family).
+# The bad-words page rule is deliberately NOT shipped: it needs a
+# licensed blocklist; callers can compose it as one more
+# lower(text)-contains term in a wrapping filter.
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+# A line must end in terminal punctuation (C4: period, exclamation,
+# question mark, or closing quotation mark) after trimming. \z =
+# absolute end of input: Java's bare $ would also match just before a
+# trailing \r (a line terminator), which Python's $ does not — the
+# oracle twin uses \Z for the identical absolute-end semantics.
+_C4_TERMINAL = '(?s).*[.!?"”]\\z'
+
+
+def c4_line_filter_frame(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    min_kept_lines: int = C4_MIN_KEPT_LINES,
+    delim: str = LINE_DELIM,
+) -> DataFrame:
+    """C4-style line filtering, one row per input document:
+
+      doc_id, text_clean, n_lines, n_kept_lines,
+      has_lorem_ipsum, has_brace, page_kept
+
+    Line rules (a line survives iff ALL hold, evaluated on the
+    space-trimmed line):
+      - ends in terminal punctuation (``. ! ? " ”``)
+      - has at least ``min_line_words`` whitespace-separated words
+      - does not contain the word "javascript" (case-insensitive) —
+        the cookie-banner / JS-warning heuristic
+
+    Page rules (flags emitted; ``page_kept`` combines them so callers
+    can filter or audit):
+      - no "lorem ipsum" (case-insensitive) anywhere on the page
+      - no "{" anywhere (code, not prose)
+      - at least ``min_kept_lines`` surviving lines (C4 uses three
+        SENTENCES; surviving terminal-punctuated lines are the
+        line-granular stand-in, documented divergence)
+
+    ``text_clean`` is the surviving lines re-joined with the delimiter
+    (empty string when nothing survives — the doc still appears, the
+    caller decides with ``page_kept``).
+
+    Plan shape: pure Catalyst, shuffle-free — split, one HOF filter
+    whose lambda closes only over its own variable (the PLANS HOF
+    contract), array_join, and scalar flags. Linear in corpus bytes;
+    at 100 TB this is a map stage fused into whatever scan feeds it.
+
+    NULL text is treated as empty text (docclean convention — the doc
+    must appear in the output, not silently vanish).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, delim)
+    kept = _c4_kept_lines(text, min_line_words, delim)
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, delim).alias("text_clean"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        F.lower(text).contains("lorem ipsum").alias("has_lorem_ipsum"),
+        text.contains("{").alias("has_brace"),
+        _c4_page_kept(text, kept, min_kept_lines).alias("page_kept"),
+    )
+
+
+def _c4_kept_lines(text: Column, min_line_words: int, delim: str) -> Column:
+    """Surviving-lines array for one document's (NULL-coalesced) text.
+    The HOF lambda closes only over its own variable (the PLANS HOF
+    contract); thresholds are baked in as literals."""
+
+    def keep_line(l: Column) -> Column:
+        t = F.trim(l)
+        n_words = F.size(F.split(t, " +"))
+        return (
+            t.rlike(_C4_TERMINAL)
+            & (n_words >= F.lit(min_line_words))
+            & ~F.lower(t).contains("javascript")
+        )
+
+    return F.filter(F.split(text, delim), keep_line)
+
+
+def _c4_page_kept(text: Column, kept: Column, min_kept_lines: int) -> Column:
+    return (
+        ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+        & (F.size(kept) >= F.lit(min_kept_lines))
+    )
+
+
+def c4_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    min_kept_lines: int = C4_MIN_KEPT_LINES,
+    delim: str = LINE_DELIM,
+) -> DataFrame:
+    """The composable filter form: full document rows with ``text_col``
+    REPLACED by the line-filtered text, pages failing the page rules
+    dropped. Genuinely join-free — the surviving-lines expression and
+    the page predicate are recomputed inline on the full rows (one
+    projection + one filter, both fused into the scan), never joined
+    back, so the corpus's other columns ride for free at 100 TB."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    kept = _c4_kept_lines(text, min_line_words, delim)
+    out = [
+        F.array_join(kept, delim).alias(text_col) if c == text_col else F.col(c)
+        for c in docs.columns
+    ]
+    return docs.select(*out, _c4_page_kept(text, kept, min_kept_lines).alias(
+        "_page_kept"
+    )).filter(F.col("_page_kept")).drop("_page_kept")

@@ -45,10 +45,12 @@ from .bloom import bloom_decontaminate
 from .bpe import x_bpe_encode
 from .classifier import classifier_score_frame, standin_weights
 from .docclean import (
+    c4_line_filter_frame,
     dedup_spans_frame,
     gopher_repetition_frame,
     line_dedup_frame,
 )
+from .textnorm import normalize_text_frame
 from .corpusstats import (
     bm25_search_join,
     bm25_topk_frame,
@@ -470,4 +472,10 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_token_budget": lambda s, d: sample_to_token_budget(
             _docs(s, d), budget_tokens=100_000
         ),
+        # Unicode normalization (NFC + control/zero-width strip +
+        # whitespace canonicalization + mojibake signal) — one
+        # Arrow-batched map, no shuffle
+        "x_normalize_text": lambda s, d: normalize_text_frame(_docs(s, d)),
+        # C4 line/page rules — pure-Catalyst HOF filter, shuffle-free
+        "x_c4_clean": lambda s, d: c4_line_filter_frame(_docs(s, d)),
     }
