@@ -50,6 +50,7 @@ from .docclean import (
     gopher_repetition_frame,
     line_dedup_frame,
 )
+from .lm import stupid_backoff_logprob_frame
 from .textnorm import normalize_text_frame
 from .corpusstats import (
     bm25_search_join,
@@ -478,4 +479,9 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_normalize_text": lambda s, d: normalize_text_frame(_docs(s, d)),
         # C4 line/page rules — pure-Catalyst HOF filter, shuffle-free
         "x_c4_clean": lambda s, d: c4_line_filter_frame(_docs(s, d)),
+        # trigram Stupid Backoff LM, self-scored: counts (one gram-
+        # keyed shuffle) + melt-join-pivot scoring pass
+        "x_sb_logprob": lambda s, d: stupid_backoff_logprob_frame(
+            _docs(s, d)
+        ),
     }
