@@ -30,15 +30,21 @@ Scale shape (the 100-TB story):
   them — a single shuffle keyed on the gram string. No per-token rows
   ever carry the whole word array (the O(len^2) row-width trap the
   sf10 scale smoke caught in the signature family).
-- **Scoring** (``stupid_backoff_logprob_frame``): each token needs at
-  most five table lookups (trigram, its context, bigram, its context,
-  unigram). They are melted to (doc_id, pos, role, gram) rows and
-  resolved in ONE left join against the count table — no join hint,
-  so AQE broadcasts the table when it fits and falls back to a
-  gram-keyed shuffle join when a 100-TB corpus's gram table does not
-  (Brants et al. shard their tables the same way). The lookups then
-  pivot back with one groupBy(doc_id, pos) and reduce to per-document
-  means with a second, strictly smaller groupBy(doc_id).
+- **Scoring** (``stupid_backoff_logprob_frame``): each token needs
+  five counts (trigram, its context, bigram, its context, unigram),
+  but only THREE are looked up — the two context denominators are
+  exactly the previous position's bigram/unigram counts, recovered
+  with a per-doc lag window after the pivot. The three lookups are
+  melted to (doc_id, pos, role, hash) rows keyed on the 8-byte
+  xxhash64 of (level, gram) — the join shuffle never carries gram
+  text — and resolved in ONE left join against the hashed count
+  table: no join hint, so AQE broadcasts the table when it fits and
+  falls back to a hash-keyed shuffle join when a 100-TB corpus's
+  gram table does not (Brants et al. shard their tables the same
+  way). The lookups pivot back with one groupBy(doc_id, pos), the
+  lag window shuffles once on doc_id (skew-bounded by document
+  length), and the final groupBy(doc_id) reduces to per-document
+  means.
 - Self-scoring (grams=None) reads the corpus twice — once to count,
   once to score; at scale, persist the count table between passes.
 
@@ -49,7 +55,7 @@ same early-position order start).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textops import words_col
@@ -90,8 +96,10 @@ def ngram_counts(
     )
 
 
-# The five lookup roles, each with the count-table level it joins at.
-_ROLES = [("tri", 3), ("bctx", 2), ("bi", 2), ("uctx", 1), ("uni", 1)]
+# The three lookup roles, each with the count-table level it joins at
+# (context denominators come from the previous position's bi/uni via a
+# per-doc lag, not from extra lookups).
+_ROLES = [("tri", 3), ("bi", 2), ("uni", 1)]
 
 
 def stupid_backoff_logprob_frame(
@@ -116,10 +124,14 @@ def stupid_backoff_logprob_frame(
         "doc_id",
         words_col(F.coalesce(F.col(text_col), F.lit(""))).alias("_ws"),
     )
-    # One struct per position carrying every gram key it can form;
+    # One struct per position carrying the gram keys ENDING there;
     # early positions leave higher-order keys NULL (concat_ws would
     # silently DROP a null word and alias the bigram onto a unigram
-    # string, so the when-guards are load-bearing).
+    # string, so the when-guards are load-bearing). The two DENOMINATOR
+    # grams are not looked up at all: count(w_{i-2} w_{i-1}) is exactly
+    # position i-1's bigram count and count(w_{i-1}) its unigram count,
+    # recovered below with a per-doc lag window — 3 join rows per token
+    # instead of 5.
     w = lambda i: F.col("_ws")[i]  # noqa: E731
     pos_structs = F.transform(
         F.sequence(F.lit(0), F.size(F.col("_ws")) - F.lit(1)),
@@ -130,18 +142,25 @@ def stupid_backoff_logprob_frame(
             F.when(
                 i >= 2, F.concat_ws(" ", w(i - 2), w(i - 1), w(i))
             ).alias("tri"),
-            F.when(i >= 2, F.concat_ws(" ", w(i - 2), w(i - 1))).alias(
-                "bctx"
-            ),
-            F.when(i >= 1, w(i - 1)).alias("uctx"),
         ),
     )
     toks = ws.select("doc_id", F.explode(pos_structs).alias("t")).select(
         "doc_id", "t.*"
     )
 
-    # Melt the <=5 lookups per token, resolve them in ONE left join
-    # (AQE picks broadcast vs shuffle by table size), pivot back.
+    # Melt the <=3 lookups per token and resolve them in ONE left join
+    # (AQE picks broadcast vs shuffle by table size), keyed on the
+    # 8-byte xxhash64 of (level, gram) rather than the gram string —
+    # the join shuffle carries fixed-width hashes, never text (the
+    # hashed-inverted-index pattern from the Jaccard family). A
+    # cross-gram hash collision merges two counts; at corpus scale the
+    # expected collision count is n_grams^2 / 2^65 — vanishing relative
+    # error for a quality SCORE (this is the randomized-LM trade from
+    # the distributed-LM literature, and the exactness differentials
+    # run at collision-free test scale).
+    hashed = grams.select(
+        F.xxhash64("n", "gram").alias("gh"), "cnt"
+    )
     melted = toks.select(
         "doc_id",
         "pos",
@@ -151,17 +170,17 @@ def stupid_backoff_logprob_frame(
                     *[
                         F.struct(
                             F.lit(role).alias("role"),
-                            F.lit(n).alias("n"),
-                            F.col(role).alias("gram"),
+                            F.xxhash64(F.lit(n), F.col(role)).alias("gh"),
+                            F.col(role).isNotNull().alias("present"),
                         )
                         for role, n in _ROLES
                     ]
                 ),
-                lambda s: s["gram"].isNotNull(),
+                lambda s: s["present"],
             )
         ).alias("l"),
-    ).select("doc_id", "pos", "l.*")
-    looked = melted.join(grams, ["n", "gram"], "left")
+    ).select("doc_id", "pos", "l.role", "l.gh")
+    looked = melted.join(hashed, "gh", "left")
     counts = looked.groupBy("doc_id", "pos").agg(
         *[
             F.max(F.when(F.col("role") == role, F.col("cnt"))).alias(
@@ -169,6 +188,19 @@ def stupid_backoff_logprob_frame(
             )
             for role, _ in _ROLES
         ]
+    )
+    # Denominators via per-doc lag: the window shuffles (doc_id)-keyed
+    # narrow rows once and is skew-bounded by document length (the
+    # gopher argument), far cheaper than 2 more join rows per token.
+    prev = Window.partitionBy("doc_id").orderBy("pos")
+    counts = counts.select(
+        "doc_id",
+        "pos",
+        "c_tri",
+        "c_bi",
+        "c_uni",
+        F.lag("c_bi").over(prev).alias("c_bctx"),
+        F.lag("c_uni").over(prev).alias("c_uctx"),
     )
 
     top_order = F.least(F.col("pos") + 1, F.lit(3))
