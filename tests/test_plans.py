@@ -289,3 +289,39 @@ def test_round9_curation_plan_shapes(spark):
     final = df._jdf.queryExecution().executedPlan().toString()
     # 2nd band-join side reads the one explicit band exchange
     assert final.count("ReusedExchange") >= 1
+
+
+def test_round11_thirdwave_plan_shapes(spark):
+    """The third wave's load-bearing physical properties: the two
+    text-hygiene maps must be shuffle-free (zero exchanges — one a
+    single MapInPandas, the other pure Catalyst with no Python at
+    all), and the LM scorer must join on the 8-byte gram hash, keep
+    its only window partitioned by doc_id, and never cartesian."""
+    from data_ingestor_gluejob_script_spark.queries._util import load
+    from data_ingestor_gluejob_script_spark.queries.docclean import (
+        c4_line_filter_frame,
+    )
+    from data_ingestor_gluejob_script_spark.queries.lm import (
+        stupid_backoff_logprob_frame,
+    )
+    from data_ingestor_gluejob_script_spark.queries.textnorm import (
+        normalize_text_frame,
+    )
+
+    docs = load(spark, SF, "documents")
+
+    p = _frame_plan(normalize_text_frame(docs))
+    assert "Exchange" not in p  # embarrassingly parallel map
+    assert "MapInPandas" in p  # Arrow-batched, not row-at-a-time
+
+    p = _frame_plan(c4_line_filter_frame(docs))
+    assert "Exchange" not in p
+    assert "Python" not in p and "MapInPandas" not in p  # pure Catalyst
+
+    p = _frame_plan(stupid_backoff_logprob_frame(docs))
+    assert "CartesianProduct" not in p
+    assert "xxhash64" in p  # lookup join keyed on the 8-byte hash
+    # exactly one window node, per-document (lag over doc_id), never a
+    # global sort
+    assert len(re.findall(r"Window \(\d+\)", p)) == 1
+    assert "windowspecdefinition(doc_id" in p
