@@ -425,11 +425,13 @@ def gopher_filter(
 C4_MIN_LINE_WORDS = 5
 C4_MIN_KEPT_LINES = 3
 # A line must end in terminal punctuation (C4: period, exclamation,
-# question mark, or closing quotation mark) after trimming. \z =
-# absolute end of input: Java's bare $ would also match just before a
-# trailing \r (a line terminator), which Python's $ does not — the
-# oracle twin uses \Z for the identical absolute-end semantics.
-_C4_TERMINAL = '(?s).*[.!?"”]\\z'
+# question mark, or closing quotation mark) after trimming. Tested as
+# a last-CHARACTER check, not a regex anchor: substring(-1, 1) stays
+# in whole-stage codegen with no regex engine, and — unlike Java's
+# bare `$`, which matches just before a trailing \r — it sees the
+# absolute last code point, so a CR-terminated line correctly fails
+# (pinned by tests/test_c4.py).
+_C4_TERMINAL_CHARS = list('.!?"”')
 
 
 def c4_line_filter_frame(
@@ -494,7 +496,7 @@ def _c4_kept_lines(text: Column, min_line_words: int, delim: str) -> Column:
         t = F.trim(l)
         n_words = F.size(F.split(t, " +"))
         return (
-            t.rlike(_C4_TERMINAL)
+            F.substring(t, -1, 1).isin(*_C4_TERMINAL_CHARS)
             & (n_words >= F.lit(min_line_words))
             & ~F.lower(t).contains("javascript")
         )
