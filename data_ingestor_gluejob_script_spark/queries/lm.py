@@ -158,8 +158,11 @@ def stupid_backoff_logprob_frame(
     # error for a quality SCORE (this is the randomized-LM trade from
     # the distributed-LM literature, and the exactness differentials
     # run at collision-free test scale).
+    # xxhash64 is TYPE-sensitive: a reloaded count table whose ``n``
+    # widened to long would silently hash every gram differently from
+    # the int literals on the melt side, so both sides pin int.
     hashed = grams.select(
-        F.xxhash64("n", "gram").alias("gh"), "cnt"
+        F.xxhash64(F.col("n").cast("int"), "gram").alias("gh"), "cnt"
     )
     melted = toks.select(
         "doc_id",

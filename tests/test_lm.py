@@ -154,3 +154,25 @@ def test_trigram_beats_unigram_on_fluent_text(spark, spark_docs):
         for r in stupid_backoff_logprob_frame(probe, grams).collect()
     }
     assert got[200] > got[201] + 0.5
+
+
+def test_reloaded_count_table_with_widened_n(spark, spark_docs, tmp_path):
+    """xxhash64 join keys are type-sensitive: a count table round-
+    tripped through parquet with ``n`` widened to long must still
+    score identically (both join sides pin int)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "grams")
+    ngram_counts(spark_docs).withColumn(
+        "n", F.col("n").cast("long")
+    ).write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    direct = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in stupid_backoff_logprob_frame(spark_docs).collect()
+    }
+    via_disk = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in stupid_backoff_logprob_frame(spark_docs, reloaded).collect()
+    }
+    assert direct == via_disk
