@@ -467,30 +467,47 @@ def c4_line_filter_frame(
 
     Plan shape: pure Catalyst, shuffle-free — split, one HOF filter
     whose lambda closes only over its own variable (the PLANS HOF
-    contract), array_join, and scalar flags. Linear in corpus bytes;
-    at 100 TB this is a map stage fused into whatever scan feeds it.
+    contract), array_join, and scalar flags. The split lines and the
+    surviving-lines array are PRE-PROJECTED once each (the textops
+    HOF contract: the filter breaks codegen and every later reference
+    would re-run it — three consumers here), so each document is
+    split and filtered exactly once. Linear in corpus bytes; at
+    100 TB this is a map stage fused into whatever scan feeds it.
 
     NULL text is treated as empty text (docclean convention — the doc
     must appear in the output, not silently vanish).
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.split(text, delim)
-    kept = _c4_kept_lines(text, min_line_words, delim)
-    return docs.select(
+    staged = docs.select(
         "doc_id",
-        F.array_join(kept, delim).alias("text_clean"),
-        F.size(lines).alias("n_lines"),
-        F.size(kept).alias("n_kept_lines"),
-        F.lower(text).contains("lorem ipsum").alias("has_lorem_ipsum"),
-        text.contains("{").alias("has_brace"),
-        _c4_page_kept(text, kept, min_kept_lines).alias("page_kept"),
+        text.alias("_text"),
+        F.split(text, delim).alias("_lines"),
+    ).select(
+        "doc_id",
+        "_text",
+        "_lines",
+        _c4_kept_lines(F.col("_lines"), min_line_words).alias("_kept"),
+    )
+    return staged.select(
+        "doc_id",
+        F.array_join("_kept", delim).alias("text_clean"),
+        F.size("_lines").alias("n_lines"),
+        F.size("_kept").alias("n_kept_lines"),
+        F.lower(F.col("_text")).contains("lorem ipsum").alias(
+            "has_lorem_ipsum"
+        ),
+        F.col("_text").contains("{").alias("has_brace"),
+        _c4_page_kept(
+            F.col("_text"), F.col("_kept"), min_kept_lines
+        ).alias("page_kept"),
     )
 
 
-def _c4_kept_lines(text: Column, min_line_words: int, delim: str) -> Column:
-    """Surviving-lines array for one document's (NULL-coalesced) text.
-    The HOF lambda closes only over its own variable (the PLANS HOF
-    contract); thresholds are baked in as literals."""
+def _c4_kept_lines(lines: Column, min_line_words: int) -> Column:
+    """Surviving-lines array from a PRE-PROJECTED split-lines array
+    (textops HOF contract — never pass an inline split). The lambda
+    closes only over its own variable; thresholds are baked in as
+    literals."""
 
     def keep_line(l: Column) -> Column:
         t = F.trim(l)
@@ -501,7 +518,7 @@ def _c4_kept_lines(text: Column, min_line_words: int, delim: str) -> Column:
             & ~F.lower(t).contains("javascript")
         )
 
-    return F.filter(F.split(text, delim), keep_line)
+    return F.filter(lines, keep_line)
 
 
 def _c4_page_kept(text: Column, kept: Column, min_kept_lines: int) -> Column:
@@ -521,16 +538,19 @@ def c4_filter(
 ) -> DataFrame:
     """The composable filter form: full document rows with ``text_col``
     REPLACED by the line-filtered text, pages failing the page rules
-    dropped. Genuinely join-free — the surviving-lines expression and
-    the page predicate are recomputed inline on the full rows (one
+    dropped. Genuinely join-free — the surviving-lines array is
+    pre-projected once alongside the full rows (one staging
     projection + one filter, both fused into the scan), never joined
     back, so the corpus's other columns ride for free at 100 TB."""
     text = F.coalesce(F.col(text_col), F.lit(""))
-    kept = _c4_kept_lines(text, min_line_words, delim)
+    staged = docs.select(
+        "*", _c4_kept_lines(F.split(text, delim), min_line_words).alias("_kept")
+    )
+    kept = F.col("_kept")
     out = [
         F.array_join(kept, delim).alias(text_col) if c == text_col else F.col(c)
         for c in docs.columns
     ]
-    return docs.select(*out, _c4_page_kept(text, kept, min_kept_lines).alias(
+    return staged.select(*out, _c4_page_kept(text, kept, min_kept_lines).alias(
         "_page_kept"
     )).filter(F.col("_page_kept")).drop("_page_kept")
