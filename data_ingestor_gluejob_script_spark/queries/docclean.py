@@ -539,9 +539,12 @@ def c4_filter(
     """The composable filter form: full document rows with ``text_col``
     REPLACED by the line-filtered text, pages failing the page rules
     dropped. Genuinely join-free — the surviving-lines array is
-    pre-projected once alongside the full rows (one staging
-    projection + one filter, both fused into the scan), never joined
-    back, so the corpus's other columns ride for free at 100 TB."""
+    pre-projected alongside the full rows, never joined back, so the
+    corpus's other columns ride for free at 100 TB. Catalyst pushes
+    the page predicate below the projection, so dropped pages pay the
+    line filter once and never pay the rebuild; surviving pages pay
+    it twice (predicate + array_join) — the right side of that trade
+    for a filter whose point is dropping most of a crawl."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     staged = docs.select(
         "*", _c4_kept_lines(F.split(text, delim), min_line_words).alias("_kept")
