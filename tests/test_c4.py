@@ -129,3 +129,33 @@ def test_c4_on_corpus_differential(spark):
         row = got[doc_id]
         for k, v in want.items():
             assert row[k] == v, (doc_id, k)
+
+
+def test_c4_randomized_corpus_differential(spark):
+    """300 seeded-random multi-line docs stressing every rule boundary
+    (terminal chars, word counts around the threshold, javascript and
+    lorem-ipsum tokens, braces, CRs, empty lines) — frame vs oracle on
+    every row."""
+    import random
+
+    rng = random.Random(1106)
+    words = ["alpha", "beta", "gamma", "delta", "ok", "javascript", "Lorem", "ipsum"]
+    tails = [".", "!", "?", '"', "”", "", " ", "\r", ")", ":"]
+    docs = []
+    for i in range(300):
+        lines = []
+        for _ in range(rng.randrange(0, 8)):
+            n = rng.randrange(0, 9)
+            line = " " * rng.randrange(0, 3) + " ".join(
+                rng.choice(words) for _ in range(n)
+            ) + rng.choice(tails)
+            if rng.random() < 0.05:
+                line += "{"
+            lines.append(line)
+        docs.append((i, "\n".join(lines) if lines else rng.choice(["", None])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in c4_line_filter_frame(df).collect()}
+    for doc_id, text in docs:
+        want = oracle(text)
+        for k, v in want.items():
+            assert got[doc_id][k] == v, (doc_id, k, repr(text))

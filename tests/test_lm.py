@@ -176,3 +176,30 @@ def test_reloaded_count_table_with_widened_n(spark, spark_docs, tmp_path):
         for r in stupid_backoff_logprob_frame(spark_docs, reloaded).collect()
     }
     assert direct == via_disk
+
+
+def test_randomized_corpus_differential(spark):
+    """200 seeded-random docs over a zipf-ish 12-word vocabulary (high
+    trigram reuse plus singleton tails) self-scored — every row must
+    match the oracle, exercising all three backoff arms and both
+    early-position starts at volume."""
+    import random
+
+    rng = random.Random(1107)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "a", "ran", "big",
+             "x1", "x2", "x3"]
+    weights = [8, 6, 6, 5, 4, 3, 3, 2, 2, 1, 1, 1]
+    texts = {}
+    for i in range(200):
+        n = rng.randrange(0, 12)
+        texts[i] = " ".join(rng.choices(vocab, weights=weights, k=n)) if n else ""
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in stupid_backoff_logprob_frame(df).collect()
+    }
+    want = oracle_scores(texts)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6), k
