@@ -159,3 +159,15 @@ def test_c4_randomized_corpus_differential(spark):
         want = oracle(text)
         for k, v in want.items():
             assert got[doc_id][k] == v, (doc_id, k, repr(text))
+
+
+def test_c4_filter_tolerates_reserved_temp_names(spark):
+    """An input frame may already carry `_kept`/`_page_kept` (e.g. from
+    an earlier staging step) — the filter form must not collide."""
+    docs = spark.createDataFrame(
+        [(8, DOCS[8][1], "x", True)],
+        "doc_id long, text string, _kept string, _page_kept boolean",
+    )
+    out = c4_filter(docs).collect()
+    assert len(out) == 1
+    assert out[0]["_kept"] == "x" and out[0]["_page_kept"] is True
