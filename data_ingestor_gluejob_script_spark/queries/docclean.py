@@ -546,14 +546,22 @@ def c4_filter(
     it twice (predicate + array_join) — the right side of that trade
     for a filter whose point is dropping most of a crawl."""
     text = F.coalesce(F.col(text_col), F.lit(""))
+    # collision-proof temp names: the input may itself carry columns
+    # from an earlier staging step
+    kept_col, page_col = "_kept", "_page_kept"
+    while kept_col in docs.columns:
+        kept_col += "_"
+    while page_col in docs.columns:
+        page_col += "_"
     staged = docs.select(
-        "*", _c4_kept_lines(F.split(text, delim), min_line_words).alias("_kept")
+        "*",
+        _c4_kept_lines(F.split(text, delim), min_line_words).alias(kept_col),
     )
-    kept = F.col("_kept")
+    kept = F.col(kept_col)
     out = [
         F.array_join(kept, delim).alias(text_col) if c == text_col else F.col(c)
         for c in docs.columns
     ]
     return staged.select(*out, _c4_page_kept(text, kept, min_kept_lines).alias(
-        "_page_kept"
-    )).filter(F.col("_page_kept")).drop("_page_kept")
+        page_col
+    )).filter(F.col(page_col)).drop(page_col)
