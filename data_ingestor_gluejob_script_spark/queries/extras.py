@@ -87,6 +87,9 @@ from .textops import (
 from .tokenizer import pack_token_stream, q_encode_corpus, vocab_with_ids
 from .urlops import domain_stats_frame, url_dedup_frame
 from .quality import compression_signals_frame
+from .fuzzyjoin import fuzzy_join
+from .htmlextract import html_extract_frame
+from ..sources.warc import read_warc
 from .traindata import (
     attrition_report,
     group_aware_split_frame,
@@ -253,6 +256,98 @@ def multiline_docs(docs: DataFrame, words_per_line: int = 10) -> DataFrame:
     return docs.select(
         "doc_id", F.concat_ws("\n", lines).alias("text")
     )
+
+
+def _html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents wrapped into synthetic HTML pages, Catalyst-side:
+    title + style + paragraph breaks every 8 words + a script island
+    + a nav link, so the extractor's every strip rule fires. The
+    bench times the mapInPandas extraction, not data generation."""
+    docs = _docs(spark, sf_dir)
+    body = F.regexp_replace(
+        F.col("text"),
+        "((?:\\w+ ){7}\\w+) ",
+        "$1</p><p>",
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id"),
+        F.lit("</title><style>p{margin:0}</style></head><body><p>"),
+        body,
+        F.lit("</p><script>var t=1;</script>"),
+        F.lit("<a href='/next'>next</a></body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+_WARC_FIXTURES: dict[str, str] = {}
+
+
+def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Synthetic crawl fixture: the documents table serialized to 8
+    WARC files (http-response records, Content-Length framing built
+    Catalyst-side with octet_length) via the distributed text sink.
+    Built once per process per sf — first rep pays the write,
+    best-of-reps times the parse (the x_cdc_apply lake pattern)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = _WARC_FIXTURES.get(sf_dir)
+    if d is not None:
+        return d
+    d = tempfile.mkdtemp(prefix="spark_graft_warc_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    docs = _html_docs(spark, sf_dir)
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"),
+        F.lit("Content-Length: "),
+        F.octet_length("html"),
+        F.lit("\r\n\r\n"),
+        F.col("html"),
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: "),
+        F.concat(F.lit("<urn:doc:"), F.col("doc_id"), F.lit(">")),
+        F.lit("\r\nWARC-Target-URI: http://bench.example/"),
+        F.col("doc_id"),
+        F.lit("\r\nContent-Type: application/http;msgtype=response"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(http),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n"),  # text sink's trailing LF completes the pair
+    )
+    docs.select(rec.alias("value")).repartition(8).write.mode(
+        "overwrite"
+    ).text(d)
+    _WARC_FIXTURES[sf_dir] = d
+    return d
+
+
+def _linkage_sides(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Record-linkage bench shape: part names made unique with a key
+    suffix (the raw names repeat by design, which would make the
+    answer set quadratic in copies), vs a dirty twin with one
+    key-derived character deleted. Both sides are pure maps."""
+    base = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.concat_ws("-", "p_name", "p_partkey").alias("s"),
+    )
+    # delete the character at 1-based position pmod(id, len)+1
+    dirty = base.select(
+        "id",
+        F.concat(
+            F.expr("substring(s, 1, CAST(pmod(id, length(s)) AS INT))"),
+            F.expr(
+                "substring(s, CAST(pmod(id, length(s)) AS INT) + 2, "
+                "length(s))"
+            ),
+        ).alias("s"),
+    )
+    return base, dirty
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,5 +578,30 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keyed shuffle) + melt-join-pivot scoring pass
         "x_sb_logprob": lambda s, d: stupid_backoff_logprob_frame(
             _docs(s, d)
+        ),
+        # edit-distance record linkage (Ed-Join prefix filter): clean
+        # keyed part names vs a one-deletion dirty twin. q=4 (not the
+        # short-string default 2): these are ~16-char keys over a
+        # repeating name vocabulary, where bigrams are so common the
+        # prefix filter stops pruning (measured 6x slower at q=2);
+        # wider grams restore selectivity without changing the answer
+        # (q-invariance is pinned by test_larger_q_same_answer).
+        "x_fuzzy_join": lambda s, d: (
+            lambda sides: fuzzy_join(
+                sides[0], sides[1], "id", "s", max_dist=1, q=4
+            )
+        )(_linkage_sides(s, d)),
+        # HTML -> text extraction over synthesized pages — Arrow-
+        # batched map, no shuffle
+        "x_html_extract": lambda s, d: html_extract_frame(
+            _html_docs(s, d)
+        ),
+        # WARC container parse (8-file synthetic crawl; file = the
+        # parallelism unit, fixture built once per process)
+        "x_warc_parse": lambda s, d: read_warc(
+            s, _warc_fixture_dir(s, d)
+        ).select(
+            "record_id", "target_uri", "http_status",
+            F.octet_length("payload").alias("payload_bytes"),
         ),
     }

@@ -1,0 +1,261 @@
+"""WARC (Web ARChive, ISO 28500) source — the container format of
+Common Crawl and every serious web-scale corpus. Reads a directory of
+``.warc`` / ``.warc.gz`` files into a typed DataFrame of records with
+the HTTP envelope split off, ready for the downstream curation chain
+(htmlextract → textnorm → c4 → dedup).
+
+Reference parity note: the reference job (gluejob.py) reads CSV,
+parquet and JDBC only; this module extends the engine's source
+surface with the web-crawl container that an LLM-training ingest
+actually starts from.
+
+Scale shape — the file is the parallelism unit, exactly as in
+production WARC processing (a Common Crawl dump is ~90k gzip files of
+~1 GB; wat/wet/warc tooling all parallelize per file because gzip
+members and Content-Length framing make byte-range splits
+impractical). ``spark.read.format("binaryFile")`` gives one task per
+file; record assembly is a sequential scan WITHIN a file (offset
+arithmetic driven by Content-Length — never a split on a marker
+string, which a payload could contain) inside an Arrow-batched
+``mapInPandas``. Payload bytes stay in Arrow batches end-to-end; the
+driver never sees record data. Record-level filters (``types``,
+``max_payload``) apply inside the generator, so request/metadata
+records a caller excluded are dropped before they ever reach a
+shuffle.
+
+Gzip: WARC gz files are MULTI-MEMBER (one deflate member per record,
+by spec recommendation, so HTTP range readers can seek); decoding
+uses ``gzip.GzipFile`` over the raw bytes, which iterates members —
+``gzip.decompress`` semantics (all members) without materializing
+the file twice.
+
+NULL handling: a record missing an optional header (URI, date,
+content type) carries NULL in that column; a truncated trailing
+record (crash-cut file) yields the records before it and a WARNING
+row is NOT fabricated — truncation is surfaced via ``strict=True``
+(raise) or silently-stop (default, matching warcio's tolerant mode).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_SCHEMA = (
+    "file string, record_id string, warc_type string, target_uri string, "
+    "warc_date string, content_type string, http_status int, "
+    "http_content_type string, payload binary"
+)
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _parse_headers(block: bytes) -> dict:
+    """Header block (bytes, no trailing blank line) -> {lower-name:
+    value}. Folded (obs-fold) continuation lines are appended."""
+    headers: dict[str, str] = {}
+    last = None
+    for line in block.split(b"\r\n"):
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last is not None:
+            headers[last] += " " + line.strip().decode(
+                "utf-8", "replace"
+            )
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep:
+            continue
+        last = name.strip().decode("utf-8", "replace").lower()
+        headers[last] = value.strip().decode("utf-8", "replace")
+    return headers
+
+
+def iter_warc_records(data: bytes, strict: bool = False) -> Iterator[dict]:
+    """Sequential record iterator over one (decompressed) WARC file.
+
+    Offset-driven: find the version line, parse headers up to the
+    blank line, slice exactly Content-Length payload bytes, skip the
+    two record-separator CRLFs. Payloads containing ``WARC/1.0``
+    cannot confuse the framing."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # Tolerate leading separator debris between records: the
+        # spec's record-separator CRLFs, plus bare LFs so that
+        # line-oriented writers (Spark's text sink appends one LF per
+        # row) can emit valid-enough fixtures.
+        while pos < n and data[pos] in (0x0D, 0x0A):
+            pos += 1
+        if pos >= n:
+            return
+        if not data[pos:].startswith(b"WARC/"):
+            if strict:
+                raise ValueError(f"bad record start at offset {pos}")
+            return
+        head_end = data.find(_CRLF2, pos)
+        if head_end < 0:
+            if strict:
+                raise ValueError("truncated header block")
+            return
+        ver_end = data.find(b"\r\n", pos)
+        headers = _parse_headers(data[ver_end + 2 : head_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            if strict:
+                raise ValueError("missing Content-Length")
+            return
+        body_start = head_end + 4
+        if body_start + length > n:
+            if strict:
+                raise ValueError("truncated payload")
+            return
+        yield {
+            "headers": headers,
+            "payload": data[body_start : body_start + length],
+        }
+        pos = body_start + length
+
+
+def split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """(status, content-type, body) from an HTTP response payload; a
+    payload that is not an HTTP message comes back (None, None,
+    payload) unchanged."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    head_end = payload.find(_CRLF2)
+    if head_end < 0:
+        return None, None, payload
+    first_end = payload.find(b"\r\n")
+    parts = payload[:first_end].split(b" ", 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, None, payload
+    headers = _parse_headers(payload[first_end + 2 : head_end])
+    return status, headers.get("content-type"), payload[head_end + 4 :]
+
+
+def _decompress(name: str, raw: bytes) -> bytes:
+    if name.endswith(".gz"):
+        # GzipFile iterates ALL gzip members (WARC gz is one member
+        # per record); gzip.decompress would also work but GzipFile
+        # streams from the buffer we already hold.
+        with gzip.GzipFile(fileobj=io.BytesIO(raw)) as f:
+            return f.read()
+    return raw
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    types: Iterable[str] = ("response",),
+    max_payload: int | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Directory (or glob) of .warc / .warc.gz files -> one row per
+    WARC record of a kept ``warc_type``, HTTP envelope split off.
+
+    ``max_payload`` drops over-sized record bodies at parse time
+    (before any shuffle) — the standard crawl-hygiene cut. Columns:
+    see WARC_SCHEMA; ``payload`` is the HTTP BODY for http responses,
+    the raw record body otherwise."""
+    kept = {t.lower() for t in types} if types else None
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: list[tuple] = []
+            for fname, raw in zip(batch["path"], batch["content"]):
+                data = _decompress(fname, bytes(raw))
+                for rec in iter_warc_records(data, strict=strict):
+                    h = rec["headers"]
+                    wtype = h.get("warc-type", "").lower()
+                    if kept is not None and wtype not in kept:
+                        continue
+                    status, http_ct, body = split_http_payload(
+                        rec["payload"]
+                    )
+                    if max_payload is not None and len(body) > max_payload:
+                        continue
+                    out.append(
+                        (
+                            fname,
+                            h.get("warc-record-id"),
+                            wtype,
+                            h.get("warc-target-uri"),
+                            h.get("warc-date"),
+                            h.get("content-type"),
+                            status,
+                            http_ct,
+                            body,
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "file",
+                    "record_id",
+                    "warc_type",
+                    "target_uri",
+                    "warc_date",
+                    "content_type",
+                    "http_status",
+                    "http_content_type",
+                    "payload",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+
+
+def warc_text(records: DataFrame, encoding: str = "utf-8") -> DataFrame:
+    """records + ``text`` column: payload decoded (errors=replace) —
+    the handoff into htmlextract/textnorm. Map-only."""
+    from pyspark.sql import functions as F
+
+    return records.withColumn(
+        "text", F.decode(F.col("payload"), encoding)
+    )
+
+
+def build_warc(records: Iterable[dict], gz: bool = False) -> bytes:
+    """Serialize records -> WARC bytes (test fixtures and the bench's
+    synthetic crawl). Each record dict: warc_type, record_id,
+    target_uri (optional), payload (bytes), http (bool: wrap payload
+    in a 200 HTTP envelope). ``gz=True`` emits one gzip member per
+    record, per the WARC-gz convention."""
+    chunks: list[bytes] = []
+    for r in records:
+        payload = r["payload"]
+        if r.get("http"):
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: "
+                + r.get("http_content_type", "text/html").encode()
+                + b"\r\nContent-Length: "
+                + str(len(payload)).encode()
+                + _CRLF2
+                + payload
+            )
+        head = [
+            b"WARC/1.0",
+            b"WARC-Type: " + r["warc_type"].encode(),
+            b"WARC-Record-ID: " + r["record_id"].encode(),
+        ]
+        if r.get("target_uri"):
+            head.append(b"WARC-Target-URI: " + r["target_uri"].encode())
+        if r.get("warc_date"):
+            head.append(b"WARC-Date: " + r["warc_date"].encode())
+        if r.get("http"):
+            head.append(
+                b"Content-Type: application/http;msgtype=response"
+            )
+        head.append(b"Content-Length: " + str(len(payload)).encode())
+        rec = b"\r\n".join(head) + _CRLF2 + payload + _CRLF2
+        chunks.append(gzip.compress(rec) if gz else rec)
+    return b"".join(chunks)
