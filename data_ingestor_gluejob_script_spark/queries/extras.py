@@ -89,6 +89,7 @@ from .urlops import domain_stats_frame, url_dedup_frame
 from .quality import compression_signals_frame
 from .fuzzyjoin import fuzzy_join
 from .htmlextract import html_extract_frame
+from .webpipeline import curate_web_crawl
 from ..sources.warc import read_warc
 from .traindata import (
     attrition_report,
@@ -264,17 +265,20 @@ def _html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     + a nav link, so the extractor's every strip rule fires. The
     bench times the mapInPandas extraction, not data generation."""
     docs = _docs(spark, sf_dir)
+    # periods close each 8-word paragraph so the extracted lines are
+    # sentence-shaped (the C4 terminal-punctuation rule downstream in
+    # x_web_pipeline has survivors to keep)
     body = F.regexp_replace(
         F.col("text"),
         "((?:\\w+ ){7}\\w+) ",
-        "$1</p><p>",
+        "$1.</p><p>",
     )
     html = F.concat(
         F.lit("<html><head><title>Doc "),
         F.col("doc_id"),
         F.lit("</title><style>p{margin:0}</style></head><body><p>"),
         body,
-        F.lit("</p><script>var t=1;</script>"),
+        F.lit(".</p><script>var t=1;</script>"),
         F.lit("<a href='/next'>next</a></body></html>"),
     )
     return docs.select("doc_id", html.alias("html"))
@@ -603,5 +607,12 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select(
             "record_id", "target_uri", "http_status",
             F.octet_length("payload").alias("payload_bytes"),
+        ),
+        # the whole crawl-side ingest in one entry: WARC -> extract ->
+        # normalize -> C4 -> exact dedup -> token count (one
+        # metadata-sized shuffle; everything upstream is map-only)
+        "x_web_pipeline": lambda s, d: curate_web_crawl(
+            s, _warc_fixture_dir(s, d), min_line_words=3,
+            min_kept_lines=1,
         ),
     }

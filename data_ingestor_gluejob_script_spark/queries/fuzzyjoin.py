@@ -41,10 +41,17 @@ to ids through the value table. The prefix arm still handles every
 short-vs-long pair (the long side's gram count keeps t >= 1).
 
 Scale shape: one shuffle builds the (gram, occ) document-frequency
-table (bounded by gram vocabulary), one groupBy(id) builds per-row
-prefixes, the candidate join shuffles 8-ish-byte tokens (never
-payloads), and the verify join rides candidate ids only. No window
-is unpartitioned; no driver state beyond Catalyst literals.
+table (bounded by gram vocabulary; AQE broadcasts it back when
+small), one per-string window ranks tokens rare-first, the candidate
+join carries (token, id, key-string) rows — keys are short by
+construction (join keys, not documents), so shipping the string with
+its tokens is cheaper than joining it back per side — and the
+levenshtein verify runs as a MAP on the raw join output, so the
+pair-dedup shuffle only ever sees verified matches. Occurrence
+indices are computed array-natively over the PRE-PROJECTED gram
+array (the package HOF contract): O(len^2) per key in exchange for
+zero extra shuffles — the right trade for bounded-length keys, and
+why this operator is for keys, not document bodies.
 
 NULL handling (package convention): NULL strings cannot match
 anything (unknown, not empty) — they are dropped from both sides and
@@ -64,83 +71,70 @@ _PAD_L = "\x01"
 _PAD_R = "\x02"
 
 
-def _gram_tokens(df: DataFrame, str_col: str, q: int) -> DataFrame:
-    """(id, side, len, gram, occ): positional q-grams of the padded
-    string, tokenized per occurrence (occ = 0-based index of this
-    gram's repetition within the string, in position order).
-
-    The gram slice is pure Catalyst (sequence + transform +
-    substring); the occurrence index is a window partitioned by
-    (id, side, gram) — many small partitions, never one global sort.
-    """
+def _token_rows(tagged: DataFrame, q: int) -> DataFrame:
+    """(id, side, s, len, gram, occ): positional q-grams of the
+    padded string, tokenized per occurrence. The gram array is
+    materialized in its own projection FIRST, then the occurrence
+    index of element i is ``count of equal grams among the first i``
+    — a nested HOF over the projected column (never over an inline
+    expression, which interpreted HOF evaluation would recompute per
+    element). O(len^2) per string, zero shuffles."""
     padded = F.concat(
-        F.lit(_PAD_L * (q - 1)), F.col(str_col), F.lit(_PAD_R * (q - 1))
+        F.lit(_PAD_L * (q - 1)), F.col("s"), F.lit(_PAD_R * (q - 1))
     )
-    grams = df.select(
+    with_arr = tagged.select(
         "id",
         "side",
-        F.length(str_col).alias("len"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.length(padded) - (q - 1)),
-                lambda i: padded.substr(i, F.lit(q)),
-            )
-        ).alias("pos", "gram"),
+        "s",
+        F.length("s").alias("len"),
+        F.transform(
+            F.sequence(F.lit(1), F.length(padded) - (q - 1)),
+            lambda i: padded.substr(i, F.lit(q)),
+        ).alias("garr"),
     )
-    occ = Window.partitionBy("id", "side", "gram").orderBy("pos")
-    return grams.select(
-        "id",
-        "side",
-        "len",
-        "gram",
-        (F.row_number().over(occ) - 1).alias("occ"),
+    tok = F.transform(
+        F.col("garr"),
+        lambda g, i: F.struct(
+            g.alias("gram"),
+            F.size(
+                F.filter(
+                    F.slice(F.col("garr"), F.lit(1), i), lambda x: x == g
+                )
+            ).alias("occ"),
+        ),
     )
+    return with_arr.select(
+        "id", "side", "s", "len", F.explode(tok).alias("t")
+    ).select("id", "side", "s", "len", "t.gram", "t.occ")
 
 
 def _prefix_tokens(tokens: DataFrame, q: int, max_dist: int) -> DataFrame:
-    """(id, side, len, gram, occ) cut to each row's prefix: the first
-    ``q*max_dist + 1`` tokens in ascending (global df, gram, occ)
-    order. One bounded aggregation builds the df table (distinct
-    (gram, occ) pairs — vocabulary-sized, so the join back is a
-    broadcast candidate for AQE); one groupBy(id) collects, sorts and
-    slices the per-row token array driver-free."""
-    # A (gram, occ) token appears at most once per string (occ indexes
-    # within-string repetitions), so plain count IS document frequency
-    # — no distinct aggregate needed.
+    """Tokens cut to each string's prefix: the first ``q*max_dist+1``
+    in ascending (global df, gram, occ) order. The df table is one
+    bounded aggregation (a (gram, occ) token appears at most once per
+    string, so plain count IS document frequency); ranking is a
+    window partitioned per string — tens of tokens per partition."""
     df_tab = tokens.groupBy("gram", "occ").agg(
         F.count(F.lit(1)).alias("df")
     )
     plen = q * max_dist + 1
-    ranked = tokens.join(df_tab, ["gram", "occ"])
+    w = Window.partitionBy("id", "side").orderBy("df", "gram", "occ")
     return (
-        ranked.groupBy("id", "side", "len")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct("df", "gram", "occ"))
-                ),
-                1,
-                plen,
-            ).alias("pref")
-        )
-        .select(
-            "id",
-            "side",
-            "len",
-            F.explode("pref").alias("t"),
-        )
-        .select("id", "side", "len", F.col("t.gram"), F.col("t.occ"))
+        tokens.join(df_tab, ["gram", "occ"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= plen)
+        .drop("_rn", "df")
     )
 
 
 def _short_value_pairs(
     vals: DataFrame, max_dist: int, self_mode: bool
 ) -> DataFrame:
-    """(id_a, id_b) from the short-string arm: all-pairs over DISTINCT
-    short values (dictionary-sized — at most |alphabet|**(q*d-q+1)
-    strings exist at that length, independent of corpus size), then
-    the value-pair survivors fan back out to ids. ``vals`` is
-    (id, side, s) already cut to short rows."""
+    """Verified (id_a, id_b, s_a, s_b) from the short-string arm:
+    all-pairs over DISTINCT short values (dictionary-sized — at most
+    |alphabet|**(q*d-q+1) strings exist at that length, independent
+    of corpus size), then the value-pair survivors fan back out to
+    ids. ``vals`` is (id, side, s) already cut to short rows."""
     dv = vals.select("s").distinct()
     pairs = (
         dv.alias("a")
@@ -152,43 +146,41 @@ def _short_value_pairs(
             F.broadcast(dv.alias("b")),
             F.levenshtein(F.col("a.s"), F.col("b.s")) <= max_dist,
         )
-        .select(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+        .select(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"))
     )
     left = vals.filter(F.col("side") == 0) if not self_mode else vals
     right = vals.filter(F.col("side") == 1) if not self_mode else vals
     out = (
-        pairs.join(left.withColumnRenamed("s", "sa"), "sa")
-        .select(F.col("id").alias("id_a"), "sb")
-        .join(right.withColumnRenamed("s", "sb"), "sb")
-        .select("id_a", F.col("id").alias("id_b"))
+        pairs.join(
+            left.select(F.col("id").alias("id_a"),
+                        F.col("s").alias("s_a")),
+            "s_a",
+        )
+        .join(
+            right.select(F.col("id").alias("id_b"),
+                         F.col("s").alias("s_b")),
+            "s_b",
+        )
+        .select("id_a", "id_b", "s_a", "s_b")
     )
     if self_mode:
         out = out.filter(F.col("id_a") < F.col("id_b"))
     return out
 
 
-def _fuzzy_pairs(
+def _fuzzy_matches(
     tagged: DataFrame, q: int, max_dist: int, self_mode: bool
 ) -> DataFrame:
-    """Candidate (id_a, id_b) pairs from both arms, distinct.
-
-    ``tagged`` is (id, side, s) with NULLs already dropped. Prefix
-    arm: equi-join on (gram, occ) over prefix tokens with the length
-    band in the join condition; short arm: see _short_value_pairs.
-    """
-    toks = _prefix_tokens(
-        _gram_tokens(tagged.select("id", "side", F.col("s")), "s", q),
-        q,
-        max_dist,
-    )
+    """Verified, deduplicated (id_a, id_b, s_a, s_b, dist) from both
+    arms. ``tagged`` is (id, side, s) with NULLs already dropped.
+    The levenshtein verify runs on the RAW candidate join output
+    (a map), so the distinct only shuffles true matches."""
+    toks = _prefix_tokens(_token_rows(tagged, q), q, max_dist)
     a, b = toks.alias("a"), toks.alias("b")
     cond = (
         (F.col("a.gram") == F.col("b.gram"))
         & (F.col("a.occ") == F.col("b.occ"))
-        & (
-            F.abs(F.col("a.len") - F.col("b.len"))
-            <= F.lit(max_dist)
-        )
+        & (F.abs(F.col("a.len") - F.col("b.len")) <= F.lit(max_dist))
     )
     if self_mode:
         cond = cond & (F.col("a.id") < F.col("b.id"))
@@ -196,17 +188,24 @@ def _fuzzy_pairs(
         cond = cond & (F.col("a.side") == 0) & (F.col("b.side") == 1)
     pref_pairs = (
         a.join(b, cond)
+        .filter(F.levenshtein(F.col("a.s"), F.col("b.s")) <= max_dist)
         .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.s").alias("s_a"),
+            F.col("b.s").alias("s_b"),
         )
-        .distinct()
     )
     # Short-short rescue arm: both gram counts <= q*d  <=>  both
     # lengths <= q*d - q + 1 (padded gram count = len + q - 1).
     short_len = q * max_dist - q + 1
     shorts = tagged.filter(F.length("s") <= short_len)
     short_pairs = _short_value_pairs(shorts, max_dist, self_mode)
-    return pref_pairs.union(short_pairs).distinct()
+    return (
+        pref_pairs.union(short_pairs)
+        .distinct()
+        .withColumn("dist", F.levenshtein("s_a", "s_b"))
+    )
 
 
 def fuzzy_join(
@@ -221,8 +220,8 @@ def fuzzy_join(
     values are within Levenshtein distance ``max_dist``.
 
     Returns (id_a, id_b, s_a, s_b, dist) where a is the left side —
-    sorted-friendly, payload-free (join the ids back for more
-    columns). ids must be unique per side."""
+    payload-free (join the ids back for more columns). ids must be
+    unique per side."""
     lt = left.select(
         F.col(id_col).alias("id"), F.lit(0).alias("side"),
         F.col(str_col).alias("s"),
@@ -231,17 +230,7 @@ def fuzzy_join(
         F.col(id_col).alias("id"), F.lit(1).alias("side"),
         F.col(str_col).alias("s"),
     ).filter(F.col("s").isNotNull())
-    tagged = lt.union(rt)
-    cands = _fuzzy_pairs(tagged, q, max_dist, self_mode=False)
-    return (
-        cands.join(lt.select(F.col("id").alias("id_a"),
-                             F.col("s").alias("s_a")), "id_a")
-        .join(rt.select(F.col("id").alias("id_b"),
-                        F.col("s").alias("s_b")), "id_b")
-        .withColumn("dist", F.levenshtein("s_a", "s_b"))
-        .filter(F.col("dist") <= max_dist)
-        .select("id_a", "id_b", "s_a", "s_b", "dist")
-    )
+    return _fuzzy_matches(lt.union(rt), q, max_dist, self_mode=False)
 
 
 def fuzzy_self_join(
@@ -258,15 +247,4 @@ def fuzzy_self_join(
         F.col(id_col).alias("id"), F.lit(0).alias("side"),
         F.col(str_col).alias("s"),
     ).filter(F.col("s").isNotNull())
-    cands = _fuzzy_pairs(t, q, max_dist, self_mode=True)
-    named = t.select("id", "s")
-    return (
-        cands.join(
-            named.select(F.col("id").alias("id_a"),
-                         F.col("s").alias("s_a")), "id_a")
-        .join(named.select(F.col("id").alias("id_b"),
-                           F.col("s").alias("s_b")), "id_b")
-        .withColumn("dist", F.levenshtein("s_a", "s_b"))
-        .filter(F.col("dist") <= max_dist)
-        .select("id_a", "id_b", "s_a", "s_b", "dist")
-    )
+    return _fuzzy_matches(t, q, max_dist, self_mode=True)
