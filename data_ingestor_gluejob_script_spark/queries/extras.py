@@ -89,6 +89,7 @@ from .urlops import domain_stats_frame, url_dedup_frame
 from .quality import compression_signals_frame
 from .fuzzyjoin import fuzzy_join
 from .htmlextract import html_extract_frame
+from .unigram import x_unigram_encode
 from .webpipeline import curate_web_crawl
 from ..sources.warc import read_warc
 from .traindata import (
@@ -608,6 +609,10 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "record_id", "target_uri", "http_status",
             F.octet_length("payload").alias("payload_bytes"),
         ),
+        # SentencePiece-style unigram LM: distributed word counts ->
+        # driver EM -> memoized Arrow-batch Viterbi encode (the
+        # second subword scheme beside x_bpe_encode)
+        "x_unigram_encode": x_unigram_encode,
         # the whole crawl-side ingest in one entry: WARC -> extract ->
         # normalize -> C4 -> exact dedup -> token count (one
         # metadata-sized shuffle; everything upstream is map-only)
