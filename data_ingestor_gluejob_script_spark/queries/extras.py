@@ -89,6 +89,7 @@ from .urlops import domain_stats_frame, url_dedup_frame
 from .quality import compression_signals_frame
 from .fuzzyjoin import fuzzy_join
 from .htmlextract import html_extract_frame
+from .profile import iqr_outliers, profile_frame
 from .unigram import x_unigram_encode
 from .webpipeline import curate_web_crawl
 from ..sources.warc import read_warc
@@ -608,6 +609,19 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select(
             "record_id", "target_uri", "http_status",
             F.octet_length("payload").alias("payload_bytes"),
+        ),
+        # every lineitem column profiled in ONE scan + one 1-row agg
+        # (count/nulls/HLL-distinct/min/max/moments/GK quartiles)
+        "x_profile": lambda s, d: profile_frame(
+            load(s, d, "lineitem")
+        ),
+        # Tukey-fence outlier flags: one quantile pass -> 1-row
+        # broadcast, flagging is a map (corpus never shuffles)
+        "x_iqr_outliers": lambda s, d: iqr_outliers(
+            load(s, d, "lineitem"), "l_extendedprice"
+        ).select(
+            "l_orderkey", "l_linenumber", "l_extendedprice",
+            "fence_lo", "fence_hi", "is_outlier",
         ),
         # SentencePiece-style unigram LM: distributed word counts ->
         # driver EM -> memoized Arrow-batch Viterbi encode (the

@@ -49,6 +49,55 @@ from .textnorm import with_normalized_text
 from .textops import exact_dedup_frame, words_col
 
 
+def curate_page_maps(
+    pages: DataFrame,
+    min_line_words: int = 5,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """(doc_id, url, title, text, n_tokens) from raw (doc_id, url,
+    html) pages — the MAP-ONLY curation chain (extract → normalize →
+    C4 → token count), no dedup. Shared by the batch entry point
+    below (which adds ``exact_dedup_frame``) and the streaming
+    ingest (streaming.run_web_curation_ingest, whose dedup is the
+    lake-ledgered anti-join) so both surfaces curate
+    byte-identically; token counting commutes with dedup because
+    both are per-row."""
+    extracted = with_extracted_text(pages, html_col="html").select(
+        "doc_id", "url", "title", F.col("text_extract").alias("text")
+    )
+    normalized = with_normalized_text(extracted).drop(
+        "changed", "mojibake_hits"
+    )
+    cleaned = c4_filter(
+        normalized,
+        min_line_words=min_line_words,
+        min_kept_lines=min_kept_lines,
+    )
+    return cleaned.select(
+        "doc_id",
+        "url",
+        "title",
+        "text",
+        F.size(words_col(F.col("text"))).alias("n_tokens"),
+    )
+
+
+def curate_pages(
+    pages: DataFrame,
+    min_line_words: int = 5,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """The batch form: map-only curation + exact dedup on the
+    cleaned text (keep lowest doc_id)."""
+    return exact_dedup_frame(
+        curate_page_maps(
+            pages,
+            min_line_words=min_line_words,
+            min_kept_lines=min_kept_lines,
+        )
+    )
+
+
 def curate_web_crawl(
     spark: SparkSession,
     warc_path: str,
@@ -64,22 +113,8 @@ def curate_web_crawl(
         F.col("target_uri").alias("url"),
         F.col("text").alias("html"),
     )
-    extracted = with_extracted_text(pages, html_col="html").select(
-        "doc_id", "url", "title", F.col("text_extract").alias("text")
-    )
-    normalized = with_normalized_text(extracted).drop(
-        "changed", "mojibake_hits"
-    )
-    cleaned = c4_filter(
-        normalized,
+    return curate_pages(
+        pages,
         min_line_words=min_line_words,
         min_kept_lines=min_kept_lines,
-    )
-    deduped = exact_dedup_frame(cleaned)
-    return deduped.select(
-        "doc_id",
-        "url",
-        "title",
-        "text",
-        F.size(words_col(F.col("text"))).alias("n_tokens"),
     )

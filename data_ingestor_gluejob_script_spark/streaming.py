@@ -781,6 +781,70 @@ def run_url_dedup_ingest(
     )
 
 
+def run_web_curation_ingest(
+    spark: SparkSession,
+    pages_dir: str,
+    lake_dir: str,
+    checkpoint_dir: str,
+    min_line_words: int = 5,
+    min_kept_lines: int = 1,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous web-crawl CURATION ingest — the streaming twin of
+    ``webpipeline.curate_pages``: each micro-batch of raw (doc_id,
+    url, html) pages runs the shared map-only chain
+    (``curate_page_maps``: HTML extract → Unicode normalize → C4
+    line/page rules → token count), then the lake-ledgered exact
+    dedup of ``run_doc_dedup_ingest`` (collapse within the batch,
+    anti-join the lake's persisted ``text_md5`` digests, append).
+
+    The WARC container parse is NOT in the streaming path: Spark's
+    streaming file sources are line/columnar formats only, so a
+    crawl tails into parquet page batches (the fetcher's natural
+    landing format) and containers are unpacked by the batch-side
+    ``sources.warc.read_warc`` upstream. Everything downstream of
+    the container is identical batch vs stream — pinned by the
+    twin-equality test.
+
+    Scale shape: curation is embarrassingly parallel maps (two Arrow
+    passes + Catalyst C4) over each bounded micro-batch; dedup state
+    IS the lake (no in-memory state to bound), whose anti-join side
+    is a column-pruned 32-byte digest scan. Pages failing C4 die
+    before the digest ever exists — the lake only ledgers curated
+    text, so a page whose boilerplate changes but whose prose
+    doesn't still dedups against its earlier crawl.
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    from .queries.webpipeline import curate_page_maps
+
+    batch0 = spark.read.parquet(pages_dir)
+    stream = (
+        spark.readStream.schema(batch0.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        curated = curate_page_maps(
+            batch_df,
+            min_line_words=min_line_words,
+            min_kept_lines=min_kept_lines,
+        )
+        fresh, _ = _ledgered_fresh(
+            spark, curated, lake_dir, "text_md5",
+            row_digest(["text"]), "doc_id",
+        )
+        fresh.write.mode("append").parquet(lake_dir)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _ledgered_fresh(
     spark: SparkSession,
     batch_df: DataFrame,

@@ -50,6 +50,9 @@ def main() -> int:
     ex = extras()
     top_extras = sorted(ex, key=lambda n: -base.get(n, 0.0))[:N_EXTRAS]
     queries.update({n: ex[n] for n in top_extras})
+    # an explicitly named extras entry is measured even when its
+    # baseline is too small for the default top-N cut
+    queries.update({n: ex[n] for n in only if n in ex})
     names = sorted(queries)
     if only:
         names = [n for n in names if n in only]
