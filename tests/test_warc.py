@@ -163,3 +163,30 @@ def test_multimember_gz_equals_plain(tmp_path):
     assert gz.count(b"\x1f\x8b\x08") >= len(recs)
     with gzip.GzipFile(filename="", mode="rb", fileobj=__import__("io").BytesIO(gz)) as f:
         assert f.read() == plain
+
+
+def test_record_iterator_is_linear_in_file_size():
+    """Scale tripwire (sf10 smoke, round 11): the record iterator must
+    cost O(1) per record, not O(remaining-file). The original
+    ``data[pos:].startswith`` copied the whole tail once per record —
+    O(file^2) per file, invisible on small fixtures, 240x for 10x data
+    on the bench's fixed-8-file crawl. Parsing 20k small records is
+    ~0.1 s linear but ~20 s quadratic; the 5 s bound keeps the test
+    robust to slow hosts while failing any quadratic regression."""
+    import time
+
+    recs = [
+        {
+            "warc_type": "response",
+            "record_id": f"<urn:doc:{i}>",
+            "target_uri": f"http://x/{i}",
+            "payload": b"x" * 400,
+            "http": True,
+        }
+        for i in range(20_000)
+    ]
+    data = build_warc(recs)
+    t0 = time.perf_counter()
+    n = sum(1 for _ in iter_warc_records(data))
+    assert n == 20_000
+    assert time.perf_counter() - t0 < 5.0
