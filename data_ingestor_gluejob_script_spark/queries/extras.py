@@ -585,16 +585,16 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sb_logprob": lambda s, d: stupid_backoff_logprob_frame(
             _docs(s, d)
         ),
-        # edit-distance record linkage (Ed-Join prefix filter): clean
-        # keyed part names vs a one-deletion dirty twin. q=4 (not the
-        # short-string default 2): these are ~16-char keys over a
-        # repeating name vocabulary, where bigrams are so common the
-        # prefix filter stops pruning (measured 6x slower at q=2);
-        # wider grams restore selectivity without changing the answer
-        # (q-invariance is pinned by test_larger_q_same_answer).
+        # edit-distance record linkage (hashed deletion
+        # neighborhoods): clean keyed part names vs a one-deletion
+        # dirty twin. Variant signatures carry len-d of the key's
+        # len chars, so neither a saturating gram vocabulary (the
+        # q-gram first cut, quadratic at sf10) nor the shared
+        # low-entropy name-half (the PassJoin second cut, quadratic
+        # at sf1) can inflate buckets — see fuzzyjoin.py docstring.
         "x_fuzzy_join": lambda s, d: (
             lambda sides: fuzzy_join(
-                sides[0], sides[1], "id", "s", max_dist=1, q=4
+                sides[0], sides[1], "id", "s", max_dist=1
             )
         )(_linkage_sides(s, d)),
         # HTML -> text extraction over synthesized pages — Arrow-

@@ -1,7 +1,7 @@
-"""Edit-distance fuzzy join (record linkage) via prefix-filtered
-positional q-grams — the Ed-Join family (Gravano et al., VLDB 2001
-count filtering; Xiao et al., VLDB 2008 prefix filtering), expressed
-as Catalyst joins so candidate generation never goes near an
+"""Edit-distance fuzzy join (record linkage) via hashed deletion
+neighborhoods (Mor & Fraenkel, CACM 1982; Bocek et al., "Fast
+Similarity Search in Large Dictionaries" / FastSS, 2007), expressed
+as one Catalyst equi-join so candidate generation never goes near an
 all-pairs product.
 
 Reference parity note: the reference job (gluejob.py) joins only on
@@ -10,201 +10,254 @@ the approximate-match twin — matching dirty source records (typos,
 OCR noise, vendor feeds) against a clean dimension is the classic
 ingest-side linkage step the exact joins cannot express.
 
-Why not a cartesian + ``levenshtein``: at corpus scale the verify
-step must only ever see candidate slivers. The standard banding for
-edit distance is q-gram prefix filtering:
+Why deletion neighborhoods (third design; the round-11 sf10 scale
+smoke killed the first two):
 
-* Pad each string with q-1 sentinel chars on both ends and take all
-  positional q-grams; one edit operation (sub/ins/del) destroys at
-  most q of them, so ``ed(a,b) <= d`` implies the gram MULTISETS
-  overlap in at least ``max(|Ga|,|Gb|) - q*d`` grams (count filter).
-* Make multiset overlap a set problem by tokenizing each occurrence:
-  the token ``(gram, k)`` stands for "the k-th occurrence of gram" —
-  token-set intersection size equals multiset intersection size.
-* Order all tokens by ascending global document frequency (rare
-  first, ties by token). With overlap threshold
-  ``t = max(|Ga|,|Gb|) - q*d``, the classic prefix-filter theorem
-  says the first ``|G| - t + 1 <= q*d + 1`` tokens of each side must
-  share at least one token — so an equi-join on PREFIX tokens alone
-  generates every surviving pair.
-* Verify candidates with the built-in ``F.levenshtein`` (JVM-side
-  DP) after a length-band cut ``|len_a - len_b| <= d``.
+* q-gram prefix filtering (Gravano et al. VLDB 2001 + Xiao et al.
+  VLDB 2008): a fixed-q gram vocabulary is BOUNDED (10^4 digit
+  4-grams), so once the corpus outgrows it even the rarest gram's
+  document frequency grows linearly with corpus size and the gram
+  equi-join grows QUADRATICALLY. Measured: 70 s at sf1 -> 1500 s at
+  sf10 (21.4x for 10x data, over the 13x flag bar).
+* PassJoin segments (Li, Deng & Feng, PVLDB 2011): segments are
+  ~len/(d+1) chars, but a segment only carries the entropy of ITS
+  SLICE of the string. Keys that share a long low-entropy half
+  (names, cities, company prefixes — and this bench's
+  "<name>-<key>" corpus, where each name repeats across thousands
+  of keys) make one segment slot's buckets grow linearly with the
+  corpus, and that slot's join quadratically. Measured: 35 s at
+  sf0.1, 495 s at sf1 (14.2x) — executor stacks all in the
+  levenshtein verify of same-name-half candidate pairs.
+* Deletion neighborhood: index every DISTINCT value under
+  xxhash64(v') for every v' reachable by deleting UP TO d
+  characters (C(len, <=d) variants, including v itself). If
+  ed(a, b) <= d, an optimal edit script yields a common string c by
+  deleting the substituted/deleted positions from a (<= d
+  deletions) and the substituted/inserted positions from b (<= d
+  deletions) — so a and b share the variant c and the self-join on
+  the hash finds the pair. Each variant carries len-d of the
+  string's len characters — nearly ALL its entropy — so a shared
+  low-entropy half cannot saturate buckets: two values collide only
+  if they agree on everything but d deletions' worth of characters.
+  A hash bucket of size m means m values pairwise within edit
+  distance 2d (each pair linked through the shared variant by <= d
+  deletions + <= d insertions) — candidate volume is bounded by the
+  corpus's true near-clone density, which is what any EXACT edit
+  join must pay.
 
-Short-string degeneracy: when BOTH strings have at most ``q*d``
-grams (len <= q*d - q + 1; 3 chars at q=2, d=2), the count filter is
-vacuous — "a" and "b" are within distance 2 yet share zero grams, so
-no gram join can see the pair. Those rows get a separate arm:
-all-pairs over the DISTINCT short VALUES (bounded by the alphabet —
-at most |alphabet|^3 distinct strings regardless of corpus size, so
-the quadratic is over a dictionary, not the data), then mapped back
-to ids through the value table. The prefix arm still handles every
-short-vs-long pair (the long side's gram count keeps t >= 1).
+Cost contract: C(len, <=d) variants per distinct value, hashed to 8
+bytes each — len+1 at d=1, ~len^2/2 at d=2, ~len^3/6 at d=3. This
+operator is for JOIN KEYS (tens of chars), not document bodies; at
+corpus scale keep d <= 2 (a 36-char key costs 37 hashes at d=1, ~670
+at d=2). The hash join trades exactness of CANDIDATES, not of the
+answer: a cross-variant collision (expected n_variants^2 / 2^65)
+just adds one candidate for the levenshtein verify to reject.
 
-Scale shape: one shuffle builds the (gram, occ) document-frequency
-table (bounded by gram vocabulary; AQE broadcasts it back when
-small), one per-string window ranks tokens rare-first, the candidate
-join carries (token, id, key-string) rows — keys are short by
-construction (join keys, not documents), so shipping the string with
-its tokens is cheaper than joining it back per side — and the
-levenshtein verify runs as a MAP on the raw join output, so the
-pair-dedup shuffle only ever sees verified matches. Occurrence
-indices are computed array-natively over the PRE-PROJECTED gram
-array (the package HOF contract): O(len^2) per key in exchange for
-zero extra shuffles — the right trade for bounded-length keys, and
-why this operator is for keys, not document bodies.
+Exact-clone collapse first (the package-wide dedup convention — see
+queries/textops.py): candidate generation, verify, and the match
+distinct all run over the DISTINCT VALUE dictionary, never the id
+rows. Repeated key values (every real linkage corpus) therefore cost
+one dictionary entry each; each surviving VALUE pair is verified
+exactly once per shared variant; and the id-level result needs no
+distinct at all — the fan-out equi-joins at the end are
+output-bound, which is inherent (a value appearing n times on each
+side genuinely matches n^2 row pairs).
+
+No short-string arm: the deletion theorem holds at every length —
+"a" vs "" share the variant "" at d=1; the <=d-deletion set of ""
+is {""}. (Both prior designs needed a separate alphabet-bounded
+all-pairs arm below their signature floor.)
+
+Scale shape: one shuffle builds the value dictionary (distinct over
+short join keys), variant generation is a per-row projection (no
+shuffle; each level of <=d deletions is materialized in its own
+projection, per the package HOF contract), the candidate self-join
+shuffles (hash, value) rows — linear in the dictionary — the
+levenshtein verify runs as a MAP on the raw join output (banded
+O(d*len) via the threshold form), the pair distinct is
+dictionary-pair-sized, and the only corpus-sized shuffles left are
+the final fan-out equi-joins whose output is the answer itself.
 
 NULL handling (package convention): NULL strings cannot match
 anything (unknown, not empty) — they are dropped from both sides and
 never appear in the output; the empty string is a real value and
-matches within distance of other short strings.
+matches anything within distance max_dist of it.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Sentinels outside any realistic payload alphabet; q-1 copies pad
-# each end so boundary characters carry full gram weight (and every
-# non-empty string has at least q grams' worth of context).
-_PAD_L = "\x01"
-_PAD_R = "\x02"
 
-
-def _token_rows(tagged: DataFrame, q: int) -> DataFrame:
-    """(id, side, s, len, gram, occ): positional q-grams of the
-    padded string, tokenized per occurrence. The gram array is
-    materialized in its own projection FIRST, then the occurrence
-    index of element i is ``count of equal grams among the first i``
-    — a nested HOF over the projected column (never over an inline
-    expression, which interpreted HOF evaluation would recompute per
-    element). O(len^2) per string, zero shuffles."""
-    padded = F.concat(
-        F.lit(_PAD_L * (q - 1)), F.col("s"), F.lit(_PAD_R * (q - 1))
-    )
-    with_arr = tagged.select(
-        "id",
-        "side",
-        "s",
-        F.length("s").alias("len"),
+def _one_deletions(v: Column) -> Column:
+    """Array of every string reachable from ``v`` by deleting exactly
+    one character (empty array for the empty string — F.sequence(1, 0)
+    would count DOWN, not produce an empty range)."""
+    return F.when(
+        F.length(v) > 0,
         F.transform(
-            F.sequence(F.lit(1), F.length(padded) - (q - 1)),
-            lambda i: padded.substr(i, F.lit(q)),
-        ).alias("garr"),
-    )
-    tok = F.transform(
-        F.col("garr"),
-        lambda g, i: F.struct(
-            g.alias("gram"),
-            F.size(
-                F.filter(
-                    F.slice(F.col("garr"), F.lit(1), i), lambda x: x == g
-                )
-            ).alias("occ"),
+            F.sequence(F.lit(1), F.length(v)),
+            lambda p: F.concat(
+                v.substr(F.lit(1), p - 1),
+                v.substr(p + 1, F.length(v) - p),
+            ),
         ),
-    )
-    return with_arr.select(
-        "id", "side", "s", "len", F.explode(tok).alias("t")
-    ).select("id", "side", "s", "len", "t.gram", "t.occ")
+    ).otherwise(F.array().cast("array<string>"))
 
 
-def _prefix_tokens(tokens: DataFrame, q: int, max_dist: int) -> DataFrame:
-    """Tokens cut to each string's prefix: the first ``q*max_dist+1``
-    in ascending (global df, gram, occ) order. The df table is one
-    bounded aggregation (a (gram, occ) token appears at most once per
-    string, so plain count IS document frequency); ranking is a
-    window partitioned per string — tens of tokens per partition."""
-    df_tab = tokens.groupBy("gram", "occ").agg(
-        F.count(F.lit(1)).alias("df")
+def _variant_index(dv: DataFrame, max_dist: int) -> DataFrame:
+    """(s, h): every distinct value under the xxhash64 of each member
+    of its <=``max_dist``-deletion neighborhood. Level t is
+    materialized in its own projection before the next level's HOF
+    runs over it (the package HOF contract — interpreted HOF
+    evaluation would otherwise recompute the inline expression per
+    element). Levels cannot collide across each other (level t holds
+    only length len-t strings), so the union is a plain concat;
+    within a level array_distinct collapses duplicate deletions
+    (repeated characters)."""
+    df = dv.select(
+        "s", F.array("s").alias("_lvl"), F.array("s").alias("_all")
     )
-    plen = q * max_dist + 1
-    w = Window.partitionBy("id", "side").orderBy("df", "gram", "occ")
+    for _ in range(max_dist):
+        df = df.select(
+            "s",
+            F.array_distinct(
+                F.flatten(F.transform(F.col("_lvl"), _one_deletions))
+            ).alias("_lvl"),
+            "_all",
+        )
+        df = df.select(
+            "s", "_lvl", F.concat("_all", "_lvl").alias("_all")
+        )
+    return df.select(
+        "s",
+        F.explode(
+            F.transform(F.col("_all"), lambda v: F.xxhash64(v))
+        ).alias("h"),
+    )
+
+
+def _value_pairs(dv: DataFrame, max_dist: int) -> DataFrame:
+    """Distinct verified (s_lo, s_hi, dist) pairs of DIFFERENT
+    dictionary values within ``max_dist``, normalized so
+    s_lo < s_hi (the self-join condition — it also keeps equal
+    values out; clones are handled by the fan-out arms, so dist >= 1
+    here). Verify runs on the RAW join output (a map; banded DP via
+    the threshold form), so the pair distinct only shuffles true
+    matches. The length filter is a cheap cut for cross-variant hash
+    collisions (genuine shared variants imply the length gap
+    already)."""
+    var = _variant_index(dv, max_dist)
+    cand = (
+        var.alias("a")
+        .join(var.alias("b"), "h")
+        .filter(F.col("a.s") < F.col("b.s"))
+        .filter(
+            F.abs(F.length("a.s") - F.length("b.s")) <= max_dist
+        )
+    )
     return (
-        tokens.join(df_tab, ["gram", "occ"])
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= plen)
-        .drop("_rn", "df")
-    )
-
-
-def _short_value_pairs(
-    vals: DataFrame, max_dist: int, self_mode: bool
-) -> DataFrame:
-    """Verified (id_a, id_b, s_a, s_b) from the short-string arm:
-    all-pairs over DISTINCT short values (dictionary-sized — at most
-    |alphabet|**(q*d-q+1) strings exist at that length, independent
-    of corpus size), then the value-pair survivors fan back out to
-    ids. ``vals`` is (id, side, s) already cut to short rows."""
-    dv = vals.select("s").distinct()
-    pairs = (
-        dv.alias("a")
-        .join(
-            # Explicit broadcast: the short-value dictionary is
-            # alphabet-bounded, and without the hint Spark would plan
-            # this non-equi inner join as a CartesianProduct (the
-            # package-wide forbidden node) whenever stats are unknown.
-            F.broadcast(dv.alias("b")),
-            F.levenshtein(F.col("a.s"), F.col("b.s")) <= max_dist,
+        cand.filter(
+            F.levenshtein(F.col("a.s"), F.col("b.s"), max_dist) >= 0
         )
-        .select(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"))
-    )
-    left = vals.filter(F.col("side") == 0) if not self_mode else vals
-    right = vals.filter(F.col("side") == 1) if not self_mode else vals
-    out = (
-        pairs.join(
-            left.select(F.col("id").alias("id_a"),
-                        F.col("s").alias("s_a")),
-            "s_a",
+        .select(
+            F.col("a.s").alias("s_lo"), F.col("b.s").alias("s_hi")
         )
-        .join(
-            right.select(F.col("id").alias("id_b"),
-                         F.col("s").alias("s_b")),
-            "s_b",
-        )
-        .select("id_a", "id_b", "s_a", "s_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("s_lo", "s_hi"))
     )
-    if self_mode:
-        out = out.filter(F.col("id_a") < F.col("id_b"))
-    return out
 
 
 def _fuzzy_matches(
-    tagged: DataFrame, q: int, max_dist: int, self_mode: bool
+    tagged: DataFrame, max_dist: int, self_mode: bool
 ) -> DataFrame:
-    """Verified, deduplicated (id_a, id_b, s_a, s_b, dist) from both
-    arms. ``tagged`` is (id, side, s) with NULLs already dropped.
-    The levenshtein verify runs on the RAW candidate join output
-    (a map), so the distinct only shuffles true matches."""
-    toks = _prefix_tokens(_token_rows(tagged, q), q, max_dist)
-    a, b = toks.alias("a"), toks.alias("b")
-    cond = (
-        (F.col("a.gram") == F.col("b.gram"))
-        & (F.col("a.occ") == F.col("b.occ"))
-        & (F.abs(F.col("a.len") - F.col("b.len")) <= F.lit(max_dist))
-    )
-    if self_mode:
-        cond = cond & (F.col("a.id") < F.col("b.id"))
-    else:
-        cond = cond & (F.col("a.side") == 0) & (F.col("b.side") == 1)
-    pref_pairs = (
-        a.join(b, cond)
-        .filter(F.levenshtein(F.col("a.s"), F.col("b.s")) <= max_dist)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.s").alias("s_a"),
-            F.col("b.s").alias("s_b"),
+    """Verified (id_a, id_b, s_a, s_b, dist) from the value-pair
+    dictionary plus the clone arms. ``tagged`` is (id, side, s)
+    with NULLs already dropped. No id-level distinct is needed:
+    each id carries exactly one value, so every output row descends
+    from exactly one value pair (or the disjoint dist-0 clone
+    arm)."""
+    vp = _value_pairs(tagged.select("s").distinct(), max_dist)
+    # Directed copies: the left/smaller-id member may hold either
+    # value of the unordered pair.
+    vpd = vp.select(
+        F.col("s_lo").alias("s_l"), F.col("s_hi").alias("s_r"), "dist"
+    ).union(
+        vp.select(
+            F.col("s_hi").alias("s_l"),
+            F.col("s_lo").alias("s_r"),
+            "dist",
         )
     )
-    # Short-short rescue arm: both gram counts <= q*d  <=>  both
-    # lengths <= q*d - q + 1 (padded gram count = len + q - 1).
-    short_len = q * max_dist - q + 1
-    shorts = tagged.filter(F.length("s") <= short_len)
-    short_pairs = _short_value_pairs(shorts, max_dist, self_mode)
-    return (
-        pref_pairs.union(short_pairs)
-        .distinct()
-        .withColumn("dist", F.levenshtein("s_a", "s_b"))
+    if self_mode:
+        ids = tagged.select("id", "s")
+        cross = (
+            vpd.join(
+                ids.select(
+                    F.col("id").alias("id_a"), F.col("s").alias("s_l")
+                ),
+                "s_l",
+            )
+            .join(
+                ids.select(
+                    F.col("id").alias("id_b"), F.col("s").alias("s_r")
+                ),
+                "s_r",
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
+        clones = (
+            ids.alias("a")
+            .join(ids.alias("b"), "s")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("s").alias("s_l"),
+                F.col("s").alias("s_r"),
+                F.lit(0).alias("dist"),
+            )
+        )
+    else:
+        lhs = tagged.filter(F.col("side") == 0).select("id", "s")
+        rhs = tagged.filter(F.col("side") == 1).select("id", "s")
+        cross = vpd.join(
+            lhs.select(
+                F.col("id").alias("id_a"), F.col("s").alias("s_l")
+            ),
+            "s_l",
+        ).join(
+            rhs.select(
+                F.col("id").alias("id_b"), F.col("s").alias("s_r")
+            ),
+            "s_r",
+        )
+        clones = (
+            lhs.alias("a")
+            .join(rhs.alias("b"), "s")
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("s").alias("s_l"),
+                F.col("s").alias("s_r"),
+                F.lit(0).alias("dist"),
+            )
+        )
+    return cross.select(
+        "id_a",
+        "id_b",
+        F.col("s_l").alias("s_a"),
+        F.col("s_r").alias("s_b"),
+        "dist",
+    ).union(
+        clones.select(
+            "id_a",
+            "id_b",
+            F.col("s_l").alias("s_a"),
+            F.col("s_r").alias("s_b"),
+            "dist",
+        )
     )
 
 
@@ -214,7 +267,6 @@ def fuzzy_join(
     id_col: str,
     str_col: str,
     max_dist: int = 2,
-    q: int = 2,
 ) -> DataFrame:
     """Record linkage: every (left, right) row pair whose ``str_col``
     values are within Levenshtein distance ``max_dist``.
@@ -230,7 +282,7 @@ def fuzzy_join(
         F.col(id_col).alias("id"), F.lit(1).alias("side"),
         F.col(str_col).alias("s"),
     ).filter(F.col("s").isNotNull())
-    return _fuzzy_matches(lt.union(rt), q, max_dist, self_mode=False)
+    return _fuzzy_matches(lt.union(rt), max_dist, self_mode=False)
 
 
 def fuzzy_self_join(
@@ -238,7 +290,6 @@ def fuzzy_self_join(
     id_col: str,
     str_col: str,
     max_dist: int = 2,
-    q: int = 2,
 ) -> DataFrame:
     """Near-duplicate value pairs within one table: (id_a, id_b, s_a,
     s_b, dist) with id_a < id_b and levenshtein(s_a, s_b) <=
@@ -247,4 +298,4 @@ def fuzzy_self_join(
         F.col(id_col).alias("id"), F.lit(0).alias("side"),
         F.col(str_col).alias("s"),
     ).filter(F.col("s").isNotNull())
-    return _fuzzy_matches(t, q, max_dist, self_mode=True)
+    return _fuzzy_matches(t, max_dist, self_mode=True)

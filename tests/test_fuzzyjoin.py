@@ -1,7 +1,7 @@
 """Differentials for the edit-distance fuzzy join
 (queries/fuzzyjoin.py, round-11 fourth wave): exact recall AND
 precision against a brute-force all-pairs python Levenshtein oracle —
-the prefix-filter candidate generation is only correct if NO
+the PassJoin segment candidate generation is only correct if NO
 within-distance pair ever escapes it, so every test asserts full
 set equality, not containment."""
 
@@ -158,26 +158,35 @@ def test_no_cartesian_product_in_plan(spark):
     assert "CartesianProduct" not in buf.getvalue()
 
 
-@pytest.mark.parametrize("q", [3, 4])
-def test_larger_q_same_answer(spark, q):
-    """q only changes candidate generation, never the verified
-    answer (the bench entry runs q=4 for selectivity)."""
-    rows = _random_corpus(100, 21)
+@pytest.mark.parametrize("d", [1, 2])
+def test_clone_heavy_corpus(spark, d):
+    """Repeated values exercise the clone fan-out arms: candidate
+    generation and verify run over the DISTINCT value dictionary,
+    so every id-level pair (including same-value dist-0 pairs and
+    cross pairs where both members repeat) must come back from the
+    fan-out equi-joins, each exactly once."""
+    vocab = ["ship", "shop", "chip", "shi", "drop", ""]
+    rows = [(i, vocab[i % len(vocab)]) for i in range(30)]
     df = spark.createDataFrame(rows, "id int, name string")
-    a = sorted(
-        map(
-            tuple,
-            fuzzy_self_join(df, "id", "name", max_dist=2, q=2)
-            .select("id_a", "id_b")
-            .collect(),
-        )
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_self_join(df, "id", "name", max_dist=d).collect()
     )
-    b = sorted(
-        map(
-            tuple,
-            fuzzy_self_join(df, "id", "name", max_dist=2, q=q)
-            .select("id_a", "id_b")
-            .collect(),
-        )
+    assert got == brute_self(rows, d)
+
+
+def test_clone_heavy_linkage(spark):
+    """Linkage twin of the clone test: values repeating on BOTH
+    sides fan out to the full cross product per matching value pair
+    — the output contract — with no duplicates and no drops."""
+    lvals = ["lamp", "lump", "lamb", "x"]
+    rvals = ["lamp", "damp", "y", "lump"]
+    left = [(i, lvals[i % len(lvals)]) for i in range(20)]
+    right = [(i, rvals[i % len(rvals)]) for i in range(20)]
+    lt = spark.createDataFrame(left, "id int, name string")
+    rt = spark.createDataFrame(right, "id int, name string")
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_join(lt, rt, "id", "name", max_dist=1).collect()
     )
-    assert a == b
+    assert got == brute_link(left, right, 1)
