@@ -180,16 +180,26 @@ def _fuzzy_matches(
     arm)."""
     vp = _value_pairs(tagged.select("s").distinct(), max_dist)
     # Directed copies: the left/smaller-id member may hold either
-    # value of the unordered pair.
+    # value of the unordered pair. One explode over a single vp
+    # reference, NOT a union of two selects — a union duplicates the
+    # whole candidate-generation subtree, and Spark only reuses the
+    # leaf exchange, so the hash self-join + levenshtein verify +
+    # pair distinct would all execute twice.
     vpd = vp.select(
-        F.col("s_lo").alias("s_l"), F.col("s_hi").alias("s_r"), "dist"
-    ).union(
-        vp.select(
-            F.col("s_hi").alias("s_l"),
-            F.col("s_lo").alias("s_r"),
-            "dist",
-        )
-    )
+        "dist",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s_lo").alias("s_l"),
+                    F.col("s_hi").alias("s_r"),
+                ),
+                F.struct(
+                    F.col("s_hi").alias("s_l"),
+                    F.col("s_lo").alias("s_r"),
+                ),
+            )
+        ).alias("_p"),
+    ).select("_p.s_l", "_p.s_r", "dist")
     if self_mode:
         ids = tagged.select("id", "s")
         cross = (
@@ -273,7 +283,9 @@ def fuzzy_join(
 
     Returns (id_a, id_b, s_a, s_b, dist) where a is the left side —
     payload-free (join the ids back for more columns). ids must be
-    unique per side."""
+    unique per side: the fan-out joins emit one row per id pair
+    only because each id carries one value row — duplicated (id, s)
+    input rows would multiply output pairs, not dedup them."""
     lt = left.select(
         F.col(id_col).alias("id"), F.lit(0).alias("side"),
         F.col(str_col).alias("s"),
@@ -293,7 +305,8 @@ def fuzzy_self_join(
 ) -> DataFrame:
     """Near-duplicate value pairs within one table: (id_a, id_b, s_a,
     s_b, dist) with id_a < id_b and levenshtein(s_a, s_b) <=
-    max_dist. The dedup-by-name / conform-the-dimension shape."""
+    max_dist. The dedup-by-name / conform-the-dimension shape.
+    ids must be unique (see fuzzy_join)."""
     t = df.select(
         F.col(id_col).alias("id"), F.lit(0).alias("side"),
         F.col(str_col).alias("s"),

@@ -114,6 +114,13 @@ def iter_warc_records(data: bytes, strict: bool = False) -> Iterator[dict]:
             if strict:
                 raise ValueError("missing Content-Length")
             return
+        if length < 0:
+            # A negative length would move pos BACKWARDS and re-parse
+            # the same record forever — one corrupt/malicious record
+            # must not hang a task that parses untrusted crawl bytes.
+            if strict:
+                raise ValueError("negative Content-Length")
+            return
         body_start = head_end + 4
         if body_start + length > n:
             if strict:

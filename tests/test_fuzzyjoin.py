@@ -1,8 +1,8 @@
 """Differentials for the edit-distance fuzzy join
 (queries/fuzzyjoin.py, round-11 fourth wave): exact recall AND
 precision against a brute-force all-pairs python Levenshtein oracle —
-the PassJoin segment candidate generation is only correct if NO
-within-distance pair ever escapes it, so every test asserts full
+the deletion-neighborhood candidate generation is only correct if
+NO within-distance pair ever escapes it, so every test asserts full
 set equality, not containment."""
 
 from __future__ import annotations
@@ -62,7 +62,7 @@ EDGE_ROWS = [
     (7, ""),
     (8, None),
     (9, "kitten"),  # exact duplicate value, distinct id
-    (10, "banana"),  # repeated grams ("an" x2) exercise occ tokens
+    (10, "banana"),  # repeated chars: duplicate deletions hit array_distinct
     (11, "bananas"),
     (12, "bandana"),
     (13, "café"),  # multibyte: JVM and python must both count
@@ -145,9 +145,9 @@ def test_linkage_matches_brute_force(spark):
 
 
 def test_no_cartesian_product_in_plan(spark):
-    """The short-string rescue arm must plan as a broadcast
-    nested-loop over the value dictionary, never as the package-wide
-    forbidden CartesianProduct."""
+    """The whole operator is equi-joins on hashed deletion
+    variants — the package-wide forbidden CartesianProduct must never
+    appear anywhere in its plan."""
     import contextlib
     import io
 

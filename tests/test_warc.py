@@ -190,3 +190,19 @@ def test_record_iterator_is_linear_in_file_size():
     n = sum(1 for _ in iter_warc_records(data))
     assert n == 20_000
     assert time.perf_counter() - t0 < 5.0
+
+
+def test_negative_content_length_cannot_hang():
+    """A corrupt/malicious record claiming a negative Content-Length
+    must not move the parse offset backwards (which would re-parse
+    the same record forever inside a Spark task): tolerant mode stops
+    at it, strict mode raises."""
+    good = build_warc(_fixture_records())
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:bad>\r\nContent-Length: -75\r\n\r\n"
+    )
+    data = good + bad
+    assert len(list(iter_warc_records(data))) == len(_fixture_records())
+    with pytest.raises(ValueError):
+        list(iter_warc_records(data, strict=True))
