@@ -290,11 +290,16 @@ _WARC_FIXTURES: dict[str, str] = {}
 
 
 def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Synthetic crawl fixture: the documents table serialized to 8
+    """Synthetic crawl fixture: the documents table serialized to
     WARC files (http-response records, Content-Length framing built
     Catalyst-side with octet_length) via the distributed text sink.
     Built once per process per sf — first rep pays the write,
-    best-of-reps times the parse (the x_cdc_apply lake pattern)."""
+    best-of-reps times the parse (the x_cdc_apply lake pattern).
+    File count scales with the corpus above 50k docs (~6250
+    records/file) because that is the format's real-world invariant:
+    crawls bound FILE SIZE and grow file COUNT (Common Crawl: ~90k
+    files of ~1 GB), so the file-per-task parallelism story must not
+    degenerate into 8 multi-GB files at sf100."""
     import atexit
     import shutil
     import tempfile
@@ -324,7 +329,8 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         http,
         F.lit("\r\n"),  # text sink's trailing LF completes the pair
     )
-    docs.select(rec.alias("value")).repartition(8).write.mode(
+    n_files = max(8, -(-docs.count() // 6250))
+    docs.select(rec.alias("value")).repartition(n_files).write.mode(
         "overwrite"
     ).text(d)
     _WARC_FIXTURES[sf_dir] = d

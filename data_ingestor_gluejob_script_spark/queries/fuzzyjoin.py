@@ -72,11 +72,15 @@ Scale shape: one shuffle builds the value dictionary (distinct over
 short join keys), variant generation is a per-row projection (no
 shuffle; each level of <=d deletions is materialized in its own
 projection, per the package HOF contract), the candidate self-join
-shuffles (hash, value) rows — linear in the dictionary — the
-levenshtein verify runs as a MAP on the raw join output (banded
-O(d*len) via the threshold form), the pair distinct is
-dictionary-pair-sized, and the only corpus-sized shuffles left are
-the final fan-out equi-joins whose output is the answer itself.
+shuffles COMPACT (vid, len, hash) rows — 16 bytes each, linear in
+the dictionary; the strings themselves never ride the variant
+shuffle (shipping ~40-char keys there is ~4x the bytes and is what
+filled the disk on the sf100 smoke). Candidate vid pairs are
+DISTINCT'd while still 16-byte rows (a true pair shares up to
+C(len,<=d) variants), the strings join back at candidate-pair size,
+the levenshtein verify is a map (banded O(d*len) via the threshold
+form), and the only corpus-sized shuffles left are the final
+fan-out equi-joins whose output is the answer itself.
 
 NULL handling (package convention): NULL strings cannot match
 anything (unknown, not empty) — they are dropped from both sides and
@@ -106,32 +110,43 @@ def _one_deletions(v: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _variant_index(dv: DataFrame, max_dist: int) -> DataFrame:
-    """(s, h): every distinct value under the xxhash64 of each member
-    of its <=``max_dist``-deletion neighborhood. Level t is
-    materialized in its own projection before the next level's HOF
-    runs over it (the package HOF contract — interpreted HOF
-    evaluation would otherwise recompute the inline expression per
-    element). Levels cannot collide across each other (level t holds
-    only length len-t strings), so the union is a plain concat;
-    within a level array_distinct collapses duplicate deletions
-    (repeated characters)."""
-    df = dv.select(
-        "s", F.array("s").alias("_lvl"), F.array("s").alias("_all")
+def _variant_index(keyed: DataFrame, max_dist: int) -> DataFrame:
+    """(vid, len, h): every dictionary value — pre-keyed as
+    (vid, s) — under the xxhash64 of each member of its
+    <=``max_dist``-deletion neighborhood. The variant rows carry the
+    COMPACT id and length, never the string: at corpus scale this
+    shuffle is the operator's bulk (C(len, <=d) rows per value), and
+    shipping ~40-char keys through it is ~4x the bytes of
+    (vid, len, h) — the sf100 decade-3 smoke filled the host's disk
+    with exactly that spill. Level t is materialized in its own
+    projection before the next level's HOF runs over it (the package
+    HOF contract — interpreted HOF evaluation would otherwise
+    recompute the inline expression per element). Levels cannot
+    collide across each other (level t holds only length len-t
+    strings), so the union is a plain concat; within a level
+    array_distinct collapses duplicate deletions (repeated
+    characters)."""
+    df = keyed.select(
+        "vid",
+        F.length("s").alias("len"),
+        F.array("s").alias("_lvl"),
+        F.array("s").alias("_all"),
     )
     for _ in range(max_dist):
         df = df.select(
-            "s",
+            "vid",
+            "len",
             F.array_distinct(
                 F.flatten(F.transform(F.col("_lvl"), _one_deletions))
             ).alias("_lvl"),
             "_all",
         )
         df = df.select(
-            "s", "_lvl", F.concat("_all", "_lvl").alias("_all")
+            "vid", "len", "_lvl", F.concat("_all", "_lvl").alias("_all")
         )
     return df.select(
-        "s",
+        "vid",
+        "len",
         F.explode(
             F.transform(F.col("_all"), lambda v: F.xxhash64(v))
         ).alias("h"),
@@ -141,31 +156,51 @@ def _variant_index(dv: DataFrame, max_dist: int) -> DataFrame:
 def _value_pairs(dv: DataFrame, max_dist: int) -> DataFrame:
     """Distinct verified (s_lo, s_hi, dist) pairs of DIFFERENT
     dictionary values within ``max_dist``, normalized so
-    s_lo < s_hi (the self-join condition — it also keeps equal
-    values out; clones are handled by the fan-out arms, so dist >= 1
-    here). Verify runs on the RAW join output (a map; banded DP via
-    the threshold form), so the pair distinct only shuffles true
-    matches. The length filter is a cheap cut for cross-variant hash
-    collisions (genuine shared variants imply the length gap
-    already)."""
-    var = _variant_index(dv, max_dist)
+    s_lo < s_hi. Shape: key the dictionary with a compact vid
+    (xxhash64 of the value — collision-free in practice, and a
+    collision only merges two dictionary entries, dropping their
+    pair, at ~n^2/2^65 odds); self-join the (vid, len, h) variant
+    index on the hash (vid order dedups the unordered pair and keeps
+    equal values out — clones are handled by the fan-out arms, so
+    dist >= 1 here); DISTINCT the candidate vid pairs (a true pair
+    shares up to C(len,<=d) variants — dedup BEFORE the strings come
+    back, on 16-byte rows); join the strings back (candidate-pair
+    sized, dictionary-keyed); verify with banded levenshtein (the
+    threshold form). The length filter inside the join is a cheap
+    cut for cross-variant hash collisions (genuine shared variants
+    imply the length gap already)."""
+    keyed = dv.select(F.xxhash64("s").alias("vid"), "s")
+    var = _variant_index(keyed, max_dist)
     cand = (
         var.alias("a")
         .join(var.alias("b"), "h")
-        .filter(F.col("a.s") < F.col("b.s"))
+        .filter(F.col("a.vid") < F.col("b.vid"))
         .filter(
-            F.abs(F.length("a.s") - F.length("b.s")) <= max_dist
-        )
-    )
-    return (
-        cand.filter(
-            F.levenshtein(F.col("a.s"), F.col("b.s"), max_dist) >= 0
+            F.abs(F.col("a.len") - F.col("b.len")) <= max_dist
         )
         .select(
-            F.col("a.s").alias("s_lo"), F.col("b.s").alias("s_hi")
+            F.col("a.vid").alias("vid_a"), F.col("b.vid").alias("vid_b")
         )
         .distinct()
-        .withColumn("dist", F.levenshtein("s_lo", "s_hi"))
+    )
+    pairs = cand.join(
+        keyed.select(
+            F.col("vid").alias("vid_a"), F.col("s").alias("sa")
+        ),
+        "vid_a",
+    ).join(
+        keyed.select(
+            F.col("vid").alias("vid_b"), F.col("s").alias("sb")
+        ),
+        "vid_b",
+    )
+    return (
+        pairs.filter(F.levenshtein("sa", "sb", max_dist) >= 0)
+        .select(
+            F.least("sa", "sb").alias("s_lo"),
+            F.greatest("sa", "sb").alias("s_hi"),
+            F.levenshtein("sa", "sb").alias("dist"),
+        )
     )
 
 

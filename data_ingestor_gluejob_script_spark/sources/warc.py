@@ -178,10 +178,36 @@ def read_warc(
     the raw record body otherwise."""
     kept = {t.lower() for t in types} if types else None
     files = spark.read.format("binaryFile").load(path)
+    cols = [
+        "file",
+        "record_id",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "content_type",
+        "http_status",
+        "http_content_type",
+        "payload",
+    ]
+    # Flush the output frame every ~this many payload bytes (or
+    # records, whichever trips first): a task's resident set must be
+    # bounded by the CHUNK, not the FILE — one pandas frame per input
+    # file holds every page of a multi-GB crawl file at once, which
+    # the sf100 scale smoke measured as a straight JVM OOM.
+    chunk_bytes = 64 << 20
+    chunk_rows = 10_000
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: list[tuple] = []
+        held = 0
+
+        def flush() -> pd.DataFrame:
+            nonlocal out, held
+            frame = pd.DataFrame(out, columns=cols)
+            out, held = [], 0
+            return frame
+
         for batch in batches:
-            out: list[tuple] = []
             for fname, raw in zip(batch["path"], batch["content"]):
                 data = _decompress(fname, bytes(raw))
                 for rec in iter_warc_records(data, strict=strict):
@@ -207,20 +233,10 @@ def read_warc(
                             body,
                         )
                     )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "file",
-                    "record_id",
-                    "warc_type",
-                    "target_uri",
-                    "warc_date",
-                    "content_type",
-                    "http_status",
-                    "http_content_type",
-                    "payload",
-                ],
-            )
+                    held += len(body)
+                    if held >= chunk_bytes or len(out) >= chunk_rows:
+                        yield flush()
+        yield flush()
 
     return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
 
