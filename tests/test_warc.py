@@ -206,3 +206,33 @@ def test_negative_content_length_cannot_hang():
     assert len(list(iter_warc_records(data))) == len(_fixture_records())
     with pytest.raises(ValueError):
         list(iter_warc_records(data, strict=True))
+
+
+def test_chunked_generator_flush_boundary(spark, tmp_path):
+    """The parse generator flushes every 10k records (bounding task
+    memory by the chunk, not the file — the sf100 OOM fix); a file
+    crossing that boundary must come back complete and exact, with
+    no row lost or duplicated at the flush edge."""
+    n = 10_050
+    recs = [
+        {
+            "warc_type": "response",
+            "record_id": f"<urn:doc:{i}>",
+            "target_uri": f"http://x/{i}",
+            "payload": f"body {i}".encode(),
+            "http": True,
+        }
+        for i in range(n)
+    ]
+    p = tmp_path / "big.warc"
+    p.write_bytes(build_warc(recs))
+    got = (
+        read_warc(spark, str(tmp_path))
+        .select("record_id", "payload")
+        .collect()
+    )
+    assert len(got) == n
+    ids = sorted(int(r.record_id[9:-1]) for r in got)
+    assert ids == list(range(n))
+    by_id = {r.record_id: bytes(r.payload) for r in got}
+    assert by_id["<urn:doc:10049>"] == b"body 10049"
