@@ -25,9 +25,13 @@ shuffle.
 
 Gzip: WARC gz files are MULTI-MEMBER (one deflate member per record,
 by spec recommendation, so HTTP range readers can seek); decoding
-uses ``gzip.GzipFile`` over the raw bytes, which iterates members —
-``gzip.decompress`` semantics (all members) without materializing
-the file twice.
+streams through ``gzip.GzipFile`` (which iterates members) in bounded
+windows — the DECOMPRESSED file is never materialized as one bytes
+object, so a ~1 GB crawl gz that expands to several GB costs one
+window (8 MB) plus the largest single record, not the expansion.
+Honest bound: ``binaryFile`` still hands the task the COMPRESSED
+bytes whole, so task resident set is O(compressed file) + O(window +
+largest record), not O(decompressed file).
 
 NULL handling: a record missing an optional header (URI, date,
 content type) carries NULL in that column; a truncated trailing
@@ -75,39 +79,78 @@ def _parse_headers(block: bytes) -> dict:
     return headers
 
 
-def iter_warc_records(data: bytes, strict: bool = False) -> Iterator[dict]:
-    """Sequential record iterator over one (decompressed) WARC file.
+def iter_warc_stream(
+    reader, strict: bool = False, window: int = 8 << 20
+) -> Iterator[dict]:
+    """Sequential record iterator over a file-like reader of WARC
+    bytes (plain file or a ``gzip.GzipFile`` over the raw gz bytes).
 
     Offset-driven: find the version line, parse headers up to the
     blank line, slice exactly Content-Length payload bytes, skip the
     two record-separator CRLFs. Payloads containing ``WARC/1.0``
-    cannot confuse the framing."""
+    cannot confuse the framing.
+
+    Memory contract: the parse buffer holds at most one ``window``
+    plus the record currently being assembled — the decompressed file
+    is never resident whole (round-12 fix; the round-11 version
+    ``f.read()`` the entire expansion, O(decompressed file) per
+    task). The consumed prefix is compacted only inside ``_fill`` so
+    the copy cost stays amortized O(n), not O(n^2/window)."""
+    buf = bytearray()
     pos = 0
-    n = len(data)
-    while pos < n:
+    eof = False
+
+    def fill() -> bool:
+        """Drop the consumed prefix, read one more window. False once
+        the reader is exhausted. Compaction resets pos to 0 — callers
+        must re-derive any offset they held across a fill."""
+        nonlocal buf, pos, eof
+        if eof:
+            return False
+        if pos:
+            del buf[:pos]
+            pos = 0
+        chunk = reader.read(window)
+        if not chunk:
+            eof = True
+            return False
+        buf += chunk
+        return True
+
+    while True:
         # Tolerate leading separator debris between records: the
         # spec's record-separator CRLFs, plus bare LFs so that
         # line-oriented writers (Spark's text sink appends one LF per
         # row) can emit valid-enough fixtures.
-        while pos < n and data[pos] in (0x0D, 0x0A):
-            pos += 1
-        if pos >= n:
+        while True:
+            while pos < len(buf) and buf[pos] in (0x0D, 0x0A):
+                pos += 1
+            if pos < len(buf) or not fill():
+                break
+        # Make sure a window edge mid-"WARC/" can't masquerade as a
+        # bad record start.
+        while len(buf) - pos < 5 and fill():
+            pass
+        if pos >= len(buf):
             return
-        # startswith with an explicit offset — slicing data[pos:]
-        # here would copy the whole remaining file per record, an
-        # O(file^2) parse the sf10 scale smoke caught (240x for 10x
-        # data on the fixed-8-file fixture).
-        if not data.startswith(b"WARC/", pos):
+        # startswith with an explicit offset — slicing buf[pos:]
+        # here would copy the whole remaining buffer per record, the
+        # O(file^2) parse shape the sf10 scale smoke caught (240x for
+        # 10x data on the fixed-8-file fixture).
+        if not buf.startswith(b"WARC/", pos):
             if strict:
                 raise ValueError(f"bad record start at offset {pos}")
             return
-        head_end = data.find(_CRLF2, pos)
+        while True:
+            head_end = buf.find(_CRLF2, pos)
+            if head_end >= 0 or not fill():
+                break
         if head_end < 0:
             if strict:
                 raise ValueError("truncated header block")
             return
-        ver_end = data.find(b"\r\n", pos)
-        headers = _parse_headers(data[ver_end + 2 : head_end])
+        ver_end = buf.find(b"\r\n", pos)
+        headers = _parse_headers(bytes(buf[ver_end + 2 : head_end]))
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
@@ -121,16 +164,34 @@ def iter_warc_records(data: bytes, strict: bool = False) -> Iterator[dict]:
             if strict:
                 raise ValueError("negative Content-Length")
             return
-        body_start = head_end + 4
-        if body_start + length > n:
-            if strict:
-                raise ValueError("truncated payload")
-            return
+        # Consume exactly `length` payload bytes, refilling across
+        # window edges; the consumed header is released at the next
+        # fill's compaction.
+        pos = head_end + 4
+        need = length
+        parts: list[bytes] = []
+        while True:
+            take = min(len(buf) - pos, need)
+            parts.append(bytes(buf[pos : pos + take]))
+            pos += take
+            need -= take
+            if need == 0:
+                break
+            if not fill():
+                if strict:
+                    raise ValueError("truncated payload")
+                return
         yield {
             "headers": headers,
-            "payload": data[body_start : body_start + length],
+            "payload": parts[0] if len(parts) == 1 else b"".join(parts),
         }
-        pos = body_start + length
+
+
+def iter_warc_records(data: bytes, strict: bool = False) -> Iterator[dict]:
+    """In-memory convenience twin of :func:`iter_warc_stream` (test
+    fixtures, small buffers). Identical tolerant/strict semantics —
+    it IS the stream iterator over a BytesIO."""
+    yield from iter_warc_stream(io.BytesIO(data), strict=strict)
 
 
 def split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
@@ -152,31 +213,33 @@ def split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
     return status, headers.get("content-type"), payload[head_end + 4 :]
 
 
-def _decompress(name: str, raw: bytes) -> bytes:
+def _open_stream(name: str, raw: bytes):
+    """Reader over the (possibly gzipped) raw bytes. GzipFile
+    iterates ALL gzip members (WARC gz is one member per record) and
+    streams — the decompressed expansion is pulled window-at-a-time
+    by iter_warc_stream, never materialized whole."""
     if name.endswith(".gz"):
-        # GzipFile iterates ALL gzip members (WARC gz is one member
-        # per record); gzip.decompress would also work but GzipFile
-        # streams from the buffer we already hold.
-        with gzip.GzipFile(fileobj=io.BytesIO(raw)) as f:
-            return f.read()
-    return raw
+        return gzip.GzipFile(fileobj=io.BytesIO(raw))
+    return io.BytesIO(raw)
 
 
 def read_warc(
     spark: SparkSession,
     path: str,
-    types: Iterable[str] = ("response",),
+    types: Iterable[str] | None = ("response",),
     max_payload: int | None = None,
     strict: bool = False,
 ) -> DataFrame:
     """Directory (or glob) of .warc / .warc.gz files -> one row per
     WARC record of a kept ``warc_type``, HTTP envelope split off.
 
-    ``max_payload`` drops over-sized record bodies at parse time
-    (before any shuffle) — the standard crawl-hygiene cut. Columns:
-    see WARC_SCHEMA; ``payload`` is the HTTP BODY for http responses,
-    the raw record body otherwise."""
-    kept = {t.lower() for t in types} if types else None
+    ``types=None`` keeps ALL record types; an EMPTY collection keeps
+    none (an empty filter means filter-everything, it does not
+    silently widen to keep-all). ``max_payload`` drops over-sized
+    record bodies at parse time (before any shuffle) — the standard
+    crawl-hygiene cut. Columns: see WARC_SCHEMA; ``payload`` is the
+    HTTP BODY for http responses, the raw record body otherwise."""
+    kept = None if types is None else {t.lower() for t in types}
     files = spark.read.format("binaryFile").load(path)
     cols = [
         "file",
@@ -209,8 +272,8 @@ def read_warc(
 
         for batch in batches:
             for fname, raw in zip(batch["path"], batch["content"]):
-                data = _decompress(fname, bytes(raw))
-                for rec in iter_warc_records(data, strict=strict):
+                stream = _open_stream(fname, bytes(raw))
+                for rec in iter_warc_stream(stream, strict=strict):
                     h = rec["headers"]
                     wtype = h.get("warc-type", "").lower()
                     if kept is not None and wtype not in kept:
@@ -242,13 +305,27 @@ def read_warc(
 
 
 def warc_text(records: DataFrame, encoding: str = "utf-8") -> DataFrame:
-    """records + ``text`` column: payload decoded (errors=replace) —
-    the handoff into htmlextract/textnorm. Map-only."""
+    """records + ``text`` column: payload decoded with
+    errors='replace' — the handoff into htmlextract/textnorm.
+    Map-only, Arrow-batched.
+
+    Why not ``F.decode``: Spark 4 raises MALFORMED_CHARACTER_CODING
+    on any malformed byte instead of substituting U+FFFD, so a single
+    legacy-charset / binary / gzip body in a real crawl would abort
+    the whole job (round-12 ADVICE fix). Real crawl payloads are
+    routinely NOT valid UTF-8; replacement is the only semantics a
+    curation pipeline can run with."""
     from pyspark.sql import functions as F
 
-    return records.withColumn(
-        "text", F.decode(F.col("payload"), encoding)
-    )
+    @F.pandas_udf("string")
+    def _decode_replace(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda b: None
+            if b is None
+            else bytes(b).decode(encoding, "replace")
+        )
+
+    return records.withColumn("text", _decode_replace(F.col("payload")))
 
 
 def build_warc(records: Iterable[dict], gz: bool = False) -> bytes:
