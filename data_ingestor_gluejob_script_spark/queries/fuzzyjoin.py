@@ -80,7 +80,11 @@ DISTINCT'd while still 16-byte rows (a true pair shares up to
 C(len,<=d) variants), the strings join back at candidate-pair size,
 the levenshtein verify is a map (banded O(d*len) via the threshold
 form), and the only corpus-sized shuffles left are the final
-fan-out equi-joins whose output is the answer itself.
+fan-out equi-joins whose output is the answer itself. When the
+candidate shuffle's scratch exceeds the host (the sf100 decade-3
+smoke: 60+ GB vs 57 GB local disk), ``passes=B`` shards candidate
+generation into B sequential pmod(h, B) passes — identical result,
+~1/B peak scratch; see _value_pairs.
 
 NULL handling (package convention): NULL strings cannot match
 anything (unknown, not empty) — they are dropped from both sides and
@@ -89,6 +93,10 @@ matches anything within distance max_dist of it.
 """
 
 from __future__ import annotations
+
+import gc
+import os
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -153,7 +161,27 @@ def _variant_index(keyed: DataFrame, max_dist: int) -> DataFrame:
     )
 
 
-def _value_pairs(dv: DataFrame, max_dist: int) -> DataFrame:
+def _candidate_vid_pairs(var: DataFrame, max_dist: int) -> DataFrame:
+    """Distinct unordered candidate (vid_a, vid_b) pairs from one
+    slice of the (vid, len, h) variant index: self-join on the
+    variant hash (vid order dedups the unordered pair and keeps
+    equal values out), length gap as a cheap cross-collision cut,
+    DISTINCT while the rows are still 16 bytes."""
+    return (
+        var.alias("a")
+        .join(var.alias("b"), "h")
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .filter(F.abs(F.col("a.len") - F.col("b.len")) <= max_dist)
+        .select(
+            F.col("a.vid").alias("vid_a"), F.col("b.vid").alias("vid_b")
+        )
+        .distinct()
+    )
+
+
+def _value_pairs(
+    dv: DataFrame, max_dist: int, passes: int = 1
+) -> DataFrame:
     """Distinct verified (s_lo, s_hi, dist) pairs of DIFFERENT
     dictionary values within ``max_dist``, normalized so
     s_lo < s_hi. Shape: key the dictionary with a compact vid
@@ -168,21 +196,46 @@ def _value_pairs(dv: DataFrame, max_dist: int) -> DataFrame:
     sized, dictionary-keyed); verify with banded levenshtein (the
     threshold form). The length filter inside the join is a cheap
     cut for cross-variant hash collisions (genuine shared variants
-    imply the length gap already)."""
+    imply the length gap already).
+
+    ``passes`` > 1 shards candidate generation into B SEQUENTIAL
+    hash-prefix passes over the variant space (the round-11 sf100
+    scratch fix): pass i keeps only variants with
+    ``pmod(h, B) == i``, so the per-pass self-join shuffle writes
+    ~1/B of the candidate scratch. The result is provably identical
+    for any B — a pair is found iff the two values share a variant
+    hash, every hash lives in exactly one class, and the match
+    predicate is per-pair — a pair sharing variants in several
+    classes just surfaces in several passes, which the final
+    candidate-pair distinct collapses. Each pass is materialized
+    eagerly (localCheckpoint, candidate-pair-sized) and its
+    shuffle-heavy lineage is released before the next pass starts,
+    so peak shuffle scratch is one pass's, not the sum."""
     keyed = dv.select(F.xxhash64("s").alias("vid"), "s")
+    if passes > 1:
+        # One shuffle builds the dictionary; B passes re-read it from
+        # the block manager instead of re-running the distinct.
+        keyed = keyed.localCheckpoint()
     var = _variant_index(keyed, max_dist)
-    cand = (
-        var.alias("a")
-        .join(var.alias("b"), "h")
-        .filter(F.col("a.vid") < F.col("b.vid"))
-        .filter(
-            F.abs(F.col("a.len") - F.col("b.len")) <= max_dist
-        )
-        .select(
-            F.col("a.vid").alias("vid_a"), F.col("b.vid").alias("vid_b")
-        )
-        .distinct()
-    )
+    if passes <= 1:
+        cand = _candidate_vid_pairs(var, max_dist)
+    else:
+        shards = []
+        for i in range(passes):
+            part = _candidate_vid_pairs(
+                var.filter(F.pmod(F.col("h"), F.lit(passes)) == i),
+                max_dist,
+            ).localCheckpoint()  # eager: the pass job runs HERE
+            shards.append(part)
+            # Release this pass's self-join shuffle files before the
+            # next pass writes its own: the pre-checkpoint plan is
+            # now unreferenced Python-side; a GC nudge on both sides
+            # lets ContextCleaner delete the shuffle data (otherwise
+            # B passes still accumulate B passes' scratch and the
+            # sharding buys nothing).
+            gc.collect()
+            part.sparkSession._jvm.System.gc()
+        cand = reduce(DataFrame.union, shards).distinct()
     pairs = cand.join(
         keyed.select(
             F.col("vid").alias("vid_a"), F.col("s").alias("sa")
@@ -204,8 +257,20 @@ def _value_pairs(dv: DataFrame, max_dist: int) -> DataFrame:
     )
 
 
+def _resolve_passes(passes: int | None) -> int:
+    """None -> $SPARK_GRAFT_FUZZY_PASSES (default 1). The env seam
+    lets the scale smoke run the sf100 sharded form without touching
+    the registered query's call site; any B yields identical rows."""
+    if passes is None:
+        return max(1, int(os.environ.get("SPARK_GRAFT_FUZZY_PASSES", "1")))
+    return max(1, passes)
+
+
 def _fuzzy_matches(
-    tagged: DataFrame, max_dist: int, self_mode: bool
+    tagged: DataFrame,
+    max_dist: int,
+    self_mode: bool,
+    passes: int | None = None,
 ) -> DataFrame:
     """Verified (id_a, id_b, s_a, s_b, dist) from the value-pair
     dictionary plus the clone arms. ``tagged`` is (id, side, s)
@@ -213,7 +278,11 @@ def _fuzzy_matches(
     each id carries exactly one value, so every output row descends
     from exactly one value pair (or the disjoint dist-0 clone
     arm)."""
-    vp = _value_pairs(tagged.select("s").distinct(), max_dist)
+    vp = _value_pairs(
+        tagged.select("s").distinct(),
+        max_dist,
+        passes=_resolve_passes(passes),
+    )
     # Directed copies: the left/smaller-id member may hold either
     # value of the unordered pair. One explode over a single vp
     # reference, NOT a union of two selects — a union duplicates the
@@ -312,6 +381,7 @@ def fuzzy_join(
     id_col: str,
     str_col: str,
     max_dist: int = 2,
+    passes: int | None = None,
 ) -> DataFrame:
     """Record linkage: every (left, right) row pair whose ``str_col``
     values are within Levenshtein distance ``max_dist``.
@@ -320,7 +390,11 @@ def fuzzy_join(
     payload-free (join the ids back for more columns). ids must be
     unique per side: the fan-out joins emit one row per id pair
     only because each id carries one value row — duplicated (id, s)
-    input rows would multiply output pairs, not dedup them."""
+    input rows would multiply output pairs, not dedup them.
+    ``passes`` shards candidate generation into B sequential
+    hash-prefix passes (identical result, ~1/B peak shuffle scratch
+    — the 100-TB / tight-scratch knob); None reads
+    $SPARK_GRAFT_FUZZY_PASSES, default 1."""
     lt = left.select(
         F.col(id_col).alias("id"), F.lit(0).alias("side"),
         F.col(str_col).alias("s"),
@@ -329,7 +403,9 @@ def fuzzy_join(
         F.col(id_col).alias("id"), F.lit(1).alias("side"),
         F.col(str_col).alias("s"),
     ).filter(F.col("s").isNotNull())
-    return _fuzzy_matches(lt.union(rt), max_dist, self_mode=False)
+    return _fuzzy_matches(
+        lt.union(rt), max_dist, self_mode=False, passes=passes
+    )
 
 
 def fuzzy_self_join(
@@ -337,13 +413,15 @@ def fuzzy_self_join(
     id_col: str,
     str_col: str,
     max_dist: int = 2,
+    passes: int | None = None,
 ) -> DataFrame:
     """Near-duplicate value pairs within one table: (id_a, id_b, s_a,
     s_b, dist) with id_a < id_b and levenshtein(s_a, s_b) <=
     max_dist. The dedup-by-name / conform-the-dimension shape.
-    ids must be unique (see fuzzy_join)."""
+    ids must be unique (see fuzzy_join); ``passes`` as in
+    fuzzy_join."""
     t = df.select(
         F.col(id_col).alias("id"), F.lit(0).alias("side"),
         F.col(str_col).alias("s"),
     ).filter(F.col("s").isNotNull())
-    return _fuzzy_matches(t, max_dist, self_mode=True)
+    return _fuzzy_matches(t, max_dist, self_mode=True, passes=passes)

@@ -190,3 +190,34 @@ def test_clone_heavy_linkage(spark):
         for r in fuzzy_join(lt, rt, "id", "name", max_dist=1).collect()
     )
     assert got == brute_link(left, right, 1)
+
+
+@pytest.mark.parametrize("passes", [2, 3, 7])
+def test_sharded_passes_identical(spark, passes):
+    """The B-pass hash-prefix sharding (round-12 sf100 scratch fix)
+    must be result-identical to the one-shot form for any B: a pair
+    is found iff it shares a variant hash, each hash lives in exactly
+    one pmod class, and cross-pass duplicates die in the final
+    candidate distinct. Full brute-force equality, both surfaces."""
+    rows = _random_corpus(100, seed=passes)
+    df = spark.createDataFrame(rows, "id int, name string")
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_self_join(
+            df, "id", "name", max_dist=2, passes=passes
+        ).collect()
+    )
+    assert got == brute_self(rows, 2)
+
+
+def test_passes_env_seam(spark, monkeypatch):
+    """passes=None reads $SPARK_GRAFT_FUZZY_PASSES — the scale-smoke
+    seam — and still matches brute force."""
+    monkeypatch.setenv("SPARK_GRAFT_FUZZY_PASSES", "4")
+    rows = _random_corpus(80, seed=11)
+    df = spark.createDataFrame(rows, "id int, name string")
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_self_join(df, "id", "name", max_dist=1).collect()
+    )
+    assert got == brute_self(rows, 1)
