@@ -414,6 +414,244 @@ def gopher_filter(
 
 
 # ---------------------------------------------------------------------------
+# Gopher QUALITY rules (Rae et al. 2021, appendix A1.1) — the
+# non-repetition half of the Gopher filter battery, beside the
+# repetition family above. Defaults are the published thresholds; the
+# frame exposes the raw (rounded) metrics so callers can recut.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.1
+GOPHER_MAX_BULLET_LINE_FRAC = 0.90
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.30
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
+GOPHER_MIN_STOP_WORD_HITS = 2
+# the paper's required-stop-word list (>= 2 must appear as tokens)
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# single-char bullet markers a line may start with (after space-ltrim)
+GOPHER_BULLET_PREFIXES = ("•", "‣", "▪", "-", "*")
+
+
+def _gopher_quality_metrics(text: Column, delim: str) -> list[Column]:
+    """The staging projection for the quality battery: the
+    pre-projected token/line arrays plus the scalar char counts, all
+    computed ONCE (textops HOF contract — every downstream metric
+    reads the bound arrays, never re-splits)."""
+    raw = F.split(text, "\\s+")
+    return [
+        text.alias("_text"),
+        # drop empty tokens (leading/trailing whitespace splits to "")
+        F.filter(raw, lambda w: w != F.lit("")).alias("_ws"),
+        F.split(text, delim).alias("_lines"),
+    ]
+
+
+def _round6_div(num: Column, den: Column) -> Column:
+    return F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0))
+
+
+def _gopher_quality_cols() -> dict[str, Column]:
+    """Metric expressions over the staged (_text, _ws, _lines)
+    columns. Every metric is a JVM-side array/string expression —
+    zero shuffle, zero Python."""
+    ws, lines, text = F.col("_ws"), F.col("_lines"), F.col("_text")
+    n_words = F.size(ws).cast("double")
+    n_lines = F.size(lines).cast("double")
+    sum_len = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    # non-overlapping occurrence counts, the same greedy-left scan
+    # str.count performs
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("...")))
+    ) / 3 + (F.length(text) - F.length(F.replace(text, F.lit("…"))))
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin(
+                *GOPHER_BULLET_PREFIXES
+            ),
+        )
+    ).cast("double")
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...")
+            | F.rtrim(l).endswith("…"),
+        )
+    ).cast("double")
+    alpha_words = F.size(
+        F.filter(ws, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("double")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(ws, F.lower),
+            F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS]),
+        )
+    )
+    return {
+        "n_words": F.size(ws),
+        "mean_word_len": _round6_div(sum_len.cast("double"), n_words),
+        "hash_word_ratio": _round6_div(n_hash.cast("double"), n_words),
+        "ellipsis_word_ratio": _round6_div(n_ellipsis.cast("double"), n_words),
+        "bullet_line_frac": _round6_div(bullet_lines, n_lines),
+        "ellipsis_line_frac": _round6_div(ellipsis_lines, n_lines),
+        "alpha_word_frac": _round6_div(alpha_words, n_words),
+        "stop_word_hits": stop_hits,
+    }
+
+
+def _gopher_quality_kept(
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_ratio: float,
+    max_bullet_frac: float,
+    max_ellipsis_frac: float,
+    min_alpha_frac: float,
+    min_stop_hits: int,
+) -> Column:
+    """The conjunction over the EMITTED (rounded) metric columns, so
+    the keep decision is reproducible from the frame's own output
+    (and the python oracle compares on identically-rounded values —
+    the dyadic-edge convention the repetition oracle established)."""
+    return (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(
+            min_mean_word_len, max_mean_word_len
+        )
+        & (F.col("hash_word_ratio") <= max_symbol_ratio)
+        & (F.col("ellipsis_word_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_frac)
+        & (F.col("stop_word_hits") >= min_stop_hits)
+    )
+
+
+def gopher_quality_frame(
+    docs: DataFrame,
+    text_col: str = "text",
+    delim: str = LINE_DELIM,
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+    min_mean_word_len: float = GOPHER_MIN_MEAN_WORD_LEN,
+    max_mean_word_len: float = GOPHER_MAX_MEAN_WORD_LEN,
+    max_symbol_ratio: float = GOPHER_MAX_SYMBOL_WORD_RATIO,
+    max_bullet_frac: float = GOPHER_MAX_BULLET_LINE_FRAC,
+    max_ellipsis_frac: float = GOPHER_MAX_ELLIPSIS_LINE_FRAC,
+    min_alpha_frac: float = GOPHER_MIN_ALPHA_WORD_FRAC,
+    min_stop_hits: int = GOPHER_MIN_STOP_WORD_HITS,
+) -> DataFrame:
+    """Gopher QUALITY rule battery (Rae et al. 2021, A1.1) — the
+    published non-repetition document filters, one row per document:
+
+      doc_id, n_words           whitespace tokens (empties dropped)
+      mean_word_len             sum(len(word)) / n_words
+      hash_word_ratio           '#' occurrences / n_words
+      ellipsis_word_ratio       ('...' + '…' occurrences) / n_words
+      bullet_line_frac          lines starting (space-ltrimmed) with a
+                                bullet marker / lines
+      ellipsis_line_frac        lines ending (space-rtrimmed) in an
+                                ellipsis / lines
+      alpha_word_frac           words containing [A-Za-z] / n_words
+      stop_word_hits            distinct members of the 8-word Gopher
+                                stop list present as lowercased tokens
+      kept                      the full conjunction at the given
+                                thresholds (paper defaults: 50..100k
+                                words, mean word length 3..10, symbol
+                                ratios <= 0.1, bullets <= 90% of
+                                lines, ellipsis lines <= 30%, >= 80%
+                                alpha words, >= 2 stop words)
+
+    All fractions are round(x, 6) and the keep decision is computed
+    FROM the rounded values, so the frame's output is self-consistent
+    and the python oracle mirrors bit-for-bit (the dyadic-edge
+    convention of gopher_repetition_frame). Degenerate docs (no
+    words / empty text) carry 0.0 ratios and fail the word-count
+    bound.
+
+    Plan shape: pure Catalyst, shuffle-free — one staging projection
+    binds the token and line arrays (the package HOF contract), every
+    metric is an array fold/filter/string expression over them. At
+    100 TB this fuses into the scan, exactly like c4_line_filter_frame.
+
+    NULL text is treated as empty text (docclean convention — the doc
+    appears in the output with kept=false, it does not vanish)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    staged = docs.select(
+        "doc_id", *_gopher_quality_metrics(text, delim)
+    )
+    m = _gopher_quality_cols()
+    return staged.select(
+        "doc_id", *[c.alias(n) for n, c in m.items()]
+    ).select(
+        "*",
+        _gopher_quality_kept(
+            min_words,
+            max_words,
+            min_mean_word_len,
+            max_mean_word_len,
+            max_symbol_ratio,
+            max_bullet_frac,
+            max_ellipsis_frac,
+            min_alpha_frac,
+            min_stop_hits,
+        ).alias("kept"),
+    )
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    delim: str = LINE_DELIM,
+    **thresholds,
+) -> DataFrame:
+    """Composable filter form: the full document rows with the
+    quality-failing pages dropped. Genuinely join-free (contrast
+    gopher_filter, whose repetition metrics need aggregation): the
+    battery is map-only, so the kept predicate evaluates inline over
+    staged arrays and the corpus's other columns ride for free —
+    same shape as c4_filter."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    reserved = {"_text", "_ws", "_lines", *_gopher_quality_cols()}
+    if reserved & set(docs.columns):
+        # staging/metric names collide with caller columns — fall
+        # back to the semi-join form rather than silently shadowing
+        keep = (
+            gopher_quality_frame(docs, text_col, delim, **thresholds)
+            .filter("kept")
+            .select("doc_id")
+        )
+        return docs.join(keep, "doc_id", "left_semi")
+    staged = docs.select("*", *_gopher_quality_metrics(text, delim))
+    m = _gopher_quality_cols()
+    metric_names = list(m)
+    defaults = dict(
+        min_words=GOPHER_MIN_WORDS,
+        max_words=GOPHER_MAX_WORDS,
+        min_mean_word_len=GOPHER_MIN_MEAN_WORD_LEN,
+        max_mean_word_len=GOPHER_MAX_MEAN_WORD_LEN,
+        max_symbol_ratio=GOPHER_MAX_SYMBOL_WORD_RATIO,
+        max_bullet_frac=GOPHER_MAX_BULLET_LINE_FRAC,
+        max_ellipsis_frac=GOPHER_MAX_ELLIPSIS_LINE_FRAC,
+        min_alpha_frac=GOPHER_MIN_ALPHA_WORD_FRAC,
+        min_stop_hits=GOPHER_MIN_STOP_WORD_HITS,
+    )
+    defaults.update(thresholds)
+    metered = staged.select(
+        *docs.columns, *[c.alias(n) for n, c in m.items()]
+    )
+    return metered.filter(_gopher_quality_kept(**defaults)).select(
+        *docs.columns
+    )
+
+
+# ---------------------------------------------------------------------------
 # C4 line-level cleaning (Raffel et al. 2020, §2.2). The C4 recipe has
 # three independent parts: the LINE rules and PAGE rules below, the
 # corpus-level line dedup (line_dedup_frame above), and the

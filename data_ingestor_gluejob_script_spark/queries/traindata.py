@@ -192,13 +192,17 @@ def prepare_training_corpus(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
     max_repetition: float | None = None,
+    gopher_quality: bool | dict = False,
 ) -> DataFrame:
     """End-to-end training-corpus preparation — the scrub/dedup/pack
     stages composed into ONE declarative job: [decontaminate against
     ``benchmark`` if given] → redact PII → quality filter (score >=
-    MIN_QUALITY over the REDACTED text) → [repetition filter: drop
-    docs whose top-2-gram fraction exceeds ``max_repetition``, the
-    Gopher-style degenerate-repetition cut, if given] → exact dedup
+    MIN_QUALITY over the REDACTED text) → [Gopher quality-rule
+    battery (docclean.gopher_quality_filter) if ``gopher_quality`` —
+    True for the published thresholds, a dict for overrides] →
+    [repetition filter: drop docs whose top-2-gram fraction exceeds
+    ``max_repetition``, the Gopher-style degenerate-repetition cut,
+    if given] → exact dedup
     (keep lowest doc_id per text) → SimHash near-dup drop (keep each
     fingerprint group's representative) → keep the train split →
     sequence-pack. Returns the train-split pack manifest
@@ -238,6 +242,18 @@ def prepare_training_corpus(
     kept = work.filter(
         quality_score_col(F.col("text"), F.col("n_chars")) >= MIN_QUALITY
     )
+    if gopher_quality:
+        # The Gopher quality-rule battery (docclean), over the
+        # REDACTED text like the generic score — map-only, so it
+        # fuses into the same stage and adds zero shuffle. Runs
+        # before the repetition cut: the battery is the cheap filter
+        # (no aggregation), so failing pages never pay the gram
+        # shuffles. Pass a dict to override thresholds (True = the
+        # published Gopher defaults).
+        from .docclean import gopher_quality_filter
+
+        overrides = gopher_quality if isinstance(gopher_quality, dict) else {}
+        kept = gopher_quality_filter(kept, **overrides)
     if max_repetition is not None:
         ok = repetition_frame(kept.select("doc_id", "text")).filter(
             F.col("top_ngram_frac") <= max_repetition

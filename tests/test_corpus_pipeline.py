@@ -285,3 +285,36 @@ def test_group_aware_split_is_leakage_proof(spark):
     # sparse map (identical to the full-map assignment)
     for doc_id in grouped_ids:
         assert sparse[doc_id]["split"] == rows[doc_id]["split"]
+
+
+def test_pipeline_gopher_quality_stage_composes(spark):
+    """The optional Gopher quality-rule battery (round 12): enabling
+    it must equal running prepare on the corpus pre-filtered by the
+    battery over REDACTED text (the stage composes — redaction and
+    the battery are both per-row), and at thresholds the synthetic
+    corpus can actually fail, it removes documents. Threshold
+    overrides pass through as a dict."""
+    from data_ingestor_gluejob_script_spark.queries.docclean import (
+        gopher_quality_frame,
+    )
+    from data_ingestor_gluejob_script_spark.queries.textops import (
+        redacted_text_col,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    # the synthetic docs are 10-99 words; a 40-word floor (and no
+    # stop-word demand — synthetic vocab) makes the stage selective
+    # without emptying the corpus
+    th = dict(min_words=40, min_stop_hits=0, min_mean_word_len=1.0)
+
+    with_stage = prepare_training_corpus(docs, gopher_quality=th)
+    red = docs.select(
+        "doc_id", redacted_text_col(F.col("text")).alias("text")
+    )
+    keep = gopher_quality_frame(red, **th).filter("kept").select("doc_id")
+    pre = prepare_training_corpus(docs.join(keep, "doc_id", "left_semi"))
+    assert sorted(map(tuple, with_stage.collect())) == sorted(
+        map(tuple, pre.collect())
+    )
+    base_n = prepare_training_corpus(docs).count()
+    assert 0 < with_stage.count() < base_n

@@ -527,3 +527,184 @@ def test_temperature_mixture_null_source_is_its_own_group(spark):
     )
     kept2 = temperature_mixture_frame(all_null, alpha=1.0, total_frac=1.0)
     assert kept2.count() == 20  # total_frac=1 keeps everything
+
+
+# ------------------------------------------- Gopher QUALITY battery
+
+from data_ingestor_gluejob_script_spark.queries.docclean import (  # noqa: E402
+    GOPHER_BULLET_PREFIXES,
+    GOPHER_STOP_WORDS,
+    gopher_quality_filter,
+    gopher_quality_frame,
+)
+
+
+def quality_oracle_row(text):
+    """Exact python mirror of gopher_quality_frame's metric columns
+    (rounded identically — the dyadic-edge convention) plus the
+    default-threshold keep decision."""
+    import re
+
+    text = text or ""
+    words = [w for w in re.split(r"\s+", text) if w]
+    lines = text.split("\n")
+    nw = len(words)
+    mean_wl = _round6(sum(len(w) for w in words) / nw) if nw else 0.0
+    hash_r = _round6(text.count("#") / nw) if nw else 0.0
+    ell_r = (
+        _round6((text.count("...") + text.count("…")) / nw) if nw else 0.0
+    )
+    bullets = sum(
+        1
+        for ln in lines
+        if ln.lstrip(" ")[:1] in GOPHER_BULLET_PREFIXES
+    )
+    ell_lines = sum(
+        1
+        for ln in lines
+        if ln.rstrip(" ").endswith(("...", "…"))
+    )
+    bullet_f = _round6(bullets / len(lines)) if lines else 0.0
+    ell_f = _round6(ell_lines / len(lines)) if lines else 0.0
+    alpha = sum(1 for w in words if re.search("[A-Za-z]", w))
+    alpha_f = _round6(alpha / nw) if nw else 0.0
+    stops = len(
+        {w.lower() for w in words} & set(GOPHER_STOP_WORDS)
+    )
+    kept = (
+        50 <= nw <= 100_000
+        and 3.0 <= mean_wl <= 10.0
+        and hash_r <= 0.1
+        and ell_r <= 0.1
+        and bullet_f <= 0.90
+        and ell_f <= 0.30
+        and alpha_f >= 0.80
+        and stops >= 2
+    )
+    return (
+        nw, mean_wl, hash_r, ell_r, bullet_f, ell_f, alpha_f, stops, kept
+    )
+
+
+GOOD_DOC = " ".join(
+    "the quick brown fox jumps over that lazy dog pack with zeal and"
+    " vigor to be of good cheer have faith".split()
+    * 3
+)  # 60 words, all stop-word & length rules satisfied
+
+QUALITY_FIXTURE = [
+    (0, GOOD_DOC),
+    (1, "too short to pass"),  # word-count floor
+    (2, None),  # NULL text -> empty conventions
+    (3, ""),  # empty
+    (4, GOOD_DOC + " " + "#tag " * 12),  # hash symbol ratio
+    (5, GOOD_DOC + ("\nthis line trails off..." * 9)),  # ellipsis lines
+    (6, "\n".join(["• bullet item"] * 30) + "\n" + GOOD_DOC),  # bullets
+    # 60 alpha words, mean len in-window, zero stop words -> the ONLY
+    # violated rule is stop_word_hits >= 2
+    (7, " ".join(["apple banana cherry"] * 20)),  # stops
+    (8, " ".join(["12345"] * 60)),  # no alpha words
+    (9, " ".join(["ab"] * 60) + " the of"),  # mean word len floor
+    (10, GOOD_DOC + " … … … … … … … …"),  # unicode ellipsis tokens
+    (11, "  " + GOOD_DOC + "\t\n"),  # whitespace-edge tokenization
+]
+
+
+def test_quality_battery_matches_oracle(spark):
+    df = spark.createDataFrame(QUALITY_FIXTURE, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality_frame(df).collect()}
+    assert len(got) == len(QUALITY_FIXTURE)
+    for doc_id, text in QUALITY_FIXTURE:
+        r = got[doc_id]
+        assert (
+            r["n_words"],
+            r["mean_word_len"],
+            r["hash_word_ratio"],
+            r["ellipsis_word_ratio"],
+            r["bullet_line_frac"],
+            r["ellipsis_line_frac"],
+            r["alpha_word_frac"],
+            r["stop_word_hits"],
+            r["kept"],
+        ) == quality_oracle_row(text), f"doc {doc_id}: {text!r}"
+    assert got[0]["kept"] and got[11]["kept"]
+    assert not any(
+        got[i]["kept"] for i in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+    )
+
+
+def test_quality_battery_sf0001(spark):
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {r["doc_id"]: r for r in gopher_quality_frame(docs).collect()}
+    assert len(got) == len(rows)
+    for doc_id, text in rows.items():
+        r = got[doc_id]
+        assert (
+            r["n_words"],
+            r["mean_word_len"],
+            r["hash_word_ratio"],
+            r["ellipsis_word_ratio"],
+            r["bullet_line_frac"],
+            r["ellipsis_line_frac"],
+            r["alpha_word_frac"],
+            r["stop_word_hits"],
+            r["kept"],
+        ) == quality_oracle_row(text)
+
+
+def test_quality_filter_forms_agree(spark):
+    """Inline (join-free) filter == frame's kept set; the collision
+    fallback (caller already owns a metric column name) produces the
+    same rows; extra payload columns ride through."""
+    df = spark.createDataFrame(
+        [(i, t, f"payload-{i}") for i, t in QUALITY_FIXTURE],
+        "doc_id long, text string, extra string",
+    )
+    want = {
+        r["doc_id"]
+        for r in gopher_quality_frame(df.select("doc_id", "text"))
+        .filter("kept")
+        .collect()
+    }
+    inline = gopher_quality_filter(df)
+    assert {r["doc_id"] for r in inline.collect()} == want
+    assert inline.columns == ["doc_id", "text", "extra"]
+    colliding = df.withColumn("n_words", F.lit(-1))
+    fb = gopher_quality_filter(colliding)
+    assert {r["doc_id"] for r in fb.collect()} == want
+    assert "n_words" in fb.columns
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            ["the", "of", "#", "...", "…", "•x", "12", "abcd", "", "a" * 11]
+        ),
+        min_size=0,
+        max_size=80,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_quality_battery_fuzz(spark, toks, n_lines):
+    text = "\n".join(
+        " ".join(toks[i::n_lines]) for i in range(n_lines)
+    )
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = gopher_quality_frame(df).collect()[0]
+    assert (
+        r["n_words"],
+        r["mean_word_len"],
+        r["hash_word_ratio"],
+        r["ellipsis_word_ratio"],
+        r["bullet_line_frac"],
+        r["ellipsis_line_frac"],
+        r["alpha_word_frac"],
+        r["stop_word_hits"],
+        r["kept"],
+    ) == quality_oracle_row(text), repr(text)
