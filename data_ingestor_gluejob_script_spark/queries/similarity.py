@@ -929,3 +929,181 @@ def semantic_dedup_frame(
             ).alias("is_representative"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# k-NN graph — the LINEAR-OUTPUT twin of q_embed_neardup_pairs. Pair
+# enumeration is Ω(true-pair-count): the round-11 sf100 smoke measured
+# its output itself growing 26x for 10x data (sphere-packing — SCALE.md
+# item 3), so no candidate scheme can make it linear. A k-NN graph caps
+# output at n·k rows BY CONSTRUCTION, which is what a 100-TB semantic
+# pipeline (dedup closure, graph clustering, retrieval eval) actually
+# consumes.
+
+KNN_K = 10
+KNN_BANDS = 8
+# Target mean band-bucket size: candidates/vector ≈ bands × target.
+KNN_TARGET_BUCKET = 256
+
+
+def knn_band_bits(n: int) -> int:
+    """Bits per band for an n-vector corpus: buckets of ~target mean
+    size, so the per-band self-join emits ~n × target candidate rows
+    — linear in the corpus (the neardup_sig_bits rule, per band).
+    0 bits (everything in one bucket per band) below the target."""
+    import math
+
+    if n <= KNN_TARGET_BUCKET:
+        return 0
+    return math.ceil(math.log2(n / KNN_TARGET_BUCKET))
+
+
+def _knn_plane(band: int, bit: int) -> list[float]:
+    """Deterministic hyperplane for (band, bit), drawn from a seeded
+    PRNG — unlike the oracle-mirrored _lsh_weights family (period 7
+    in j; its mod-11 extension has period 11) this family stays
+    distinct for every plane the banding can ask for. Small symmetric
+    integers: exactly representable, cheap to fold."""
+    import random as _random
+
+    rng = _random.Random((band << 20) ^ bit ^ 0xA5EED)
+    return [float(rng.randint(-3, 3)) for _ in range(EMB_DIM)]
+
+
+def _knn_band_sig(vec: Column, band: int, bits: int) -> Column:
+    sig = F.lit(0).cast("long")
+    for t in range(bits):
+        w = F.array(*[F.lit(x) for x in _knn_plane(band, t)])
+        sig = sig + F.when(
+            dot(vec, w) >= 0, F.lit(2 ** t).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def knn_graph_frame(
+    emb: DataFrame,
+    k: int = KNN_K,
+    bands: int = KNN_BANDS,
+    bits_per_band: int | None = None,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor graph over (vec_id, emb):
+    (vec_id, nbr_id, cosine_sim, rank) with rank 1..k per vec_id,
+    ordered by cosine desc (ties to the smaller nbr_id — fully
+    deterministic). Output is AT MOST n·k rows regardless of how
+    dense the similarity structure is — the linear-output twin of
+    q_embed_neardup_pairs for corpora where true near-dup pair count
+    is itself superlinear.
+
+    Candidates: sign-LSH banding — ``bands`` independent signatures
+    of ``bits_per_band`` bits (corpus-adaptive via knn_band_bits when
+    None: mean bucket ~KNN_TARGET_BUCKET, so candidate volume is
+    ~n × bands × target, linear in n); two vectors are candidates iff
+    they collide in ANY band. Recall is the standard LSH contract:
+    true neighbors are cosine-close, so they agree on most
+    hyperplanes and collide in some band with high probability;
+    bits_per_band=0 degrades gracefully to exact all-pairs (the
+    differential-test configuration — only sane at small n).
+
+    Scale shape (the fuzzyjoin lessons applied to vectors):
+    - Band keys are COMPACT (vec_id, band, sig) rows — the 64-dim
+      embeddings never ride the band shuffle.
+    - The band self-join emits unordered candidate pairs, DISTINCT'd
+      while still 16-byte id pairs (a close pair collides in many
+      bands); both directions are then exploded from the single
+      distinct subtree (one explode, not a union that would run
+      candidate generation twice).
+    - Embeddings join back at candidate size, keyed by id; norms are
+      computed once per vector before that join.
+    - Per-vector top-k is one window over vec_id — state bounded by
+      the candidate fan of one vector, and the partition key is the
+      natural output key (no unpartitioned window, per the package
+      tripwire).
+    """
+    if bits_per_band is None:
+        bits_per_band = knn_band_bits(emb.count())
+    base = emb.select(
+        "vec_id",
+        as_double_vec(F.col("emb")).alias("emb"),
+    ).withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+
+    keys = base.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _knn_band_sig(F.col("emb"), b, bits_per_band).alias(
+                            "sig"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bs"),
+    ).select("vec_id", "_bs.band", "_bs.sig")
+
+    cand = (
+        keys.alias("a")
+        .join(keys.alias("b"), ["band", "sig"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vid_a"),
+            F.col("b.vec_id").alias("vid_b"),
+        )
+        .distinct()
+    )
+    directed = cand.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vid_a").alias("vec_id"),
+                    F.col("vid_b").alias("nbr_id"),
+                ),
+                F.struct(
+                    F.col("vid_b").alias("vec_id"),
+                    F.col("vid_a").alias("nbr_id"),
+                ),
+            )
+        ).alias("_p")
+    ).select("_p.vec_id", "_p.nbr_id")
+
+    joined = (
+        directed.join(
+            base.select(
+                F.col("vec_id"),
+                F.col("emb").alias("_ea"),
+                F.col("norm").alias("_na"),
+            ),
+            "vec_id",
+        )
+        .join(
+            base.select(
+                F.col("vec_id").alias("nbr_id"),
+                F.col("emb").alias("_eb"),
+                F.col("norm").alias("_nb"),
+            ),
+            "nbr_id",
+        )
+        .select(
+            "vec_id",
+            "nbr_id",
+            (
+                dot(F.col("_ea"), F.col("_eb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("_sim"), F.asc("nbr_id")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "vec_id",
+            "nbr_id",
+            F.round(F.col("_sim"), 6).alias("cosine_sim"),
+            "rank",
+        )
+    )

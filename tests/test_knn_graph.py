@@ -1,0 +1,158 @@
+"""k-NN graph (queries/similarity.knn_graph_frame, round 12 — the
+linear-output twin of pair enumeration): EXACT brute-force
+differential at bits_per_band=0 (every pair is a candidate, so the
+graph must equal the true top-k bit-for-bit — the oracle folds dots
+in the same sequential order as Spark's F.aggregate), plus a recall
+bound at the default corpus-adaptive banding, determinism, and the
+n·k output cap."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from data_ingestor_gluejob_script_spark.queries._util import load  # noqa: E402
+from data_ingestor_gluejob_script_spark.queries.similarity import (  # noqa: E402
+    KNN_TARGET_BUCKET,
+    knn_band_bits,
+    knn_graph_frame,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _vectors(spark):
+    rows = (
+        load(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    # float() widens float32 exactly — same doubles Spark folds
+    return {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+
+def _fold_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def brute_knn(vecs, k):
+    """{vec_id: [(nbr_id, sim, rank), ...]} — sequential-fold doubles,
+    ties to the smaller nbr_id, exactly the frame's order."""
+    norms = {i: math.sqrt(_fold_dot(v, v)) for i, v in vecs.items()}
+    out = {}
+    for i, v in vecs.items():
+        sims = [
+            (_fold_dot(v, w) / (norms[i] * norms[j]), j)
+            for j, w in vecs.items()
+            if j != i
+        ]
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        out[i] = [
+            (j, round_half_up6(s), r + 1)
+            for r, (s, j) in enumerate(sims[:k])
+        ]
+    return out
+
+
+def round_half_up6(x):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+
+
+def test_exact_when_all_pairs(spark):
+    """bits_per_band=0: one bucket per band -> candidate set is ALL
+    pairs -> the graph must equal true top-k exactly, including tie
+    order and rounded sims."""
+    vecs = _vectors(spark)
+    got = {}
+    rows = knn_graph_frame(
+        load(spark, SF_DIR, "embeddings").select(
+            "vec_id", F.col("embedding").alias("emb")
+        ),
+        k=5,
+        bands=1,
+        bits_per_band=0,
+    ).collect()
+    for r in rows:
+        got.setdefault(r.vec_id, []).append(
+            (r.rank, r.nbr_id, r.cosine_sim)
+        )
+    want = brute_knn(vecs, 5)
+    assert set(got) == set(want)
+    for i in want:
+        assert sorted(got[i]) == [
+            (rank, j, s) for j, s, rank in want[i]
+        ], f"vec {i}"
+
+
+def test_default_banding_recall_and_cap(spark):
+    """Corpus-adaptive banding on the real table: output is capped at
+    n·k by construction, every returned edge's sim is the true sim,
+    and recall@k against brute force clears 0.9 (500 vectors, 8 bands
+    of knn_band_bits(500)=1 bit — near-full bucket coverage)."""
+    vecs = _vectors(spark)
+    k = 10
+    emb = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    rows = knn_graph_frame(emb, k=k).collect()
+    n = len(vecs)
+    assert len(rows) <= n * k
+    per_vec = {}
+    for r in rows:
+        per_vec.setdefault(r.vec_id, set()).add(r.nbr_id)
+    want = brute_knn(vecs, k)
+    hits = sum(
+        len(per_vec.get(i, set()) & {j for j, _, _ in want[i]})
+        for i in want
+    )
+    recall = hits / (n * k)
+    assert recall >= 0.90, f"recall@{k} = {recall:.3f}"
+    # ranks are 1..<=k and unique per vector
+    ranks = {}
+    for r in rows:
+        ranks.setdefault(r.vec_id, []).append(r.rank)
+    assert all(
+        sorted(v) == list(range(1, len(v) + 1)) and len(v) <= k
+        for v in ranks.values()
+    )
+
+
+def test_band_bits_rule():
+    assert knn_band_bits(100) == 0
+    assert knn_band_bits(KNN_TARGET_BUCKET) == 0
+    assert knn_band_bits(KNN_TARGET_BUCKET * 2) == 1
+    assert knn_band_bits(1_000_000) == math.ceil(
+        math.log2(1_000_000 / KNN_TARGET_BUCKET)
+    )
+
+
+def test_deterministic_across_runs(spark):
+    emb = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    a = sorted(map(tuple, knn_graph_frame(emb, k=3).collect()))
+    b = sorted(
+        map(tuple, knn_graph_frame(emb.repartition(7), k=3).collect())
+    )
+    assert a == b
+
+
+def test_no_cartesian_product_in_plan(spark):
+    emb = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    plan = knn_graph_frame(emb, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
