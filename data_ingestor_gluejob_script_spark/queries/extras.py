@@ -47,6 +47,7 @@ from .classifier import classifier_score_frame, standin_weights
 from .docclean import (
     c4_line_filter_frame,
     dedup_spans_frame,
+    gopher_quality_frame,
     gopher_repetition_frame,
     line_dedup_frame,
 )
@@ -73,6 +74,7 @@ from .similarity import (
     QUERY_VEC_ID,
     _load_emb,
     ivf_refine,
+    knn_graph_frame,
     q_ivf_topk,
     quantized_rescore_topk,
     quantized_topk,
@@ -93,6 +95,7 @@ from .profile import iqr_outliers, profile_frame
 from .unigram import x_unigram_encode
 from .webpipeline import curate_web_crawl
 from ..sources.warc import read_warc
+from ..sources.webdataset import build_tar, read_webdataset_samples
 from .traindata import (
     attrition_report,
     group_aware_split_frame,
@@ -334,6 +337,60 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         "overwrite"
     ).text(d)
     _WARC_FIXTURES[sf_dir] = d
+    return d
+
+
+_WDS_FIXTURES: dict[str, str] = {}
+
+
+def _wds_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Synthetic WebDataset corpus: the multimodal payload table
+    written as tar shards (one shard per task — the layout's real
+    invariant: bounded shard size, growing shard count), each sample
+    a (jpg, txt) member pair. Built once per process per sf, same
+    caching contract as _warc_fixture_dir. The shard write is a
+    side-effecting mapInPandas (each task serializes ITS partition
+    with build_tar and writes one local shard file) — tar is a binary
+    container the row-oriented text sink cannot emit."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    d = _WDS_FIXTURES.get(sf_dir)
+    if d is not None:
+        return d
+    d = tempfile.mkdtemp(prefix="spark_graft_wds_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    rows = _media_payloads(spark, sf_dir).select("doc_id", "payload")
+    n_files = max(8, -(-rows.count() // 4000))
+
+    def write_shard(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        samples = []
+        for batch in batches:
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                samples.append(
+                    {
+                        "key": f"{int(doc_id):09d}",
+                        "members": {
+                            "jpg": bytes(payload),
+                            "txt": f"caption {int(doc_id)}".encode(),
+                        },
+                    }
+                )
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(d, f"shard-{pid:05d}.tar")
+        with open(path, "wb") as f:
+            f.write(build_tar(samples))
+        yield pd.DataFrame({"shard": [path], "n": [len(samples)]})
+
+    rows.repartition(n_files).mapInPandas(
+        write_shard, "shard string, n long"
+    ).collect()
+    _WDS_FIXTURES[sf_dir] = d
     return d
 
 
@@ -639,5 +696,23 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_web_pipeline": lambda s, d: curate_web_crawl(
             s, _warc_fixture_dir(s, d), min_line_words=3,
             min_kept_lines=1,
+        ),
+        # WebDataset sharded-tar parse (the image-side x_warc_parse):
+        # sample grouping rides tar contiguity — zero shuffle
+        "x_webdataset_parse": lambda s, d: read_webdataset_samples(
+            s, _wds_fixture_dir(s, d)
+        ).select(
+            "key",
+            F.size(F.map_keys("members")).alias("n_fields"),
+            F.octet_length(F.col("members")["jpg"]).alias("jpg_bytes"),
+        ),
+        # k-NN graph: LINEAR-OUTPUT twin of q_embed_neardup_pairs
+        # (n·k rows by construction; banded candidates, compact band
+        # shuffle, one partitioned window)
+        "x_knn_graph": lambda s, d: knn_graph_frame(_emb(s, d), k=10),
+        # Gopher QUALITY rule battery — pure Catalyst, shuffle-free
+        # (the non-repetition half beside x_gopher_repetition)
+        "x_gopher_quality": lambda s, d: gopher_quality_frame(
+            _docs(s, d)
         ),
     }

@@ -64,6 +64,15 @@ def get_spark(
         # normalization lives in queries/_util.read_events.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # Managed-table scratch (e.g. the fuzzy join's bucketed
+        # variant table) belongs in temp space, not a ./spark-warehouse
+        # dir inside whatever cwd launched the job.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"
+            ),
+        )
         # Only effective when THIS call launches the JVM — getOrCreate
         # against an already-running session keeps its original heap.
         # For spark-submit deployments set it on the submit command.
