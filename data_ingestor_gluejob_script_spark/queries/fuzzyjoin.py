@@ -94,12 +94,12 @@ matches anything within distance max_dist of it.
 
 from __future__ import annotations
 
-import gc
 import os
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _one_deletions(v: Column) -> Column:
@@ -161,6 +161,39 @@ def _variant_index(keyed: DataFrame, max_dist: int) -> DataFrame:
     )
 
 
+def _live_shuffle_ids(sc) -> set[int]:
+    """Shuffle ids currently registered with the driver's map-output
+    tracker (classic local/cluster mode via the py4j seam; an empty
+    set on runtimes that hide the JVM, which simply disables the
+    explicit cleanup below)."""
+    try:
+        tracker = sc._jvm.org.apache.spark.SparkEnv.get().mapOutputTracker()
+        it = tracker.shuffleStatuses().keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+    except Exception:  # noqa: BLE001 — connect mode / no JVM seam
+        return set()
+
+
+def _drop_shuffles(sc, ids: set[int]) -> None:
+    """Explicitly delete the given shuffles' files (blocking). The
+    sequential-pass design DEPENDS on this: completed passes' shuffle
+    files measurably survive gc.collect() + System.gc() nudges on
+    this JVM (ContextCleaner is reference-triggered and the
+    references die too slowly), so without explicit cleanup B passes
+    re-accumulate the one-shot scratch and the sharding buys
+    nothing. Only ever called on shuffles created by a pass whose
+    result has already been checkpointed — their lineage is dead."""
+    try:
+        cleaner = sc._jsc.sc().cleaner().get()
+        for sid in sorted(ids):
+            cleaner.doCleanupShuffle(sid, True)
+    except Exception:  # noqa: BLE001 — best-effort on exotic runtimes
+        pass
+
+
 def _candidate_vid_pairs(var: DataFrame, max_dist: int) -> DataFrame:
     """Distinct unordered candidate (vid_a, vid_b) pairs from one
     slice of the (vid, len, h) variant index: self-join on the
@@ -198,44 +231,90 @@ def _value_pairs(
     cut for cross-variant hash collisions (genuine shared variants
     imply the length gap already).
 
-    ``passes`` > 1 shards candidate generation into B SEQUENTIAL
-    hash-prefix passes over the variant space (the round-11 sf100
-    scratch fix): pass i keeps only variants with
-    ``pmod(h, B) == i``, so the per-pass self-join shuffle writes
-    ~1/B of the candidate scratch. The result is provably identical
-    for any B — a pair is found iff the two values share a variant
-    hash, every hash lives in exactly one class, and the match
-    predicate is per-pair — a pair sharing variants in several
-    classes just surfaces in several passes, which the final
-    candidate-pair distinct collapses. Each pass is materialized
-    eagerly (localCheckpoint, candidate-pair-sized) and its
-    shuffle-heavy lineage is released before the next pass starts,
-    so peak shuffle scratch is one pass's, not the sum."""
+    ``passes`` > 1 shards the WHOLE candidate-generate-and-verify
+    chain into B SEQUENTIAL hash-prefix passes (the round-11 sf100
+    scratch fix; four designs measured in round 12 before this one
+    held):
+
+    Pass i filters the variant index to ``pmod(h, B) == i`` (a map —
+    variant generation re-runs per pass over the checkpointed
+    dictionary, CPU not disk), self-joins that 1/B slice, DISTINCTs
+    the candidate id pairs, joins the strings back, VERIFIES with
+    banded levenshtein, checkpoints only the surviving value pairs
+    (DISK_ONLY, true-match-sized), and then EXPLICITLY DELETES the
+    pass's shuffle files (``_drop_shuffles`` — the ids that appeared
+    in the map-output tracker during the pass). Verify-inside-the-
+    pass is load-bearing: on a corpus with dense 2d-neighborhoods
+    (the sf100 bench corpus: dense numeric key suffixes under
+    repeated name prefixes — ~1B ed<=2 candidates whose verify
+    rejects all but ~1/50th) the CANDIDATES, not the variant index,
+    are the dominant bytes, so they must die inside the pass whose
+    scratch gets cleaned, never accumulate as B checkpoints or feed
+    one giant post-union verify. Peak scratch is one pass's join +
+    distinct exchanges plus transient task spill.
+
+    Rejected designs, measured: (a) GC nudges between passes —
+    completed passes' shuffle files survive gc.collect() +
+    System.gc() on this JVM, so B passes re-accumulated the one-shot
+    scratch; (b) one whole-index bucketed table self-joined per pass
+    — exchange-free joins, but writing the table is the same 30+ GB
+    the shuffle was; (c) per-pass bucketed slice tables — bounds the
+    variant side but the candidate-distinct exchanges still
+    accumulate without explicit cleanup; (d) explicit cleanup but
+    verify AFTER the union — per-pass candidate checkpoints grew
+    ~2 GB each and the post-union fan-out shuffled the full ~1B
+    candidate set at once (instrumented: rdd blocks +2 GB/pass while
+    shuffle scratch correctly returned to zero).
+
+    The result is provably identical for any B — a pair is found iff
+    the two values share a variant hash, every hash lives in exactly
+    one pmod class, and the match predicate is per-pair — a pair
+    sharing variants in several classes just surfaces in several
+    passes, which the final verified-pair distinct collapses."""
     keyed = dv.select(F.xxhash64("s").alias("vid"), "s")
-    if passes > 1:
-        # One shuffle builds the dictionary; B passes re-read it from
-        # the block manager instead of re-running the distinct.
-        keyed = keyed.localCheckpoint()
-    var = _variant_index(keyed, max_dist)
     if passes <= 1:
-        cand = _candidate_vid_pairs(var, max_dist)
-    else:
-        shards = []
-        for i in range(passes):
-            part = _candidate_vid_pairs(
+        var = _variant_index(keyed, max_dist)
+        return _verified_value_pairs(
+            _candidate_vid_pairs(var, max_dist), keyed, max_dist
+        )
+    # One shuffle builds the dictionary; B passes re-read it from
+    # the block manager instead of re-running the distinct.
+    # DISK_ONLY: the sharded form exists because the host is
+    # resource-tight — parking checkpoint blocks in the heap
+    # (the MEMORY_AND_DISK default) OOMed the sf100 run with 32
+    # concurrent tasks' execution memory alongside them.
+    keyed = keyed.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    var = _variant_index(keyed, max_dist)
+    sc = keyed.sparkSession.sparkContext
+    shards = []
+    for i in range(passes):
+        before = _live_shuffle_ids(sc)
+        part = _verified_value_pairs(
+            _candidate_vid_pairs(
                 var.filter(F.pmod(F.col("h"), F.lit(passes)) == i),
                 max_dist,
-            ).localCheckpoint()  # eager: the pass job runs HERE
-            shards.append(part)
-            # Release this pass's self-join shuffle files before the
-            # next pass writes its own: the pre-checkpoint plan is
-            # now unreferenced Python-side; a GC nudge on both sides
-            # lets ContextCleaner delete the shuffle data (otherwise
-            # B passes still accumulate B passes' scratch and the
-            # sharding buys nothing).
-            gc.collect()
-            part.sparkSession._jvm.System.gc()
-        cand = reduce(DataFrame.union, shards).distinct()
+            ),
+            keyed,
+            max_dist,
+        ).localCheckpoint(  # eager: the pass job runs HERE
+            storageLevel=StorageLevel.DISK_ONLY
+        )
+        shards.append(part)
+        # the shard holds only VERIFIED pairs — this pass's shuffles
+        # (its corpus-scale footprint: variant join, candidate
+        # distinct, string fan-in) go before the next pass starts
+        _drop_shuffles(sc, _live_shuffle_ids(sc) - before)
+    # cross-pass duplicates (a pair sharing variants in several pmod
+    # classes) collapse here, on true-match-sized rows
+    return reduce(DataFrame.union, shards).distinct()
+
+
+def _verified_value_pairs(
+    cand: DataFrame, keyed: DataFrame, max_dist: int
+) -> DataFrame:
+    """(s_lo, s_hi, dist): join the dictionary strings back at
+    candidate-pair size and verify with banded levenshtein (the
+    threshold form — O(d·len) per pair)."""
     pairs = cand.join(
         keyed.select(
             F.col("vid").alias("vid_a"), F.col("s").alias("sa")

@@ -221,3 +221,53 @@ def test_passes_env_seam(spark, monkeypatch):
         for r in fuzzy_self_join(df, "id", "name", max_dist=1).collect()
     )
     assert got == brute_self(rows, 1)
+
+
+def test_pass_shuffle_cleanup_mechanism(spark):
+    """The sequential-pass design DEPENDS on explicit shuffle-file
+    deletion (completed passes' files measurably survive GC nudges on
+    this JVM, so without it B passes re-accumulate the one-shot
+    scratch): a checkpointed shuffle's ids must leave the map-output
+    tracker and its files must leave the block-manager dirs after
+    _drop_shuffles."""
+    import glob
+    import os
+
+    from pyspark.storagelevel import StorageLevel
+
+    from data_ingestor_gluejob_script_spark.queries.fuzzyjoin import (
+        _drop_shuffles,
+        _live_shuffle_ids,
+    )
+
+    sc = spark.sparkContext
+
+    def shuffle_bytes():
+        total = 0
+        for d in glob.glob("/tmp/blockmgr-*"):
+            for root, _, files in os.walk(d):
+                for f in files:
+                    if "shuffle" not in f:
+                        continue
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        return total
+
+    before_ids = _live_shuffle_ids(sc)
+    assert before_ids is not None  # the py4j seam resolves here
+    df = (
+        spark.range(0, 2_000_000)
+        .repartition(16, "id")
+        .groupBy((F.col("id") % 1013).alias("g"))
+        .count()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    )
+    created = _live_shuffle_ids(sc) - before_ids
+    assert created, "checkpointed job should have registered shuffles"
+    grew = shuffle_bytes()
+    _drop_shuffles(sc, created)
+    assert _live_shuffle_ids(sc) & created == set()
+    assert shuffle_bytes() < grew
+    assert df.count() == 1013  # checkpoint survives its lineage's death
