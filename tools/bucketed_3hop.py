@@ -20,8 +20,13 @@ plus the write (amortized layout) cost. Bucketed tables are dropped
 afterwards — this is a measurement, not a migration.
 
 Protocol notes (memory: bench-timing-discipline): one JVM, noop sink,
-best-of-REPS with the unbucketed/bucketed runs interleaved per rep;
-run on a quiet host, never under concurrent Spark.
+best-of-REPS; run on a quiet host, never under concurrent Spark.
+All unbucketed reps run BEFORE the layout write, not interleaved with
+the bucketed reps: at sf100 the two bucketed tables (~20 GB) and the
+unbucketed fact-fact shuffle (~40+ GB) do not fit this host's 57 GB
+scratch together — the first (interleaved) version of this tool died
+disk-full exactly there. Same-JVM sequential is the comparison the
+host can actually hold; both sides still share one warmed JVM.
 """
 
 from __future__ import annotations
@@ -80,36 +85,39 @@ def main() -> int:
     for d in dirs:
         tag = os.path.basename(d.rstrip("/"))
         li_t, ord_t = f"b3h_li_{tag}", f"b3h_ord_{tag}"
-        t0 = time.perf_counter()
-        write_bucketed(
-            load(spark, d, "lineitem"),
-            li_t,
-            ["l_orderkey"],
-            num_buckets=N_BUCKETS,
-            sort_cols=["l_orderkey"],
-        )
-        write_bucketed(
-            load(spark, d, "orders"),
-            ord_t,
-            ["o_orderkey"],
-            num_buckets=N_BUCKETS,
-            sort_cols=["o_orderkey"],
-        )
-        layout_sec = round(time.perf_counter() - t0, 3)
-
-        bucketed = chain_from(spark.table(li_t), spark.table(ord_t), d)
-        plan = bucketed._jdf.queryExecution().executedPlan().toString()
-        fact_exchanges = sum(
-            1
-            for ln in plan.splitlines()
-            if "Exchange hashpartitioning" in ln
-            and ("l_orderkey" in ln or "o_orderkey" in ln)
-        )
-
         ub, bk = [], []
         try:
+            # unbucketed reps FIRST, with the full scratch to themselves
             for _ in range(REPS):
                 ub.append(timed(q_join_3hop(spark, d)))
+
+            t0 = time.perf_counter()
+            write_bucketed(
+                load(spark, d, "lineitem"),
+                li_t,
+                ["l_orderkey"],
+                num_buckets=N_BUCKETS,
+                sort_cols=["l_orderkey"],
+            )
+            write_bucketed(
+                load(spark, d, "orders"),
+                ord_t,
+                ["o_orderkey"],
+                num_buckets=N_BUCKETS,
+                sort_cols=["o_orderkey"],
+            )
+            layout_sec = round(time.perf_counter() - t0, 3)
+
+            bucketed = chain_from(spark.table(li_t), spark.table(ord_t), d)
+            plan = bucketed._jdf.queryExecution().executedPlan().toString()
+            fact_exchanges = sum(
+                1
+                for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln
+                and ("l_orderkey" in ln or "o_orderkey" in ln)
+            )
+
+            for _ in range(REPS):
                 bk.append(
                     timed(chain_from(spark.table(li_t), spark.table(ord_t), d))
                 )
