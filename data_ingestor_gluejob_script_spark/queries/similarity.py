@@ -1004,30 +1004,47 @@ def knn_graph_frame(
     bits_per_band=0 degrades gracefully to exact all-pairs (the
     differential-test configuration — only sane at small n).
 
-    Scale shape (the fuzzyjoin lessons applied to vectors):
-    - Band keys are COMPACT (vec_id, band, sig) rows — the 64-dim
-      embeddings never ride the band shuffle.
-    - The band self-join emits unordered candidate pairs, DISTINCT'd
-      while still 16-byte id pairs (a close pair collides in many
-      bands); both directions are then exploded from the single
-      distinct subtree (one explode, not a union that would run
-      candidate generation twice).
-    - Embeddings join back at candidate size, keyed by id; norms are
-      computed once per vector before that join.
-    - Per-vector top-k is one window over vec_id — state bounded by
-      the candidate fan of one vector, and the partition key is the
-      natural output key (no unpartitioned window, per the package
-      tripwire).
+    Scale shape — per-BUCKET local top-k, then a global merge (the
+    round-12 decade-2 smoke rework): the first version materialized
+    the candidate pairs as rows and joined the embeddings back onto
+    both sides, so ~2 x 206M directed candidates each carried a
+    512-byte double array through two exchanges at sf10 — measured
+    26.8x for 10x data, the fat-rows-on-the-shuffle failure mode the
+    fuzzy join already taught once. Now:
+    - Band keys carry the embedding ONCE: (band, sig, vec_id, emb)
+      is n x bands rows — LINEAR corpus bytes on the one group
+      shuffle, vs candidate-volume bytes (~n x target x dim) before.
+    - Each (band, sig) bucket computes its LOCAL top-k in one
+      Arrow-batched numpy stage (applyInPandas): a dim-step
+      accumulation loop over vectorized outer products, bit-identical
+      to Spark's sequential F.aggregate fold so the brute-force
+      differential stays exact. Per-bucket cost is dim x g^2 with
+      g ~ KNN_TARGET_BUCKET by the knn_band_bits rule; output is
+      g x k rows, never g^2.
+    - Local-then-merge is EXACT, not an approximation: if u is among
+      v's global top-k over the candidate set, then in any shared
+      bucket fewer than k candidates beat u, so u survives that
+      bucket's local top-k — the merged window returns the identical
+      graph the all-candidate window did (pinned by the bits=0
+      differential).
+    - The global merge window sees at most n x bands x k rows
+      (24-byte rows, duplicates from multi-band collisions collapsed
+      by distinct — sims are bit-deterministic so equal pairs are
+      byte-equal), partitioned by vec_id, the natural output key.
+    Clone-heavy corpora (many byte-identical vectors) inflate one
+    bucket quadratically — collapse exact clones first (the
+    semantic_dedup_frame convention) when that is the workload.
     """
     if bits_per_band is None:
         bits_per_band = knn_band_bits(emb.count())
     base = emb.select(
         "vec_id",
         as_double_vec(F.col("emb")).alias("emb"),
-    ).withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    )
 
     keys = base.select(
         "vec_id",
+        "emb",
         F.explode(
             F.array(
                 *[
@@ -1041,69 +1058,68 @@ def knn_graph_frame(
                 ]
             )
         ).alias("_bs"),
-    ).select("vec_id", "_bs.band", "_bs.sig")
+    ).select("_bs.band", "_bs.sig", "vec_id", "emb")
 
-    cand = (
-        keys.alias("a")
-        .join(keys.alias("b"), ["band", "sig"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vid_a"),
-            F.col("b.vec_id").alias("vid_b"),
-        )
-        .distinct()
-    )
-    directed = cand.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("vid_a").alias("vec_id"),
-                    F.col("vid_b").alias("nbr_id"),
-                ),
-                F.struct(
-                    F.col("vid_b").alias("vec_id"),
-                    F.col("vid_a").alias("nbr_id"),
-                ),
-            )
-        ).alias("_p")
-    ).select("_p.vec_id", "_p.nbr_id")
+    def local_topk(pdf):
+        import numpy as np
+        import pandas as pd
 
-    joined = (
-        directed.join(
-            base.select(
-                F.col("vec_id"),
-                F.col("emb").alias("_ea"),
-                F.col("norm").alias("_na"),
-            ),
-            "vec_id",
+        g = len(pdf)
+        if g < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "nbr_id": [], "sim": []}
+            ).astype({"vec_id": "int64", "nbr_id": "int64", "sim": "f8"})
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        G = np.stack(pdf["emb"].to_numpy()).astype("f8", copy=False)
+        # Accumulate Gram + norms one DIMENSION at a time: float64
+        # adds in index order, bit-identical to the sequential
+        # F.aggregate fold the rest of the similarity family (and the
+        # brute-force test oracle) uses — np.dot's BLAS blocking is
+        # faster but reorders the sum.
+        gram = np.zeros((g, g))
+        sq = np.zeros(g)
+        for t in range(G.shape[1]):
+            col = G[:, t]
+            gram += np.outer(col, col)
+            sq += col * col
+        norms = np.sqrt(sq)
+        sims = gram / np.outer(norms, norms)
+        np.fill_diagonal(sims, -np.inf)
+        kk = min(k, g - 1)
+        # exact top-k per row INCLUDING the (-sim, nbr_id) tie order:
+        # one flat lexsort of all g^2 entries keyed (row, -sim, id)
+        # (an argpartition slab would split sim-ties at the boundary
+        # arbitrarily), reshape, first kk per row. The self entry is
+        # -inf, strictly last in its row, never within kk <= g-1.
+        flat = sims.ravel()
+        row_of = np.repeat(np.arange(g), g)
+        col_of = np.tile(ids, g)
+        order = np.lexsort((col_of, -flat, row_of))
+        sel = order.reshape(g, g)[:, :kk].ravel()
+        return pd.DataFrame(
+            {
+                "vec_id": ids[row_of[sel]],
+                "nbr_id": col_of[sel],
+                "sim": flat[sel],
+            }
         )
-        .join(
-            base.select(
-                F.col("vec_id").alias("nbr_id"),
-                F.col("emb").alias("_eb"),
-                F.col("norm").alias("_nb"),
-            ),
-            "nbr_id",
-        )
-        .select(
-            "vec_id",
-            "nbr_id",
-            (
-                dot(F.col("_ea"), F.col("_eb"))
-                / (F.col("_na") * F.col("_nb"))
-            ).alias("_sim"),
-        )
+
+    local = keys.groupBy("band", "sig").applyInPandas(
+        local_topk, "vec_id long, nbr_id long, sim double"
     )
+    # multi-band collisions emit the same (vec_id, nbr_id) with
+    # bit-identical sims — collapse before the merge window
+    merged = local.distinct()
     w = Window.partitionBy("vec_id").orderBy(
-        F.desc("_sim"), F.asc("nbr_id")
+        F.desc("sim"), F.asc("nbr_id")
     )
     return (
-        joined.withColumn("rank", F.row_number().over(w))
+        merged.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "vec_id",
             "nbr_id",
-            F.round(F.col("_sim"), 6).alias("cosine_sim"),
+            F.round(F.col("sim"), 6).alias("cosine_sim"),
             "rank",
         )
     )

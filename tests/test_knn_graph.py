@@ -138,6 +138,69 @@ def test_band_bits_rule():
     )
 
 
+def test_banded_equals_candidate_set_topk(spark):
+    """The round-12 rework's load-bearing claim: per-bucket local
+    top-k then merge returns EXACTLY the global top-k over the banded
+    candidate set (if u is in v's global top-k, fewer than k
+    candidates beat u in any shared bucket, so u survives that
+    bucket's local cut). Oracle mirrors the banding in python —
+    sequential-fold signs on the same planes — then takes top-k over
+    each vector's candidate union."""
+    from data_ingestor_gluejob_script_spark.queries.similarity import (
+        _knn_plane,
+    )
+
+    bands, bits, k = 4, 3, 5
+    vecs = _vectors(spark)
+    sigs = {}
+    for i, v in vecs.items():
+        sigs[i] = tuple(
+            sum(
+                (1 << t)
+                for t in range(bits)
+                if _fold_dot(v, _knn_plane(b, t)) >= 0
+            )
+            for b in range(bands)
+        )
+    cands = {i: set() for i in vecs}
+    for i in vecs:
+        for j in vecs:
+            if j != i and any(
+                sigs[i][b] == sigs[j][b] for b in range(bands)
+            ):
+                cands[i].add(j)
+    norms = {i: math.sqrt(_fold_dot(v, v)) for i, v in vecs.items()}
+    want = {}
+    for i, v in vecs.items():
+        sims = sorted(
+            (
+                (
+                    _fold_dot(v, vecs[j]) / (norms[i] * norms[j]),
+                    j,
+                )
+                for j in cands[i]
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        want[i] = [
+            (r + 1, j, round_half_up6(s))
+            for r, (s, j) in enumerate(sims)
+        ]
+    emb = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    got = {}
+    for r in knn_graph_frame(
+        emb, k=k, bands=bands, bits_per_band=bits
+    ).collect():
+        got.setdefault(r.vec_id, []).append(
+            (r.rank, r.nbr_id, r.cosine_sim)
+        )
+    assert {i for i in want if want[i]} == set(got)
+    for i in got:
+        assert sorted(got[i]) == want[i], f"vec {i}"
+
+
 def test_deterministic_across_runs(spark):
     emb = load(spark, SF_DIR, "embeddings").select(
         "vec_id", F.col("embedding").alias("emb")
