@@ -985,6 +985,7 @@ def knn_graph_frame(
     k: int = KNN_K,
     bands: int = KNN_BANDS,
     bits_per_band: int | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor graph over (vec_id, emb):
     (vec_id, nbr_id, cosine_sim, rank) with rank 1..k per vec_id,
@@ -1034,13 +1035,19 @@ def knn_graph_frame(
     Clone-heavy corpora (many byte-identical vectors) inflate one
     bucket quadratically — collapse exact clones first (the
     semantic_dedup_frame convention) when that is the workload.
+
+    Zero-norm vectors are EXCLUDED (as source and as neighbor):
+    cosine against them is 0/0, and the NaN would otherwise sort past
+    the -inf self entry and leak self-loops into the graph. Pass ``n``
+    to skip the corpus-count job that sizes the banding (callers with
+    an expensive uncached lineage: the count would recompute it).
     """
     if bits_per_band is None:
-        bits_per_band = knn_band_bits(emb.count())
+        bits_per_band = knn_band_bits(n if n is not None else emb.count())
     base = emb.select(
         "vec_id",
         as_double_vec(F.col("emb")).alias("emb"),
-    )
+    ).filter(dot(F.col("emb"), F.col("emb")) > 0)
 
     keys = base.select(
         "vec_id",
@@ -1096,6 +1103,10 @@ def knn_graph_frame(
         col_of = np.tile(ids, g)
         order = np.lexsort((col_of, -flat, row_of))
         sel = order.reshape(g, g)[:, :kk].ravel()
+        # belt-and-braces: zero-norm vectors are filtered upstream,
+        # but non-finite coordinates in the INPUT would still make
+        # non-finite sims that sort past the -inf self entry
+        sel = sel[np.isfinite(flat[sel])]
         return pd.DataFrame(
             {
                 "vec_id": ids[row_of[sel]],

@@ -212,6 +212,34 @@ def test_deterministic_across_runs(spark):
     assert a == b
 
 
+def test_zero_norm_vectors_excluded_no_self_loops(spark):
+    """Round-12 review finding: a zero-norm vector made 0/0 = NaN
+    sims, and NaN lexsorts past the -inf self entry — self-loop edges
+    (vec_id == nbr_id, sim=-inf) leaked into the graph. Zero-norm
+    vectors are now excluded as source AND neighbor; no self-loops,
+    no non-finite sims, other vectors' neighborhoods unaffected."""
+    rows = [
+        (1, [1.0, 0.0] + [0.0] * 62),
+        (2, [0.9, 0.1] + [0.0] * 62),
+        (3, [0.0] * 64),  # zero-norm
+        (4, [-1.0, 0.0] + [0.0] * 62),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, emb array<double>"
+    )
+    got = knn_graph_frame(emb, k=3, bands=1, bits_per_band=0).collect()
+    assert got, "graph must not be empty"
+    for r in got:
+        assert r.vec_id != r.nbr_id, f"self-loop: {r}"
+        assert r.vec_id != 3 and r.nbr_id != 3, f"zero-norm leaked: {r}"
+        assert math.isfinite(r.cosine_sim), f"non-finite sim: {r}"
+    # the three non-degenerate vectors each see the other two
+    per = {}
+    for r in got:
+        per.setdefault(r.vec_id, set()).add(r.nbr_id)
+    assert per == {1: {2, 4}, 2: {1, 4}, 4: {1, 2}}
+
+
 def test_no_cartesian_product_in_plan(spark):
     emb = load(spark, SF_DIR, "embeddings").select(
         "vec_id", F.col("embedding").alias("emb")
