@@ -185,13 +185,30 @@ def _drop_shuffles(sc, ids: set[int]) -> None:
     references die too slowly), so without explicit cleanup B passes
     re-accumulate the one-shot scratch and the sharding buys
     nothing. Only ever called on shuffles created by a pass whose
-    result has already been checkpointed — their lineage is dead."""
+    result has already been checkpointed — their lineage is dead.
+
+    CONCURRENCY CONSTRAINT: the caller attributes shuffles to a pass
+    by diffing the map-output tracker around it, which is only sound
+    when no OTHER job runs on the SparkSession during the pass — a
+    concurrent query's shuffle registered inside the window would be
+    deleted out from under it (FetchFailed/recompute). passes > 1 is
+    a dedicated-batch-job mode (the sf100 scratch campaign); keep the
+    default passes=1 on shared/multi-tenant drivers (Thrift server,
+    concurrent notebook cells). Documented at every public seam that
+    exposes ``passes``."""
     try:
         cleaner = sc._jsc.sc().cleaner().get()
         for sid in sorted(ids):
             cleaner.doCleanupShuffle(sid, True)
     except Exception:  # noqa: BLE001 — best-effort on exotic runtimes
         pass
+
+
+def _vid_col(s: Column) -> Column:
+    """Compact value id: xxhash64 of the dictionary string. A seam so
+    tests can force pathological collisions and pin that the
+    within-vid recovery arm keeps results exact regardless."""
+    return F.xxhash64(s)
 
 
 def _candidate_vid_pairs(var: DataFrame, max_dist: int) -> DataFrame:
@@ -218,9 +235,9 @@ def _value_pairs(
     """Distinct verified (s_lo, s_hi, dist) pairs of DIFFERENT
     dictionary values within ``max_dist``, normalized so
     s_lo < s_hi. Shape: key the dictionary with a compact vid
-    (xxhash64 of the value — collision-free in practice, and a
-    collision only merges two dictionary entries, dropping their
-    pair, at ~n^2/2^65 odds); self-join the (vid, len, h) variant
+    (xxhash64 of the value; vid collisions are recovered exactly by
+    the within-vid arm below, so correctness does not lean on
+    collision odds); self-join the (vid, len, h) variant
     index on the hash (vid order dedups the unordered pair and keeps
     equal values out — clones are handled by the fan-out arms, so
     dist >= 1 here); DISTINCT the candidate vid pairs (a true pair
@@ -271,12 +288,30 @@ def _value_pairs(
     one pmod class, and the match predicate is per-pair — a pair
     sharing variants in several classes just surfaces in several
     passes, which the final verified-pair distinct collapses."""
-    keyed = dv.select(F.xxhash64("s").alias("vid"), "s")
+    keyed = dv.select(_vid_col(F.col("s")).alias("vid"), "s")
+    # vid-collision arm (round-12 review finding): two DISTINCT
+    # values sharing an xxhash64 get one vid, and the self-join's
+    # strict vid_a < vid_b can then never emit their pair — the only
+    # silent loss a collision causes (cross-wired join-back fan-out
+    # is caught by the per-pair levenshtein verify). Recover them
+    # with a within-vid string self-join: n-row equi-join on vid,
+    # ~zero output rows in practice (expected collisions n^2/2^65),
+    # negligible beside the variant index — and exactness no longer
+    # leans on "collision-free in practice". Disjoint from the main
+    # arm by construction (same-vid vs different-vid), so a plain
+    # union suffices.
+    collided = (
+        keyed.alias("ca")
+        .join(keyed.alias("cb"), "vid")
+        .filter(F.col("ca.s") < F.col("cb.s"))
+        .select(F.col("ca.s").alias("sa"), F.col("cb.s").alias("sb"))
+    )
+    collision_arm = _verify_string_pairs(collided, max_dist)
     if passes <= 1:
         var = _variant_index(keyed, max_dist)
         return _verified_value_pairs(
             _candidate_vid_pairs(var, max_dist), keyed, max_dist
-        )
+        ).union(collision_arm)
     # One shuffle builds the dictionary; B passes re-read it from
     # the block manager instead of re-running the distinct.
     # DISK_ONLY: the sharded form exists because the host is
@@ -306,15 +341,29 @@ def _value_pairs(
         _drop_shuffles(sc, _live_shuffle_ids(sc) - before)
     # cross-pass duplicates (a pair sharing variants in several pmod
     # classes) collapse here, on true-match-sized rows
-    return reduce(DataFrame.union, shards).distinct()
+    return (
+        reduce(DataFrame.union, shards).union(collision_arm).distinct()
+    )
+
+
+def _verify_string_pairs(pairs: DataFrame, max_dist: int) -> DataFrame:
+    """(sa, sb) -> verified (s_lo, s_hi, dist) with banded
+    levenshtein (the threshold form — O(d·len) per pair)."""
+    return (
+        pairs.filter(F.levenshtein("sa", "sb", max_dist) >= 0)
+        .select(
+            F.least("sa", "sb").alias("s_lo"),
+            F.greatest("sa", "sb").alias("s_hi"),
+            F.levenshtein("sa", "sb").alias("dist"),
+        )
+    )
 
 
 def _verified_value_pairs(
     cand: DataFrame, keyed: DataFrame, max_dist: int
 ) -> DataFrame:
     """(s_lo, s_hi, dist): join the dictionary strings back at
-    candidate-pair size and verify with banded levenshtein (the
-    threshold form — O(d·len) per pair)."""
+    candidate-pair size and verify."""
     pairs = cand.join(
         keyed.select(
             F.col("vid").alias("vid_a"), F.col("s").alias("sa")
@@ -326,14 +375,7 @@ def _verified_value_pairs(
         ),
         "vid_b",
     )
-    return (
-        pairs.filter(F.levenshtein("sa", "sb", max_dist) >= 0)
-        .select(
-            F.least("sa", "sb").alias("s_lo"),
-            F.greatest("sa", "sb").alias("s_hi"),
-            F.levenshtein("sa", "sb").alias("dist"),
-        )
-    )
+    return _verify_string_pairs(pairs, max_dist)
 
 
 def _resolve_passes(passes: int | None) -> int:
@@ -473,7 +515,11 @@ def fuzzy_join(
     ``passes`` shards candidate generation into B sequential
     hash-prefix passes (identical result, ~1/B peak shuffle scratch
     — the 100-TB / tight-scratch knob); None reads
-    $SPARK_GRAFT_FUZZY_PASSES, default 1."""
+    $SPARK_GRAFT_FUZZY_PASSES, default 1. passes > 1 performs
+    explicit shuffle-file cleanup between passes and therefore
+    requires that NO other job runs on the SparkSession while it
+    executes (see _drop_shuffles) — keep the default on shared
+    drivers."""
     lt = left.select(
         F.col(id_col).alias("id"), F.lit(0).alias("side"),
         F.col(str_col).alias("s"),
@@ -497,8 +543,8 @@ def fuzzy_self_join(
     """Near-duplicate value pairs within one table: (id_a, id_b, s_a,
     s_b, dist) with id_a < id_b and levenshtein(s_a, s_b) <=
     max_dist. The dedup-by-name / conform-the-dimension shape.
-    ids must be unique (see fuzzy_join); ``passes`` as in
-    fuzzy_join."""
+    ids must be unique (see fuzzy_join); ``passes`` as in fuzzy_join
+    (passes > 1 requires a session with no concurrent jobs)."""
     t = df.select(
         F.col(id_col).alias("id"), F.lit(0).alias("side"),
         F.col(str_col).alias("s"),

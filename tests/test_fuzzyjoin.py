@@ -210,6 +210,31 @@ def test_sharded_passes_identical(spark, passes):
     assert got == brute_self(rows, 2)
 
 
+@pytest.mark.parametrize("passes", [1, 3])
+def test_vid_collisions_recovered(spark, monkeypatch, passes):
+    """Round-12 review finding: two distinct values sharing an
+    xxhash64 share a vid, and the strict vid_a < vid_b self-join can
+    never emit their pair — a silent drop. The within-vid recovery
+    arm must make results exact under ANY collision rate: force
+    pathological collisions (vid = string length, so every same-length
+    pair collides) and assert full brute-force equality, one-shot and
+    sharded."""
+    from data_ingestor_gluejob_script_spark.queries import fuzzyjoin
+
+    monkeypatch.setattr(
+        fuzzyjoin, "_vid_col", lambda s: F.length(s).cast("long")
+    )
+    rows = _random_corpus(60, seed=5)
+    df = spark.createDataFrame(rows, "id int, name string")
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_self_join(
+            df, "id", "name", max_dist=2, passes=passes
+        ).collect()
+    )
+    assert got == brute_self(rows, 2)
+
+
 def test_passes_env_seam(spark, monkeypatch):
     """passes=None reads $SPARK_GRAFT_FUZZY_PASSES — the scale-smoke
     seam — and still matches brute force."""
