@@ -56,6 +56,11 @@ WARC_SCHEMA = (
 )
 
 _CRLF2 = b"\r\n\r\n"
+# Header-block size bound for the streaming parser: a record whose
+# header region exceeds this without a CRLF-CRLF terminator is
+# malformed (real WARC headers are < 1 KB) — stop instead of buffering
+# the remainder of the file hunting for one.
+_MAX_HEADER = 1 << 20
 
 
 def _parse_headers(block: bytes) -> dict:
@@ -141,13 +146,33 @@ def iter_warc_stream(
             if strict:
                 raise ValueError(f"bad record start at offset {pos}")
             return
+        # Bounded, resume-where-we-left-off terminator search
+        # (round-12 review finding): without the `scanned` cursor each
+        # fill re-scans the whole accumulated header region
+        # (O(n^2/window) CPU), and without the size bound a corrupt
+        # file whose bytes start 'WARC/' but never contain CRLF-CRLF
+        # accumulates its ENTIRE decompressed remainder in buf — the
+        # exact OOM this streaming parser exists to prevent. Real WARC
+        # header blocks are well under a kilobyte; 1 MB is generous.
+        scanned = 0  # bytes past pos already known terminator-free
+        oversized = False
         while True:
-            head_end = buf.find(_CRLF2, pos)
-            if head_end >= 0 or not fill():
+            head_end = buf.find(_CRLF2, pos + max(0, scanned - 3))
+            if head_end >= 0:
+                break
+            scanned = len(buf) - pos
+            if scanned > _MAX_HEADER:
+                oversized = True
+                break
+            if not fill():  # compacts to pos=0; `scanned` is pos-relative
                 break
         if head_end < 0:
             if strict:
-                raise ValueError("truncated header block")
+                raise ValueError(
+                    "unterminated header block (oversized)"
+                    if oversized
+                    else "truncated header block"
+                )
             return
         ver_end = buf.find(b"\r\n", pos)
         headers = _parse_headers(bytes(buf[ver_end + 2 : head_end]))

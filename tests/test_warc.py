@@ -359,6 +359,47 @@ def test_negative_content_length_cannot_hang():
         list(iter_warc_records(data, strict=True))
 
 
+def test_unterminated_header_is_bounded():
+    """Round-12 review finding: a file whose bytes start 'WARC/' but
+    never contain CRLF-CRLF made the header search buffer the ENTIRE
+    decompressed remainder (the exact OOM the streaming parser
+    prevents) while re-scanning it quadratically. The search is now
+    bounded (_MAX_HEADER) and resumes where it left off: tolerant
+    mode stops after ~1 MB buffered, strict mode names the oversized
+    block; valid records before the corrupt one still parse."""
+    import io
+    import time
+
+    from data_ingestor_gluejob_script_spark.sources.warc import (
+        _MAX_HEADER,
+        iter_warc_stream,
+    )
+
+    good = build_warc(_fixture_records())
+    # 8 MB of terminator-free garbage after a valid record start
+    corrupt = b"WARC/1.0\r\n" + b"x" * (8 << 20)
+    data = good + corrupt
+
+    class CountingReader(io.BytesIO):
+        read_total = 0
+
+        def read(self, n=-1):
+            chunk = super().read(n)
+            CountingReader.read_total += len(chunk)
+            return chunk
+
+    CountingReader.read_total = 0
+    t0 = time.perf_counter()
+    got = list(iter_warc_stream(CountingReader(data), window=64 << 10))
+    elapsed = time.perf_counter() - t0
+    assert len(got) == len(_fixture_records())
+    # stopped near the bound, not at EOF: never buffered the 8 MB tail
+    assert CountingReader.read_total <= len(good) + _MAX_HEADER + (128 << 10)
+    assert elapsed < 2.0  # resume-scan, not quadratic rescans
+    with pytest.raises(ValueError, match="oversized"):
+        list(iter_warc_stream(io.BytesIO(data), strict=True, window=64 << 10))
+
+
 def test_chunked_generator_flush_boundary(spark, tmp_path):
     """The parse generator flushes every 10k records (bounding task
     memory by the chunk, not the file — the sf100 OOM fix); a file
