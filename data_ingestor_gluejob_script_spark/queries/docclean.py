@@ -434,17 +434,20 @@ GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 GOPHER_BULLET_PREFIXES = ("•", "‣", "▪", "-", "*")
 
 
-def _gopher_quality_metrics(text: Column, delim: str) -> list[Column]:
+def _gopher_quality_metrics(
+    text: Column, delim: str, prefix: str = "_"
+) -> list[Column]:
     """The staging projection for the quality battery: the
     pre-projected token/line arrays plus the scalar char counts, all
     computed ONCE (textops HOF contract — every downstream metric
-    reads the bound arrays, never re-splits)."""
+    reads the bound arrays, never re-splits). ``prefix`` names the
+    staging columns so the filter form can dodge caller columns."""
     raw = F.split(text, "\\s+")
     return [
-        text.alias("_text"),
+        text.alias(f"{prefix}text"),
         # drop empty tokens (leading/trailing whitespace splits to "")
-        F.filter(raw, lambda w: w != F.lit("")).alias("_ws"),
-        F.split(text, delim).alias("_lines"),
+        F.filter(raw, lambda w: w != F.lit("")).alias(f"{prefix}ws"),
+        F.split(text, delim).alias(f"{prefix}lines"),
     ]
 
 
@@ -452,11 +455,15 @@ def _round6_div(num: Column, den: Column) -> Column:
     return F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0))
 
 
-def _gopher_quality_cols() -> dict[str, Column]:
-    """Metric expressions over the staged (_text, _ws, _lines)
-    columns. Every metric is a JVM-side array/string expression —
-    zero shuffle, zero Python."""
-    ws, lines, text = F.col("_ws"), F.col("_lines"), F.col("_text")
+def _gopher_quality_cols(prefix: str = "_") -> dict[str, Column]:
+    """Metric expressions over the staged (text, ws, lines) columns
+    under ``prefix``. Every metric is a JVM-side array/string
+    expression — zero shuffle, zero Python."""
+    ws, lines, text = (
+        F.col(f"{prefix}ws"),
+        F.col(f"{prefix}lines"),
+        F.col(f"{prefix}text"),
+    )
     n_words = F.size(ws).cast("double")
     n_lines = F.size(lines).cast("double")
     sum_len = F.aggregate(
@@ -514,22 +521,29 @@ def _gopher_quality_kept(
     max_ellipsis_frac: float,
     min_alpha_frac: float,
     min_stop_hits: int,
+    metrics: dict[str, Column] | None = None,
 ) -> Column:
     """The conjunction over the EMITTED (rounded) metric columns, so
     the keep decision is reproducible from the frame's own output
     (and the python oracle compares on identically-rounded values —
-    the dyadic-edge convention the repetition oracle established)."""
+    the dyadic-edge convention the repetition oracle established).
+    ``metrics`` supplies the metric EXPRESSIONS directly (the filter
+    form, which never materializes named metric columns); None reads
+    the frame's named columns."""
+    m = metrics if metrics is not None else {
+        n: F.col(n) for n in _gopher_quality_cols()
+    }
     return (
-        F.col("n_words").between(min_words, max_words)
-        & F.col("mean_word_len").between(
+        m["n_words"].between(min_words, max_words)
+        & m["mean_word_len"].between(
             min_mean_word_len, max_mean_word_len
         )
-        & (F.col("hash_word_ratio") <= max_symbol_ratio)
-        & (F.col("ellipsis_word_ratio") <= max_symbol_ratio)
-        & (F.col("bullet_line_frac") <= max_bullet_frac)
-        & (F.col("ellipsis_line_frac") <= max_ellipsis_frac)
-        & (F.col("alpha_word_frac") >= min_alpha_frac)
-        & (F.col("stop_word_hits") >= min_stop_hits)
+        & (m["hash_word_ratio"] <= max_symbol_ratio)
+        & (m["ellipsis_word_ratio"] <= max_symbol_ratio)
+        & (m["bullet_line_frac"] <= max_bullet_frac)
+        & (m["ellipsis_line_frac"] <= max_ellipsis_frac)
+        & (m["alpha_word_frac"] >= min_alpha_frac)
+        & (m["stop_word_hits"] >= min_stop_hits)
     )
 
 
@@ -616,21 +630,22 @@ def gopher_quality_filter(
     gopher_filter, whose repetition metrics need aggregation): the
     battery is map-only, so the kept predicate evaluates inline over
     staged arrays and the corpus's other columns ride for free —
-    same shape as c4_filter."""
+    same shape as c4_filter. No id column is required and caller
+    column names never collide: the staging columns pick a prefix the
+    frame doesn't use, and the metrics are composed as expressions,
+    never materialized under their names (round-12 review fix — the
+    old collision fallback semi-joined on a doc_id the join-free
+    contract never promised)."""
     text = F.coalesce(F.col(text_col), F.lit(""))
-    reserved = {"_text", "_ws", "_lines", *_gopher_quality_cols()}
-    if reserved & set(docs.columns):
-        # staging/metric names collide with caller columns — fall
-        # back to the semi-join form rather than silently shadowing
-        keep = (
-            gopher_quality_frame(docs, text_col, delim, **thresholds)
-            .filter("kept")
-            .select("doc_id")
-        )
-        return docs.join(keep, "doc_id", "left_semi")
-    staged = docs.select("*", *_gopher_quality_metrics(text, delim))
-    m = _gopher_quality_cols()
-    metric_names = list(m)
+    prefix, i = "_gq_", 0
+    while any(
+        f"{prefix}{s}" in docs.columns for s in ("text", "ws", "lines")
+    ):
+        prefix, i = f"_gq{i}_", i + 1
+    staged = docs.select(
+        "*", *_gopher_quality_metrics(text, delim, prefix)
+    )
+    m = _gopher_quality_cols(prefix)
     defaults = dict(
         min_words=GOPHER_MIN_WORDS,
         max_words=GOPHER_MAX_WORDS,
@@ -643,12 +658,9 @@ def gopher_quality_filter(
         min_stop_hits=GOPHER_MIN_STOP_WORD_HITS,
     )
     defaults.update(thresholds)
-    metered = staged.select(
-        *docs.columns, *[c.alias(n) for n, c in m.items()]
-    )
-    return metered.filter(_gopher_quality_kept(**defaults)).select(
-        *docs.columns
-    )
+    return staged.filter(
+        _gopher_quality_kept(metrics=m, **defaults)
+    ).select(*docs.columns)
 
 
 # ---------------------------------------------------------------------------

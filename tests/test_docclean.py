@@ -546,7 +546,10 @@ def quality_oracle_row(text):
     import re
 
     text = text or ""
-    words = [w for w in re.split(r"\s+", text) if w]
+    # Java's \s (what F.split compiles) is ASCII-only; Python's is
+    # unicode-aware and would split at NBSP etc. where Spark doesn't —
+    # mirror Java exactly (round-12 review finding)
+    words = [w for w in re.split(r"[ \t\n\x0b\f\r]+", text) if w]
     lines = text.split("\n")
     nw = len(words)
     mean_wl = _round6(sum(len(w) for w in words) / nw) if nw else 0.0
@@ -670,16 +673,34 @@ def test_quality_filter_forms_agree(spark):
     inline = gopher_quality_filter(df)
     assert {r["doc_id"] for r in inline.collect()} == want
     assert inline.columns == ["doc_id", "text", "extra"]
+    # caller owning a metric name must not perturb the result or the
+    # schema — metrics are composed as expressions, never materialized
     colliding = df.withColumn("n_words", F.lit(-1))
     fb = gopher_quality_filter(colliding)
     assert {r["doc_id"] for r in fb.collect()} == want
     assert "n_words" in fb.columns
+    # round-12 review fix: no id column is required even when names
+    # collide (the old fallback semi-joined on doc_id), and owning a
+    # STAGING name just moves the staging to the next prefix
+    wanted_texts = {
+        t for i, t in QUALITY_FIXTURE if i in want and t is not None
+    }
+    no_id = spark.createDataFrame(
+        [(t, -1, "x") for _, t in QUALITY_FIXTURE],
+        "text string, n_words long, _gq_ws string",
+    )
+    got = gopher_quality_filter(no_id)
+    assert {r["text"] for r in got.collect()} == wanted_texts
+    assert got.columns == ["text", "n_words", "_gq_ws"]
 
 
 @given(
     st.lists(
         st.sampled_from(
-            ["the", "of", "#", "...", "…", "•x", "12", "abcd", "", "a" * 11]
+            [
+                "the", "of", "#", "...", "…", "•x", "12", "abcd", "",
+                "a" * 11, "the be",  # NBSP: one token in Java \s
+            ]
         ),
         min_size=0,
         max_size=80,
