@@ -116,6 +116,12 @@ def main() -> int:
                 if "Exchange hashpartitioning" in ln
                 and ("l_orderkey" in ln or "o_orderkey" in ln)
             )
+            # the docstring's promise: a non-zero count means the
+            # bucketing silently failed to line up and the "bucketed"
+            # timing would measure an ordinary shuffled join
+            assert fact_exchanges == 0, (
+                f"bucketed fact join still exchanges ({fact_exchanges})"
+            )
 
             for _ in range(REPS):
                 bk.append(

@@ -81,9 +81,11 @@ def main() -> int:
 
     batches = []
     for p in q.recentProgress:
-        if p is None or p.get("numInputRows", 0) == 0 and not p.get(
-            "batchId"
-        ):
+        # skip availableNow's trailing empty progress entries: an
+        # empty batch in batch_ms_last3 would understate end-of-run
+        # cost (round-12 review: the old and/or precedence only
+        # skipped an empty batch 0)
+        if p is None or p.get("numInputRows", 0) == 0:
             continue
         batches.append(
             {
