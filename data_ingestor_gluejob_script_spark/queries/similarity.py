@@ -986,6 +986,7 @@ def knn_graph_frame(
     bands: int = KNN_BANDS,
     bits_per_band: int | None = None,
     n: int | None = None,
+    block_entries: int = 4 << 20,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor graph over (vec_id, emb):
     (vec_id, nbr_id, cosine_sim, rank) with rank 1..k per vec_id,
@@ -1041,6 +1042,9 @@ def knn_graph_frame(
     the -inf self entry and leak self-loops into the graph. Pass ``n``
     to skip the corpus-count job that sizes the banding (callers with
     an expensive uncached lineage: the count would recompute it).
+    ``block_entries`` bounds the per-bucket sims allocation
+    (~block_entries doubles): a pathologically skewed bucket degrades
+    to more row blocks, never an O(g^2)-memory OOM.
     """
     if bits_per_band is None:
         bits_per_band = knn_band_bits(n if n is not None else emb.count())
@@ -1078,40 +1082,53 @@ def knn_graph_frame(
             ).astype({"vec_id": "int64", "nbr_id": "int64", "sim": "f8"})
         ids = pdf["vec_id"].to_numpy(dtype="int64")
         G = np.stack(pdf["emb"].to_numpy()).astype("f8", copy=False)
-        # Accumulate Gram + norms one DIMENSION at a time: float64
-        # adds in index order, bit-identical to the sequential
-        # F.aggregate fold the rest of the similarity family (and the
-        # brute-force test oracle) uses — np.dot's BLAS blocking is
-        # faster but reorders the sum.
-        gram = np.zeros((g, g))
+        # Norms: accumulate one DIMENSION at a time — float64 adds in
+        # index order, bit-identical to the sequential F.aggregate
+        # fold the rest of the similarity family (and the brute-force
+        # test oracle) uses; np.dot's BLAS blocking reorders the sum.
         sq = np.zeros(g)
         for t in range(G.shape[1]):
-            col = G[:, t]
-            gram += np.outer(col, col)
-            sq += col * col
+            sq += G[:, t] * G[:, t]
         norms = np.sqrt(sq)
-        sims = gram / np.outer(norms, norms)
-        np.fill_diagonal(sims, -np.inf)
         kk = min(k, g - 1)
-        # exact top-k per row INCLUDING the (-sim, nbr_id) tie order:
-        # one flat lexsort of all g^2 entries keyed (row, -sim, id)
-        # (an argpartition slab would split sim-ties at the boundary
-        # arbitrarily), reshape, first kk per row. The self entry is
-        # -inf, strictly last in its row, never within kk <= g-1.
-        flat = sims.ravel()
-        row_of = np.repeat(np.arange(g), g)
-        col_of = np.tile(ids, g)
-        order = np.lexsort((col_of, -flat, row_of))
-        sel = order.reshape(g, g)[:, :kk].ravel()
-        # belt-and-braces: zero-norm vectors are filtered upstream,
-        # but non-finite coordinates in the INPUT would still make
-        # non-finite sims that sort past the -inf self entry
-        sel = sel[np.isfinite(flat[sel])]
+        # Row-BLOCKED local top-k: sims for blk rows at a time, so
+        # peak memory is ~blk x g doubles instead of g^2 — a skewed
+        # bucket (clone flood) degrades to more blocks, not an OOM.
+        # Exactness is per-entry: the dim-order accumulation and the
+        # per-row (-sim, nbr_id) lexsort are independent of blocking.
+        blk = max(1, block_entries // max(g, 1))
+        out_v, out_n, out_s = [], [], []
+        for lo in range(0, g, blk):
+            hi = min(lo + blk, g)
+            b = hi - lo
+            gram = np.zeros((b, g))
+            for t in range(G.shape[1]):
+                gram += np.outer(G[lo:hi, t], G[:, t])
+            sims = gram / np.outer(norms[lo:hi], norms)
+            sims[np.arange(b), np.arange(lo, hi)] = -np.inf  # self
+            # exact top-k per row INCLUDING the (-sim, nbr_id) tie
+            # order: one flat lexsort keyed (row, -sim, id) (an
+            # argpartition slab would split sim-ties at the boundary
+            # arbitrarily), reshape, first kk per row. The self entry
+            # is -inf, strictly last in its row, never within
+            # kk <= g-1.
+            flat = sims.ravel()
+            row_of = np.repeat(np.arange(b), g)
+            col_of = np.tile(ids, b)
+            order = np.lexsort((col_of, -flat, row_of))
+            sel = order.reshape(b, g)[:, :kk].ravel()
+            # belt-and-braces: zero-norm vectors are filtered
+            # upstream, but non-finite coordinates in the INPUT would
+            # still make non-finite sims that sort past the -inf self
+            sel = sel[np.isfinite(flat[sel])]
+            out_v.append(ids[lo + row_of[sel]])
+            out_n.append(col_of[sel])
+            out_s.append(flat[sel])
         return pd.DataFrame(
             {
-                "vec_id": ids[row_of[sel]],
-                "nbr_id": col_of[sel],
-                "sim": flat[sel],
+                "vec_id": np.concatenate(out_v),
+                "nbr_id": np.concatenate(out_n),
+                "sim": np.concatenate(out_s),
             }
         )
 

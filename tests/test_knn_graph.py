@@ -212,6 +212,33 @@ def test_deterministic_across_runs(spark):
     assert a == b
 
 
+def test_row_blocked_local_topk_identical(spark):
+    """The row-blocked sims computation (bounded per-bucket memory)
+    must be bit-identical to the single-block path: a tiny
+    block_entries forces many blocks over the bits=0 all-pairs
+    bucket, and the output must equal the default call exactly."""
+    emb = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    a = sorted(
+        map(
+            tuple,
+            knn_graph_frame(
+                emb, k=5, bands=1, bits_per_band=0
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            knn_graph_frame(
+                emb, k=5, bands=1, bits_per_band=0, block_entries=700
+            ).collect(),
+        )
+    )
+    assert a == b and a
+
+
 def test_zero_norm_vectors_excluded_no_self_loops(spark):
     """Round-12 review finding: a zero-norm vector made 0/0 = NaN
     sims, and NaN lexsorts past the -inf self entry — self-loop edges
