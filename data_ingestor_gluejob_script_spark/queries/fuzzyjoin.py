@@ -289,6 +289,15 @@ def _value_pairs(
     sharing variants in several classes just surfaces in several
     passes, which the final verified-pair distinct collapses."""
     keyed = dv.select(_vid_col(F.col("s")).alias("vid"), "s")
+    if passes > 1:
+        # One shuffle builds the dictionary; B passes (and the
+        # collision arm) re-read it from the block manager instead of
+        # re-running the distinct. DISK_ONLY: the sharded form exists
+        # because the host is resource-tight — parking checkpoint
+        # blocks in the heap (the MEMORY_AND_DISK default) OOMed the
+        # sf100 run with 32 concurrent tasks' execution memory
+        # alongside them.
+        keyed = keyed.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     # vid-collision arm (round-12 review finding): two DISTINCT
     # values sharing an xxhash64 get one vid, and the self-join's
     # strict vid_a < vid_b can then never emit their pair — the only
@@ -307,19 +316,11 @@ def _value_pairs(
         .select(F.col("ca.s").alias("sa"), F.col("cb.s").alias("sb"))
     )
     collision_arm = _verify_string_pairs(collided, max_dist)
+    var = _variant_index(keyed, max_dist)
     if passes <= 1:
-        var = _variant_index(keyed, max_dist)
         return _verified_value_pairs(
             _candidate_vid_pairs(var, max_dist), keyed, max_dist
         ).union(collision_arm)
-    # One shuffle builds the dictionary; B passes re-read it from
-    # the block manager instead of re-running the distinct.
-    # DISK_ONLY: the sharded form exists because the host is
-    # resource-tight — parking checkpoint blocks in the heap
-    # (the MEMORY_AND_DISK default) OOMed the sf100 run with 32
-    # concurrent tasks' execution memory alongside them.
-    keyed = keyed.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
-    var = _variant_index(keyed, max_dist)
     sc = keyed.sparkSession.sparkContext
     shards = []
     for i in range(passes):
