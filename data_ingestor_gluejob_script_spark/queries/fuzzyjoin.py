@@ -94,6 +94,7 @@ matches anything within distance max_dist of it.
 
 from __future__ import annotations
 
+import logging
 import os
 from functools import reduce
 
@@ -164,8 +165,9 @@ def _variant_index(keyed: DataFrame, max_dist: int) -> DataFrame:
 def _live_shuffle_ids(sc) -> set[int]:
     """Shuffle ids currently registered with the driver's map-output
     tracker (classic local/cluster mode via the py4j seam; an empty
-    set on runtimes that hide the JVM, which simply disables the
-    explicit cleanup below)."""
+    set on runtimes that hide the JVM). Diagnostic/test seam — pass
+    attribution itself is plan-scoped (``_plan_shuffle_ids``), not a
+    tracker diff, so it cannot see (or touch) other jobs' shuffles."""
     try:
         tracker = sc._jvm.org.apache.spark.SparkEnv.get().mapOutputTracker()
         it = tracker.shuffleStatuses().keySet().iterator()
@@ -177,6 +179,57 @@ def _live_shuffle_ids(sc) -> set[int]:
         return set()
 
 
+def _plan_shuffle_ids(df: DataFrame) -> set[int]:
+    """Shuffle ids belonging to THIS DataFrame's executed query —
+    read by walking its (adaptive) physical plan for materialized
+    ``ShuffleQueryStageExec``/``ShuffleExchangeExec`` nodes after the
+    action ran. This is exact per-query attribution: a concurrent
+    job's shuffles can never appear in another query's plan tree, so
+    cleanup scoped to these ids is safe on a SHARED SparkSession
+    (the round-12 design diffed the global map-output tracker around
+    the pass, which could attribute — and delete — a concurrent
+    query's shuffle registered inside the window).
+
+    Walk rules: AQE wraps the final plan in AdaptiveSparkPlanExec
+    (descend via ``executedPlan()``); materialized stages are
+    ``*QueryStageExec`` leaves (descend via ``plan()``);
+    ``ReusedExchangeExec`` aliases an exchange owned by the same
+    query (descend via ``child()`` — the set dedups); subquery plans
+    hang off expressions (``subqueries()``). Fail-safe: any py4j
+    surprise returns the ids found so far — a missed id leaks one
+    pass's scratch until ContextCleaner gets to it, it never deletes
+    someone else's files."""
+    ids: set[int] = set()
+    try:
+        stack = [df._jdf.queryExecution().executedPlan()]
+        while stack:
+            node = stack.pop()
+            cls = node.getClass().getSimpleName()
+            if cls == "AdaptiveSparkPlanExec":
+                stack.append(node.executedPlan())
+                continue
+            if cls.endswith("QueryStageExec"):
+                stack.append(node.plan())
+                continue
+            if cls == "ReusedExchangeExec":
+                stack.append(node.child())
+                continue
+            if cls == "ShuffleExchangeExec":
+                ids.add(node.shuffleDependency().shuffleId())
+            it = node.children().iterator()
+            while it.hasNext():
+                stack.append(it.next())
+            try:
+                it = node.subqueries().iterator()
+                while it.hasNext():
+                    stack.append(it.next())
+            except Exception:  # noqa: BLE001 — no subquery seam
+                pass
+    except Exception:  # noqa: BLE001 — connect mode / plan-shape drift
+        pass
+    return ids
+
+
 def _drop_shuffles(sc, ids: set[int]) -> None:
     """Explicitly delete the given shuffles' files (blocking). The
     sequential-pass design DEPENDS on this: completed passes' shuffle
@@ -185,17 +238,13 @@ def _drop_shuffles(sc, ids: set[int]) -> None:
     references die too slowly), so without explicit cleanup B passes
     re-accumulate the one-shot scratch and the sharding buys
     nothing. Only ever called on shuffles created by a pass whose
-    result has already been checkpointed — their lineage is dead.
-
-    CONCURRENCY CONSTRAINT: the caller attributes shuffles to a pass
-    by diffing the map-output tracker around it, which is only sound
-    when no OTHER job runs on the SparkSession during the pass — a
-    concurrent query's shuffle registered inside the window would be
-    deleted out from under it (FetchFailed/recompute). passes > 1 is
-    a dedicated-batch-job mode (the sf100 scratch campaign); keep the
-    default passes=1 on shared/multi-tenant drivers (Thrift server,
-    concurrent notebook cells). Documented at every public seam that
-    exposes ``passes``."""
+    result has already been checkpointed — their lineage is dead —
+    and attributed by walking that pass's OWN executed plan
+    (``_plan_shuffle_ids``), so a concurrent job on the same
+    SparkSession is never affected: passes > 1 is safe on shared
+    drivers (Thrift server, concurrent notebook cells) as of round
+    13; the only cost of concurrency is that the other job competes
+    for the scratch headroom the sharding exists to bound."""
     try:
         cleaner = sc._jsc.sc().cleaner().get()
         for sid in sorted(ids):
@@ -259,8 +308,9 @@ def _value_pairs(
     the candidate id pairs, joins the strings back, VERIFIES with
     banded levenshtein, checkpoints only the surviving value pairs
     (DISK_ONLY, true-match-sized), and then EXPLICITLY DELETES the
-    pass's shuffle files (``_drop_shuffles`` — the ids that appeared
-    in the map-output tracker during the pass). Verify-inside-the-
+    pass's shuffle files (``_drop_shuffles`` — the ids read from the
+    pass's own executed plan, ``_plan_shuffle_ids``, so concurrent
+    jobs on the session are never touched). Verify-inside-the-
     pass is load-bearing: on a corpus with dense 2d-neighborhoods
     (the sf100 bench corpus: dense numeric key suffixes under
     repeated name prefixes — ~1B ed<=2 candidates whose verify
@@ -324,22 +374,24 @@ def _value_pairs(
     sc = keyed.sparkSession.sparkContext
     shards = []
     for i in range(passes):
-        before = _live_shuffle_ids(sc)
-        part = _verified_value_pairs(
+        pass_df = _verified_value_pairs(
             _candidate_vid_pairs(
                 var.filter(F.pmod(F.col("h"), F.lit(passes)) == i),
                 max_dist,
             ),
             keyed,
             max_dist,
-        ).localCheckpoint(  # eager: the pass job runs HERE
+        )
+        part = pass_df.localCheckpoint(  # eager: the pass job runs HERE
             storageLevel=StorageLevel.DISK_ONLY
         )
         shards.append(part)
         # the shard holds only VERIFIED pairs — this pass's shuffles
         # (its corpus-scale footprint: variant join, candidate
-        # distinct, string fan-in) go before the next pass starts
-        _drop_shuffles(sc, _live_shuffle_ids(sc) - before)
+        # distinct, string fan-in) go before the next pass starts.
+        # Attribution is the pass's own executed plan, never a global
+        # tracker diff, so concurrent jobs on the session are safe.
+        _drop_shuffles(sc, _plan_shuffle_ids(pass_df))
     # cross-pass duplicates (a pair sharing variants in several pmod
     # classes) collapse here, on true-match-sized rows
     return (
@@ -382,9 +434,21 @@ def _verified_value_pairs(
 def _resolve_passes(passes: int | None) -> int:
     """None -> $SPARK_GRAFT_FUZZY_PASSES (default 1). The env seam
     lets the scale smoke run the sf100 sharded form without touching
-    the registered query's call site; any B yields identical rows."""
+    the registered query's call site; any B yields identical rows.
+    Env activation is invisible at call sites on shared drivers, so
+    it logs loudly (once per call) when it actually changes the
+    plan shape."""
     if passes is None:
-        return max(1, int(os.environ.get("SPARK_GRAFT_FUZZY_PASSES", "1")))
+        env_b = max(1, int(os.environ.get("SPARK_GRAFT_FUZZY_PASSES", "1")))
+        if env_b > 1:
+            logging.getLogger(__name__).warning(
+                "fuzzy join: SPARK_GRAFT_FUZZY_PASSES=%d activates "
+                "sequential sharded candidate generation (B passes, "
+                "~1/B peak shuffle scratch, per-pass checkpoint + "
+                "plan-scoped shuffle cleanup) for this call",
+                env_b,
+            )
+        return env_b
     return max(1, passes)
 
 
@@ -517,10 +581,9 @@ def fuzzy_join(
     hash-prefix passes (identical result, ~1/B peak shuffle scratch
     — the 100-TB / tight-scratch knob); None reads
     $SPARK_GRAFT_FUZZY_PASSES, default 1. passes > 1 performs
-    explicit shuffle-file cleanup between passes and therefore
-    requires that NO other job runs on the SparkSession while it
-    executes (see _drop_shuffles) — keep the default on shared
-    drivers."""
+    explicit shuffle-file cleanup between passes; cleanup is scoped
+    to each pass's own executed plan (_plan_shuffle_ids), so
+    concurrent jobs on the same SparkSession are safe."""
     lt = left.select(
         F.col(id_col).alias("id"), F.lit(0).alias("side"),
         F.col(str_col).alias("s"),
@@ -545,7 +608,7 @@ def fuzzy_self_join(
     s_b, dist) with id_a < id_b and levenshtein(s_a, s_b) <=
     max_dist. The dedup-by-name / conform-the-dimension shape.
     ids must be unique (see fuzzy_join); ``passes`` as in fuzzy_join
-    (passes > 1 requires a session with no concurrent jobs)."""
+    (plan-scoped cleanup — safe beside concurrent jobs)."""
     t = df.select(
         F.col(id_col).alias("id"), F.lit(0).alias("side"),
         F.col(str_col).alias("s"),

@@ -198,8 +198,9 @@ def prepare_training_corpus(
     stages composed into ONE declarative job: [decontaminate against
     ``benchmark`` if given] → redact PII → quality filter (score >=
     MIN_QUALITY over the REDACTED text) → [Gopher quality-rule
-    battery (docclean.gopher_quality_filter) if ``gopher_quality`` —
-    True for the published thresholds, a dict for overrides] →
+    battery (docclean.gopher_quality_filter) if ``gopher_quality`` is
+    not False — True OR an empty dict {} enables the published
+    thresholds, a non-empty dict overrides them] →
     [repetition filter: drop docs whose top-2-gram fraction exceeds
     ``max_repetition``, the Gopher-style degenerate-repetition cut,
     if given] → exact dedup
@@ -242,7 +243,10 @@ def prepare_training_corpus(
     kept = work.filter(
         quality_score_col(F.col("text"), F.col("n_chars")) >= MIN_QUALITY
     )
-    if gopher_quality:
+    if gopher_quality is not False:
+        # `{}` plausibly means "enable with the published defaults" —
+        # a falsy-dict test would silently skip the battery (round-13
+        # ADVICE), so the gate is an explicit is-not-False.
         # The Gopher quality-rule battery (docclean), over the
         # REDACTED text like the generic score — map-only, so it
         # fuses into the same stage and adds zero shuffle. Runs

@@ -10,7 +10,9 @@ the machine rather than Spark's 200 default.
 
 from __future__ import annotations
 
+import getpass
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -32,6 +34,10 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    try:
+        user = getpass.getuser()
+    except Exception:  # noqa: BLE001 — no USER/LOGNAME in the env
+        user = str(os.getuid()) if hasattr(os, "getuid") else "shared"
 
     builder = (
         SparkSession.builder.master(master)
@@ -66,11 +72,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # Managed-table scratch (e.g. the fuzzy join's bucketed
         # variant table) belongs in temp space, not a ./spark-warehouse
-        # dir inside whatever cwd launched the job.
+        # dir inside whatever cwd launched the job. Per-user suffix:
+        # on a multi-user host a fixed shared path is owned by
+        # whoever ran first, and other users' managed-table writes
+        # (fixed table names like bucketed_3hop's) fail or collide.
         .config(
             "spark.sql.warehouse.dir",
-            os.environ.get(
-                "SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"
+            os.environ.get("SPARK_GRAFT_WAREHOUSE")
+            or os.path.join(
+                tempfile.gettempdir(), f"spark-graft-warehouse-{user}"
             ),
         )
         # Only effective when THIS call launches the JVM — getOrCreate

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import logging
 from typing import Iterable, Iterator
 
 import pandas as pd
@@ -260,11 +261,21 @@ def read_warc(
 
     ``types=None`` keeps ALL record types; an EMPTY collection keeps
     none (an empty filter means filter-everything, it does not
-    silently widen to keep-all). ``max_payload`` drops over-sized
+    silently widen to keep-all). BEHAVIOR CHANGE vs pre-round-12
+    (`if types else None` treated () like None = keep-all): callers
+    passing an empty collection now get zero rows, and a warning is
+    logged since that is usually an upstream config bug, not intent.
+    ``max_payload`` drops over-sized
     record bodies at parse time (before any shuffle) — the standard
     crawl-hygiene cut. Columns: see WARC_SCHEMA; ``payload`` is the
     HTTP BODY for http responses, the raw record body otherwise."""
     kept = None if types is None else {t.lower() for t in types}
+    if kept == set():
+        logging.getLogger(__name__).warning(
+            "read_warc(types=%r): empty types collection keeps NO "
+            "records (pass types=None for keep-all)",
+            types,
+        )
     files = spark.read.format("binaryFile").load(path)
     cols = [
         "file",

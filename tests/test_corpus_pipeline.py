@@ -318,3 +318,20 @@ def test_pipeline_gopher_quality_stage_composes(spark):
     )
     base_n = prepare_training_corpus(docs).count()
     assert 0 < with_stage.count() < base_n
+
+
+def test_pipeline_gopher_empty_dict_enables_defaults(spark):
+    """gopher_quality={} plausibly means 'enable with the published
+    defaults' — a falsy-dict gate would silently skip the battery
+    (round-13 ADVICE). {} must behave exactly like True, and must
+    NOT equal the battery-off run on a corpus where the published
+    defaults actually cut documents (synthetic vocab has no English
+    stop words, so min_stop_hits fails everywhere)."""
+    docs = load(spark, SF_DIR, "documents").limit(200)
+    with_empty = prepare_training_corpus(docs, gopher_quality={})
+    with_true = prepare_training_corpus(docs, gopher_quality=True)
+    assert sorted(map(tuple, with_empty.collect())) == sorted(
+        map(tuple, with_true.collect())
+    )
+    off = prepare_training_corpus(docs)
+    assert with_empty.count() != off.count()

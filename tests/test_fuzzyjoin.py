@@ -296,3 +296,106 @@ def test_pass_shuffle_cleanup_mechanism(spark):
     assert _live_shuffle_ids(sc) & created == set()
     assert shuffle_bytes() < grew
     assert df.count() == 1013  # checkpoint survives its lineage's death
+
+
+def test_plan_scoped_shuffle_attribution(spark):
+    """_plan_shuffle_ids reads a query's shuffles from its OWN
+    executed plan: on a quiet session it must equal the map-output
+    tracker diff around the action (same ids, no more, no less) —
+    the property that makes per-pass cleanup exact without a global
+    diff."""
+    from pyspark.storagelevel import StorageLevel
+
+    from data_ingestor_gluejob_script_spark.queries.fuzzyjoin import (
+        _live_shuffle_ids,
+        _plan_shuffle_ids,
+    )
+
+    sc = spark.sparkContext
+    df = (
+        spark.range(0, 300_000)
+        .select((F.col("id") % 1009).alias("k"), F.col("id").alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("sv"))
+    )
+    j = (
+        df.alias("a")
+        .join(df.alias("b"), "sv")
+        .select(F.col("a.k").alias("ka"), F.col("b.k").alias("kb"))
+    )
+    before = _live_shuffle_ids(sc)
+    j.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    diff = _live_shuffle_ids(sc) - before
+    plan_ids = _plan_shuffle_ids(j)
+    assert plan_ids == diff
+    assert plan_ids  # the query genuinely shuffled
+
+
+def test_sharded_passes_safe_beside_concurrent_jobs(spark):
+    """Round-13 lift of the passes>1 concurrency constraint: a
+    sharded fuzzy join's per-pass cleanup is scoped to the pass's
+    own executed plan, so a concurrent job's shuffles on the SAME
+    SparkSession survive (old tracker-diff attribution would delete
+    any shuffle registered during a pass window) and the join's
+    result is still exact."""
+    import threading
+
+    from data_ingestor_gluejob_script_spark.queries.fuzzyjoin import (
+        _live_shuffle_ids,
+        _plan_shuffle_ids,
+    )
+
+    sc = spark.sparkContext
+    rows = _random_corpus(200, seed=13)
+    df = spark.createDataFrame(rows, "id int, name string")
+
+    stop = threading.Event()
+    bg_plan_ids: set[int] = set()
+    bg_frames = []  # hold references so ContextCleaner can't collect
+    bg_errors = []
+
+    def churn():
+        from pyspark.storagelevel import StorageLevel
+
+        i = 0
+        while not stop.is_set():
+            try:
+                d = (
+                    spark.range(0, 50_000)
+                    .select(
+                        (F.col("id") % (101 + i)).alias("g"),
+                        F.col("id").alias("v"),
+                    )
+                    .repartition(4, "g")
+                    .groupBy("g")
+                    .count()
+                )
+                # execute d's OWN plan (an action on a derived frame
+                # would plan its own shuffles) and read back from the
+                # registered shuffles to prove they serve fetches
+                ck = d.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+                assert ck.count() == 101 + i
+                bg_frames.append((d, ck))
+                bg_plan_ids.update(_plan_shuffle_ids(d))
+                i += 1
+            except Exception as e:  # noqa: BLE001 — recorded for assert
+                bg_errors.append(e)
+                return
+
+    t = threading.Thread(target=churn, daemon=True)
+    t.start()
+    try:
+        got = sorted(
+            (r.id_a, r.id_b, r.dist)
+            for r in fuzzy_self_join(
+                df, "id", "name", max_dist=2, passes=3
+            ).collect()
+        )
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not bg_errors, bg_errors
+    assert got == brute_self(rows, 2)
+    # the concurrent job's shuffles were never attributed to a pass:
+    # every one of them is still registered with the driver
+    assert bg_plan_ids and bg_plan_ids <= _live_shuffle_ids(sc)
