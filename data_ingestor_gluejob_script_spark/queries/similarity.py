@@ -987,6 +987,7 @@ def knn_graph_frame(
     bits_per_band: int | None = None,
     n: int | None = None,
     block_entries: int = 4 << 20,
+    collapse_clones: bool = True,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor graph over (vec_id, emb):
     (vec_id, nbr_id, cosine_sim, rank) with rank 1..k per vec_id,
@@ -1033,25 +1034,73 @@ def knn_graph_frame(
       (24-byte rows, duplicates from multi-band collisions collapsed
       by distinct — sims are bit-deterministic so equal pairs are
       byte-equal), partitioned by vec_id, the natural output key.
-    Clone-heavy corpora (many byte-identical vectors) inflate one
-    bucket quadratically — collapse exact clones first (the
-    semantic_dedup_frame convention) when that is the workload.
+    Clone-heavy corpora (many byte-identical vectors) would inflate
+    one bucket quadratically — clones share every band signature, so
+    a c-clone class lands whole in ONE bucket per band and the
+    per-bucket sims pay c² for pairs whose answer is known. With
+    ``collapse_clones`` (default, the semantic_dedup_frame
+    convention, round 13) only DISTINCT vectors enter banding and
+    the numpy stage; clone classes are reconstituted exactly
+    afterwards:
+
+    - The candidate set is UNCHANGED (clones have identical
+      signatures, so a member collides with exactly what its class
+      representative collides with), and bucket sims are a function
+      of vector bytes only — so the rep-level graph's sims are
+      bit-identical to the uncollapsed run's.
+    - Intra-class edges are synthesized analytically: a clone pair's
+      bucket sim is n2/(sqrt(n2)*sqrt(n2)) with n2 the dim-order
+      norm² fold — the exact IEEE expression the numpy stage
+      computes — so the collapsed output is BYTE-identical to
+      collapse_clones=False (pinned in tests), not just
+      set-equivalent. Each member needs only its class's k+1
+      smallest ids (any farther tie loses the (sim desc, id asc)
+      window anyway): m×(k+1) rows, never m².
+    - Rep-level top-k GROUPS expand to member edges: keeping k
+      groups (ties by rep id = the class MIN id) then the k smallest
+      member ids per target class provably covers the member-level
+      top-k — at any sim level the k smallest nbr ids live in the k
+      smallest-rep classes' k smallest members.
 
     Zero-norm vectors are EXCLUDED (as source and as neighbor):
     cosine against them is 0/0, and the NaN would otherwise sort past
     the -inf self entry and leak self-loops into the graph. Pass ``n``
-    to skip the corpus-count job that sizes the banding (callers with
-    an expensive uncached lineage: the count would recompute it).
+    to skip the count job that sizes the banding (the DISTINCT-vector
+    count when collapsing — clone mass must not widen the banding).
     ``block_entries`` bounds the per-bucket sims allocation
     (~block_entries doubles): a pathologically skewed bucket degrades
     to more row blocks, never an O(g^2)-memory OOM.
     """
-    if bits_per_band is None:
-        bits_per_band = knn_band_bits(n if n is not None else emb.count())
     base = emb.select(
         "vec_id",
         as_double_vec(F.col("emb")).alias("emb"),
     ).filter(dot(F.col("emb"), F.col("emb")) > 0)
+
+    members = None
+    if collapse_clones:
+        # 128-bit digest window (two independent xxhash64 seeds) tags
+        # each row with its clone-class representative = min vec_id;
+        # the shuffle carries 16-byte keys, not the dim-double array.
+        w_class = Window.partitionBy("_k1", "_k2")
+        tagged = (
+            base.withColumn("_k1", F.xxhash64("emb"))
+            .withColumn("_k2", F.xxhash64(F.lit(7), F.col("emb")))
+            .withColumn("rep", F.min("vec_id").over(w_class))
+            .drop("_k1", "_k2")
+        )
+        # members is slim (two longs) but read by three consumers
+        # (intra edges, source expansion, the k+1-smallest window);
+        # reps carries the vectors and feeds the count, banding, and
+        # the clone-norm join — checkpoint both so the digest window
+        # runs once.
+        members = tagged.select("rep", "vec_id").localCheckpoint()
+        base = (
+            tagged.filter(F.col("vec_id") == F.col("rep"))
+            .select("vec_id", "emb")
+            .localCheckpoint()
+        )
+    if bits_per_band is None:
+        bits_per_band = knn_band_bits(n if n is not None else base.count())
 
     keys = base.select(
         "vec_id",
@@ -1141,13 +1190,66 @@ def knn_graph_frame(
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("sim"), F.asc("nbr_id")
     )
-    return (
-        merged.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "vec_id",
-            "nbr_id",
-            F.round(F.col("sim"), 6).alias("cosine_sim"),
-            "rank",
+    graph = merged.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    if members is not None:
+        # Reconstitute clone classes. ``graph`` is rep-level: its
+        # vec_id/nbr_id are class representatives and it holds each
+        # rep's top-k neighbor CLASSES. Member-level edges are (a)
+        # intra-class — every member against its class's k+1 smallest
+        # ids at the analytic clone sim, and (b) inter-class — each
+        # rep edge expanded to all source members × the k smallest
+        # target members. Both expansions are k-capped per row, so
+        # the union is O(m·k²) rows, and the final window re-ranks
+        # exactly as the uncollapsed merge window would have.
+        wm = Window.partitionBy("rep").orderBy("vec_id")
+        small = members.withColumn(
+            "_r", F.row_number().over(wm)
+        ).filter(F.col("_r") <= k + 1)
+        # the numpy stage's sim for a clone pair: gram == norm² (the
+        # same dim-order fold), divided by the norm product — spell
+        # the identical IEEE expression, not a F.lit(1.0)
+        n2 = base.select(
+            F.col("vec_id").alias("rep"),
+            dot(F.col("emb"), F.col("emb")).alias("_n2"),
         )
+        clone_sim = (F.col("_n2") / (F.sqrt("_n2") * F.sqrt("_n2"))).alias(
+            "sim"
+        )
+        intra = (
+            members.join(
+                small.select("rep", F.col("vec_id").alias("nbr_id")),
+                "rep",
+            )
+            .filter(F.col("vec_id") != F.col("nbr_id"))
+            .join(n2, "rep")
+            .select("vec_id", "nbr_id", clone_sim)
+        )
+        inter = (
+            graph.select(
+                F.col("vec_id").alias("rep"),
+                F.col("nbr_id").alias("_dst"),
+                "sim",
+            )
+            .join(members.select("rep", "vec_id"), "rep")
+            .join(
+                small.filter(F.col("_r") <= k).select(
+                    F.col("rep").alias("_dst"),
+                    F.col("vec_id").alias("nbr_id"),
+                ),
+                "_dst",
+            )
+            .select("vec_id", "nbr_id", "sim")
+        )
+        graph = (
+            intra.union(inter)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    return graph.select(
+        "vec_id",
+        "nbr_id",
+        F.round(F.col("sim"), 6).alias("cosine_sim"),
+        "rank",
     )

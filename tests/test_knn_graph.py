@@ -274,3 +274,79 @@ def test_no_cartesian_product_in_plan(spark):
     plan = knn_graph_frame(emb, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _clone_corpus(spark, n_classes=25, max_clones=6, seed=7):
+    """Clone-flood corpus: n_classes distinct 64-dim vectors, each
+    repeated 1..max_clones times with INTERLEAVED vec_ids (so class
+    representatives are not simply consecutive), plus one zero-norm
+    row that must never appear in the graph."""
+    import random
+
+    rng = random.Random(seed)
+    slots = []
+    classes = []
+    for c in range(n_classes):
+        v = [float(rng.randint(-3, 3)) for _ in range(64)]
+        classes.append(v)
+        slots.extend([c] * rng.randint(1, max_clones))
+    rng.shuffle(slots)
+    rows = [(vid, classes[c]) for vid, c in enumerate(slots)]
+    zero_id = len(rows)
+    df = spark.createDataFrame(
+        rows + [(zero_id, [0.0] * 64)], "vec_id long, emb array<double>"
+    )
+    return df, dict(rows), zero_id
+
+
+def test_clone_collapse_exact_all_pairs(spark):
+    """Round-13 clone pre-collapse: with heavy exact clones in the
+    corpus the default path (collapse_clones=True) at bits=0 must
+    still equal the brute-force oracle bit-for-bit — intra-class
+    edges (analytic clone sim), inter-class expansion, tie order,
+    ranks, zero-norm exclusion."""
+    df, vecs, zero_id = _clone_corpus(spark)
+    k = 4
+    rows = knn_graph_frame(df, k=k, bands=1, bits_per_band=0).collect()
+    got = {}
+    for r in rows:
+        assert r.vec_id != zero_id and r.nbr_id != zero_id
+        got.setdefault(r.vec_id, []).append((r.rank, r.nbr_id, r.cosine_sim))
+    want = brute_knn(vecs, k)
+    assert set(got) == set(want)
+    for i in want:
+        assert sorted(got[i]) == [
+            (rank, j, s) for j, s, rank in want[i]
+        ], f"vec {i}"
+
+
+def test_clone_collapse_equals_uncollapsed(spark):
+    """The collapse is an optimization, not a semantics change: on a
+    clone-heavy corpus, collapse_clones=True and False produce
+    byte-identical graphs at BOTH an all-pairs and a banded config
+    (candidates are unchanged — clones share every signature — and
+    the synthesized intra-class sim is the same IEEE expression the
+    numpy stage computes)."""
+    df, _, _ = _clone_corpus(spark, n_classes=20, max_clones=5, seed=13)
+    for bands, bits in [(1, 0), (4, 3)]:
+        a = sorted(
+            map(
+                tuple,
+                knn_graph_frame(
+                    df, k=3, bands=bands, bits_per_band=bits
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                knn_graph_frame(
+                    df,
+                    k=3,
+                    bands=bands,
+                    bits_per_band=bits,
+                    collapse_clones=False,
+                ).collect(),
+            )
+        )
+        assert a == b, f"bands={bands} bits={bits}"
