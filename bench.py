@@ -199,9 +199,20 @@ def main() -> int:
     # over-bar auto-rerun; a new entry (no row yet) gets defaults.
     try:
         with open(os.path.join(REPO, "EXTRAS_BASELINE.json")) as f:
-            extras_base = {k: v["sec"] for k, v in json.load(f).items()}
+            _raw_base = json.load(f)
+        extras_base = {k: v["sec"] for k, v in _raw_base.items()}
+        # Optional per-entry rep floor: contention-sensitive entries
+        # (two rounds of 1.5x-gate trips under load waves with in-bar
+        # quiet re-runs — x_sb_logprob) get extra reps up front instead
+        # of relitigating the auto-rerun every round.
+        rep_floor = {
+            k: int(v["min_reps"])
+            for k, v in _raw_base.items()
+            if isinstance(v, dict) and v.get("min_reps")
+        }
     except (OSError, ValueError, KeyError, TypeError):
         extras_base = {}
+        rep_floor = {}
     start_load = wait_for_quiet_host(max_load=0.5 * ncpus)
 
     def run_batches(
@@ -358,6 +369,16 @@ def main() -> int:
     slow_reps = max(extras_reps, 3)
     slow = [n for n in extra_names if extras_base.get(n, 0.0) > 2.0]
     fast = [n for n in extra_names if n not in slow]
+    # Floored entries run in their own best-of-floor batches (like the
+    # core "tiny" set) so their extra reps don't inflate a whole group.
+    floored = [
+        n
+        for n in extra_names
+        if rep_floor.get(n, 0)
+        > (slow_reps if n in set(slow) else extras_reps)
+    ]
+    slow = [n for n in slow if n not in set(floored)]
+    fast = [n for n in fast if n not in set(floored)]
     extras_detail, extras_loads = run_batches(
         slow, slow_reps, gate_first=True, max_load=extras_gate
     )
@@ -366,6 +387,12 @@ def main() -> int:
     )
     extras_detail.update(fast_detail)
     extras_loads.extend(fast_loads)
+    for name in floored:
+        f_detail, f_loads = run_batches(
+            [name], rep_floor[name], gate_first=True, max_load=extras_gate
+        )
+        extras_detail.update(f_detail)
+        extras_loads.extend(f_loads)
 
     rerun = rerun_over_baseline(
         extras_detail, extras_loads, extras_base, "extras", slow_reps

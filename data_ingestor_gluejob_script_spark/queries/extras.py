@@ -474,6 +474,19 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .selectExpr("doc_id AS query_id", "text"),
             k=5,
         ),
+        # fixed-batch twin of x_bm25_search (round-12 verdict #4): a
+        # CONSTANT 64-query batch (doc_id < 64 — dense from 0 at every
+        # SF, and replica 0 of the scale recipe keeps those texts
+        # verbatim), so this entry's decade ratio isolates corpus
+        # growth; the %500 entry's batch grows with the corpus and
+        # conflates query count with corpus size.
+        "x_bm25_search_fixedq": lambda s, d: bm25_search_join(
+            _docs(s, d),
+            load(s, d, "documents")
+            .filter(F.col("doc_id") < 64)
+            .selectExpr("doc_id AS query_id", "text"),
+            k=5,
+        ),
         "x_tfidf_topk": lambda s, d: tfidf_topk_frame(_docs(s, d)),
         "x_dup_span_report": lambda s, d: duplicate_span_report(_docs(s, d)),
         "x_chunk_documents": lambda s, d: chunk_documents_frame(_docs(s, d)),
