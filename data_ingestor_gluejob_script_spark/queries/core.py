@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from ..operators.normalize import cast_all_string, dict_map
 from ..operators.relational import join_chain, semi_join, watermark_filter
 from ..operators.temporal import format_ts_micro
-from ..operators.upsert import union_all, upsert_dedup
+from ..operators.upsert import merge_upsert, union_all, upsert_dedup
 from ._util import WM, WM_UPSERT, load
 
 LINEITEM_PROJ = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"]
@@ -113,6 +113,22 @@ def q_upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice", F.lit(0.0)
     )
     return upsert_dedup(incoming, orders, "o_orderkey")
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6+O7 via the join formulation: merge_upsert is upsert_dedup's
+    scale twin (operators/upsert.py) — the lake side is the null-stream
+    of an anti join instead of a window over the union, so a broadcast
+    increment never shuffles it. NOT driver-registered (the gate caps
+    at exactly 50 and q_upsert_dedup holds the upsert slot); its DuckDB
+    differential lives in tests/test_inventory.py against
+    MERGE_UPSERT_ORACLE — the exact oracle text q_upsert_dedup uses,
+    because the two formulations must be row-identical."""
+    orders = load(spark, sf_dir, "orders")
+    incoming = watermark_filter(orders, "o_orderdate", WM_UPSERT).withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    return merge_upsert(incoming, orders, "o_orderkey")
 
 
 def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,6 +256,22 @@ QUERIES = {
     "q_union_all": q_union_all,
     "q_count_guard": q_count_guard,
 }
+
+# q_merge_upsert's oracle — shared text with q_upsert_dedup's entry in
+# ORACLES below (the join and window formulations are row-identical);
+# checked locally in tests/test_inventory.py since the driver gate is
+# capped at 50 registered queries.
+MERGE_UPSERT_ORACLE = f"""
+    WITH incoming AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(0.0 AS DOUBLE) AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{WM_UPSERT}')
+    SELECT * FROM incoming
+    UNION ALL
+    SELECT * FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM incoming)
+"""
 
 _LI_COLS = (
     "l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "

@@ -888,9 +888,25 @@ def _ledgered_fresh(
             raise
         state = None
     if state is not None:
-        fresh = fresh.join(
-            state.select(digest_col), digest_col, "left_anti"
+        # The ledger is the big side and grows every batch, and a
+        # plain left_anti can only BUILD on it (Spark supports
+        # LeftAnti broadcast build-right only) — so the direct form
+        # shuffles the whole ledger per batch unless AQE happens to
+        # flip it at runtime (it does at smoke scale; it will NOT once
+        # the batch side exceeds the broadcast threshold). Decompose
+        # instead: ledger ⋉ broadcast(batch digests) is a MAP-ONLY
+        # ledger scan emitting at most a batch's worth of already-seen
+        # digests, then the batch anti-joins that small seen-set —
+        # the zero-state-shuffle shape is now guaranteed by
+        # construction, not by optimizer size estimates. Measured at
+        # sf10 (SCALE.md round-13 streaming section): the residual
+        # per-batch growth is the linear ledger SCAN itself, by
+        # design, with bucketized band layout as the documented
+        # evolution for high-rate ingest.
+        seen = state.select(digest_col).join(
+            F.broadcast(fresh.select(digest_col)), digest_col, "left_semi"
         )
+        fresh = fresh.join(F.broadcast(seen), digest_col, "left_anti")
     return fresh, state
 
 
@@ -931,14 +947,33 @@ def _two_lake_append(
     lost."""
     from pyspark.errors import AnalysisException
 
+    # Pin the batch's keep decisions once: the guard below broadcasts
+    # the retained digests, which would otherwise re-run the whole
+    # band-join pipeline a second (and third) time per batch.
+    pinned = retained.persist()
+    retained = pinned
     try:
-        corpus_seen = spark.read.parquet(lake_dir).select(digest_col)
-        retained = retained.join(corpus_seen, digest_col, "left_anti")
-    except AnalysisException as ex:
-        if "PATH_NOT_FOUND" not in str(ex):
-            raise
-    retained.write.mode("append").parquet(lake_dir)
-    sig_rows.write.mode("append").parquet(sig_dir)
+        try:
+            # same decomposition as _ledgered_fresh: the corpus is the
+            # big growing side, so probe it map-only with the broadcast
+            # batch digests instead of shuffling it under a left_anti
+            # every batch
+            corpus_seen = spark.read.parquet(lake_dir).select(digest_col)
+            seen = corpus_seen.join(
+                F.broadcast(retained.select(digest_col)),
+                digest_col,
+                "left_semi",
+            )
+            retained = retained.join(
+                F.broadcast(seen), digest_col, "left_anti"
+            )
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
+        retained.write.mode("append").parquet(lake_dir)
+        sig_rows.write.mode("append").parquet(sig_dir)
+    finally:
+        pinned.unpersist()
 
 
 def run_neardup_ingest(
@@ -1064,8 +1099,13 @@ def run_neardup_ingest(
             ref = refs[0]
             for r in refs[1:]:
                 ref = ref.unionByName(r)
+            # broadcast the batch's band rows so the state-derived
+            # side of the candidate join stays a map-only scan of the
+            # pruned signature lake — without it the whole ledger's
+            # band rows re-shuffle every batch (r13 sf10 smoke)
             dropped = (
-                new_bands.join(ref, ["band_idx", "band_hash"])
+                F.broadcast(new_bands)
+                .join(ref, ["band_idx", "band_hash"])
                 .filter(
                     _newcomer_loses(F.col("_r_doc_id"), F.col("doc_id"))
                 )
@@ -1073,7 +1113,9 @@ def run_neardup_ingest(
                 .select("text_md5")
                 .distinct()
             )
-            retained = fresh.join(dropped, "text_md5", "left_anti")
+            retained = fresh.join(
+                F.broadcast(dropped), "text_md5", "left_anti"
+            )
             _two_lake_append(
                 spark, retained, sig_rows, lake_dir, sig_dir, "text_md5"
             )
@@ -1211,14 +1253,20 @@ def run_image_dedup_ingest(
             ham = F.bit_count(
                 F.col("phash").bitwiseXOR(F.col("_r_phash"))
             )
+            # same broadcast discipline as the text twin: the batch's
+            # band rows broadcast so the ledger-derived side never
+            # shuffles per batch
             dropped = (
-                new_bands.join(ref, ["band_idx", "band_val"])
+                F.broadcast(new_bands)
+                .join(ref, ["band_idx", "band_val"])
                 .filter(_newcomer_loses(F.col("_r_id"), F.col(id_col)))
                 .filter(ham <= F.lit(max_hamming))
                 .select("payload_md5")
                 .distinct()
             )
-            retained = fresh.join(dropped, "payload_md5", "left_anti")
+            retained = fresh.join(
+                F.broadcast(dropped), "payload_md5", "left_anti"
+            )
             _two_lake_append(
                 spark, retained, sig_rows, lake_dir, sig_dir,
                 "payload_md5",

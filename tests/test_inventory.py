@@ -61,3 +61,33 @@ def test_binary_meta_differential(spark):
         tuple(str(row[i]) for i in order) for row in cur.fetchall()
     )
     assert spark_rows == oracle_rows
+
+
+def test_merge_upsert_differential(spark):
+    """q_merge_upsert is implemented but NOT driver-registered (the
+    gate caps at 50 and q_upsert_dedup holds the upsert slot) — so its
+    DuckDB differential lives here: the join formulation vs the exact
+    oracle text the window formulation is gated on."""
+    from data_ingestor_gluejob_script_spark.queries.core import (
+        MERGE_UPSERT_ORACLE,
+        q_merge_upsert,
+    )
+
+    got = q_merge_upsert(spark, SF_DIR)
+    cols = got.columns
+    spark_rows = sorted(
+        tuple(str(r[c]) for c in sorted(cols)) for r in got.collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'"
+    )
+    cur = con.execute(MERGE_UPSERT_ORACLE)
+    o_cols = [d[0] for d in cur.description]
+    assert sorted(o_cols) == sorted(cols)
+    order = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+    oracle_rows = sorted(
+        tuple(str(row[i]) for i in order) for row in cur.fetchall()
+    )
+    assert spark_rows == oracle_rows
