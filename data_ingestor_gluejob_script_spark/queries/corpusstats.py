@@ -829,11 +829,14 @@ def bm25_search_join(
     net) misses them. Compose with ``textops.decontaminate``.
 
     Scale shape: the query set is benchmark-sized → its exploded
-    (query_id, token) table BROADCASTS into the corpus token stream
-    (one corpus-side shuffle for the per-(query, doc) TF aggregate);
-    doc lengths ride a groupBy of the same scan; the per-query top-k
-    is one window over candidates already cut to term matches. The
-    corpus is never scanned per query — one pass scores every query.
+    (query_id, token) table BROADCASTS into the corpus; every
+    corpus-sized shuffle is QUERY-FREE (the (doc, token) tf count and
+    the doc-length join — the per-term BM25 score is computed before
+    any query id appears, see the inline note), and the only
+    query-fanned stage is the final per-(query, doc) sum, map-side
+    combined to candidate size; the per-query top-k is one window over
+    those candidates. The corpus is never scanned per query — one pass
+    scores every query.
     """
     n_docs_total = docs.select("doc_id").distinct().count()
     toks = docs.select(
@@ -844,24 +847,35 @@ def bm25_search_join(
     qtoks = queries.select(
         "query_id", F.explode(words_col(F.col("text"))).alias("token")
     ).distinct()
-    hits = toks.join(F.broadcast(qtoks), "token")
-    tf = hits.groupBy("query_id", "doc_id", "token").agg(
-        F.count("*").alias("tf")
-    )
-    df_tbl = tf.select("doc_id", "token").distinct().groupBy("token").agg(
-        F.count("*").alias("df")
-    )
+    # Keep every corpus-sized shuffle QUERY-FREE. The original order —
+    # join raw token occurrences against the broadcast (query, token)
+    # pairs, then groupBy (query, doc, token) — shuffled every matching
+    # occurrence TIMES the number of queries sharing that token; common
+    # words appear in most of a 64-doc query batch, so the shuffle
+    # carried a ~query-batch-sized multiplier and died disk-full at
+    # sf100 in the r13 decade smoke. The BM25 term contribution of
+    # (doc, token) does not depend on WHICH query asked (qtoks is
+    # distinct per query), so: count (doc, token) tf, restrict to query
+    # TERMS, derive df, fold the full per-term score — all before any
+    # query id appears — and fan out only into the final per-(query,
+    # doc) sum, whose map-side partial aggregation collapses to
+    # candidate size. Scores are bit-identical to the old plan.
+    ctf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    qterms = qtoks.select("token").distinct()
+    ctf_q = ctf.join(F.broadcast(qterms), "token")
+    # ctf_q is one row per (doc, token): counting rows per token IS df
+    df_tbl = ctf_q.groupBy("token").agg(F.count("*").alias("df"))
     idf = F.log(
         F.lit(1.0)
         + (F.lit(n_docs_total) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
-    contrib = (
-        tf.join(F.broadcast(df_tbl), "token")
+    term_scores = (
+        ctf_q.join(F.broadcast(df_tbl), "token")
         .join(lens, "doc_id")
         .crossJoin(F.broadcast(avg_dl))
         .select(
-            "query_id",
             "doc_id",
+            "token",
             (
                 idf
                 * (F.col("tf") * (BM25_K1 + 1))
@@ -872,6 +886,9 @@ def bm25_search_join(
                 )
             ).alias("c"),
         )
+    )
+    contrib = term_scores.join(F.broadcast(qtoks), "token").select(
+        "query_id", "doc_id", "c"
     )
     scored = contrib.groupBy("query_id", "doc_id").agg(
         F.round(F.sum("c"), 9).alias("bm25")
