@@ -391,7 +391,21 @@ def _value_pairs(
         # distinct, string fan-in) go before the next pass starts.
         # Attribution is the pass's own executed plan, never a global
         # tracker diff, so concurrent jobs on the session are safe.
-        _drop_shuffles(sc, _plan_shuffle_ids(pass_df))
+        pass_ids = _plan_shuffle_ids(pass_df)
+        if not pass_ids:
+            # every pass demonstrably shuffles (variant join +
+            # distinct), so zero ids means the plan walk silently
+            # degraded (renamed node classes, connect-mode runtime):
+            # scratch then accumulates across ALL passes and the
+            # sf100 run can hit the exact disk-full failure sharding
+            # exists to prevent — make the degradation loud.
+            logging.getLogger(__name__).warning(
+                "fuzzy_join pass %d: plan walk found no shuffle ids — "
+                "per-pass scratch cleanup is NOT happening; expect "
+                "shuffle disk to accumulate across passes",
+                i,
+            )
+        _drop_shuffles(sc, pass_ids)
     # cross-pass duplicates (a pair sharing variants in several pmod
     # classes) collapse here, on true-match-sized rows
     return (

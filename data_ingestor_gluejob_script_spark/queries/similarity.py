@@ -1062,9 +1062,21 @@ def knn_graph_frame(
       top-k — at any sim level the k smallest nbr ids live in the k
       smallest-rep classes' k smallest members.
 
+    Note on laziness: with ``collapse_clones`` the digest window runs
+    EAGERLY at call time (two localCheckpoints — needed so three
+    consumers don't re-run the window), so merely building the frame
+    costs Spark jobs, and the checkpoint blocks live until the
+    returned frame is garbage-collected driver-side. A clone-free
+    corpus pays the digest shuffle for no benefit — pass
+    ``collapse_clones=False`` when clones are known-absent.
+
     Zero-norm vectors are EXCLUDED (as source and as neighbor):
     cosine against them is 0/0, and the NaN would otherwise sort past
-    the -inf self entry and leak self-loops into the graph. Pass ``n``
+    the -inf self entry and leak self-loops into the graph.
+    Non-finite coordinates (NaN/Inf) slip that filter (NaN > 0 is
+    TRUE in Spark's ordering) but every non-finite SIM is dropped —
+    by np.isfinite in the bucket stage and by the matching isnan
+    filter on the analytic intra-clone edges (r13 review). Pass ``n``
     to skip the count job that sizes the banding (the DISTINCT-vector
     count when collapsing — clone mass must not widen the banding).
     ``block_entries`` bounds the per-bucket sims allocation
@@ -1225,6 +1237,13 @@ def knn_graph_frame(
             .filter(F.col("vec_id") != F.col("nbr_id"))
             .join(n2, "rep")
             .select("vec_id", "nbr_id", clone_sim)
+            # the numpy stage drops non-finite sims (np.isfinite at the
+            # bucket top-k); a NaN/Inf-coordinate clone class slips the
+            # zero-norm filter (NaN > 0 is TRUE in Spark's ordering)
+            # and its analytic clone sim is NaN — filter it here too or
+            # the byte-identical-to-uncollapsed contract breaks and
+            # NaN edges sort rank-1 past every real neighbor
+            .filter(~F.isnan(F.col("sim")))
         )
         inter = (
             graph.select(

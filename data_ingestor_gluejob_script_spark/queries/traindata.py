@@ -243,10 +243,13 @@ def prepare_training_corpus(
     kept = work.filter(
         quality_score_col(F.col("text"), F.col("n_chars")) >= MIN_QUALITY
     )
-    if gopher_quality is not False:
+    if gopher_quality is True or isinstance(gopher_quality, dict):
         # `{}` plausibly means "enable with the published defaults" —
         # a falsy-dict test would silently skip the battery (round-13
-        # ADVICE), so the gate is an explicit is-not-False.
+        # ADVICE) — while None (the natural "off" spelling beside the
+        # benchmark=None / max_repetition=None siblings) and any other
+        # falsy non-dict must stay OFF (r13 review): enable only for
+        # an explicit True or a dict of overrides.
         # The Gopher quality-rule battery (docclean), over the
         # REDACTED text like the generic score — map-only, so it
         # fuses into the same stage and adds zero shuffle. Runs

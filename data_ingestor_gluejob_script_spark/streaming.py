@@ -1018,12 +1018,17 @@ def run_neardup_ingest(
     batches arrive in doc_id order this reproduces the batch twin's
     corpus EXACTLY (pinned by tests/test_neardup_ingest.py).
 
-    Scale shape: the batch side is small, the state side is a
-    column-pruned 50-byte-row scan; the band join shuffles state rows
-    by (band_idx, band_hash) per batch — at very high batch rates
-    you'd bucketize ``sig_dir`` by band_hash to make that a co-located
-    join, the same evolution write_partitioned_upsert documents for
-    the id upsert.
+    Scale shape: the batch side is small BY CONTRACT — its digests and
+    band rows are explicitly broadcast (r13) so the ledger/corpus
+    sides are map-only column-pruned scans at any state size, never
+    per-batch shuffles. The contract's other edge: a micro-batch must
+    stay driver-holdable (broadcast hard-limits at 8 GB);
+    ``maxFilesPerTrigger`` bounds files, not rows, so a backlog of
+    oversized input files should lower it (or pre-split files) rather
+    than rely on a shuffle fallback this plan deliberately no longer
+    has. At very high batch rates the documented evolution is a
+    band-bucketized ``sig_dir`` so a batch prunes to its band buckets
+    instead of deriving the full ledger's band rows.
     """
     from .queries.textops import (
         MINHASH_DEDUP_TAU,

@@ -350,3 +350,46 @@ def test_clone_collapse_equals_uncollapsed(spark):
             )
         )
         assert a == b, f"bands={bands} bits={bits}"
+
+
+def test_nonfinite_clone_class_emits_no_nan_edges(spark):
+    """r13 review: a clone class whose vectors carry a NaN coordinate
+    slips the zero-norm filter (NaN > 0 is TRUE in Spark's ordering),
+    and its analytic intra-class clone sim evaluates to NaN — which
+    would sort rank-1 past every real neighbor. The collapsed path
+    must drop non-finite sims exactly like the numpy stage's
+    np.isfinite does, keeping the byte-identical-to-uncollapsed
+    contract on this corpus too."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.1]),
+        (2, [0.9, 0.2]),
+        (3, [float("nan"), 1.0]),  # NaN clone class {3, 4}
+        (4, [float("nan"), 1.0]),
+        (5, [float("inf"), 1.0]),  # Inf clone class {5, 6}
+        (6, [float("inf"), 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    for collapse in (True, False):
+        got = knn_graph_frame(
+            df, k=3, bands=1, bits_per_band=0, collapse_clones=collapse
+        ).collect()
+        # no NaN/Inf sims anywhere, and no edges sourced from or
+        # pointing at the non-finite vectors
+        import math
+
+        for r in got:
+            assert math.isfinite(r.cosine_sim), r
+            assert r.vec_id in (0, 1, 2) and r.nbr_id in (0, 1, 2), r
+    a = sorted(
+        map(tuple, knn_graph_frame(df, k=3, bands=1, bits_per_band=0).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            knn_graph_frame(
+                df, k=3, bands=1, bits_per_band=0, collapse_clones=False
+            ).collect(),
+        )
+    )
+    assert a == b
