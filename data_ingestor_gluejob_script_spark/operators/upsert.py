@@ -85,6 +85,7 @@ def merge_upsert(
     id_cols: list[str] | str,
     *,
     dedup_within: bool = True,
+    existing_unique: bool = False,
     broadcast_incoming: bool = True,
     keys_nullable: bool = True,
 ) -> DataFrame:
@@ -117,6 +118,12 @@ def merge_upsert(
       by this very operator is always unique per key — where the
       windows vanish and EnsureRequirements shuffles only the incoming
       side, conforming it to the lake's bucket count.
+      ``existing_unique=True`` is the asymmetric middle: the incoming
+      batch still gets its window (a re-extraction can carry duplicate
+      ids) but the lake side skips its own — the shape
+      pipeline.write_partitioned_upsert runs, where the scoped lake
+      read is unique per key by this writer's own contract and must
+      not pay a window shuffle per daily batch.
     - ``keys_nullable=False`` is the PK contract: the anti join uses
       plain equality instead of null-safe equality. This matters for
       the bucketed arm specifically — Spark partitions a null-safe
@@ -143,7 +150,7 @@ def merge_upsert(
     )
     ex = (
         _dedup_within(existing, id_cols, value_cols)
-        if dedup_within
+        if dedup_within and not existing_unique
         else existing
     )
     # No dedup needed on the keys projection: inc is unique per key

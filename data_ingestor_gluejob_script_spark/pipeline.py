@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from .operators.normalize import normalize_booleans
 from .operators.relational import semi_join, watermark_filter
 from .operators.temporal import derive_partitions, format_ts_micro, parse_ts
-from .operators.upsert import upsert_dedup
+from .operators.upsert import merge_upsert, upsert_dedup
 from .registry import CATALOG, TableSpec, tables_list
 from .sources.files import read_csv_table, read_parquet_table
 from .watermarks import WATERMARK_FORMAT, WatermarkStore
@@ -108,8 +108,19 @@ def write_partitioned_upsert(
     single_object_compat: bool = False,
     delete_keys: DataFrame | None = None,
     delete_touched: list[tuple] | None = None,
+    broadcast_batch: bool = True,
 ) -> int:
     """K1: merge one table batch into its lake partitions.
+
+    The merge itself is ``merge_upsert`` (r13): the scoped lake read
+    never shuffles — it is the map-side stream of an anti join against
+    the batch's broadcast key set — where the previous window-over-
+    union form re-shuffled every touched partition's rows on each
+    daily batch. ``existing_unique`` is asserted by this writer's own
+    contract (one row per id after every merge). ``broadcast_batch``
+    declares the batch driver-holdable (a daily increment); pass
+    False for a backfill-sized batch and the merge takes the
+    sort-merge arm — only the batch shuffles either way.
 
     Returns the number of rows written (0 = empty batch skipped, the
     F2 guard at gluejob.py:175-179). Mirrors posting_parquets_in_s3 +
@@ -229,7 +240,16 @@ def write_partitioned_upsert(
             }
             emptied = [p for p in at_risk if p not in kept]
 
-    merged = upsert_dedup(prepared, existing, spec.id_col)  # O6+O7
+    if existing is None:
+        merged = upsert_dedup(prepared, None, spec.id_col)  # O6+O7
+    else:
+        merged = merge_upsert(  # O6+O7, join-formulated (r13)
+            prepared,
+            existing,
+            spec.id_col,
+            existing_unique=True,
+            broadcast_incoming=broadcast_batch,
+        )
     # Row count via an Observation on the write itself: a separate
     # .count() would execute the full merge plan (pruned lake scan +
     # union + window dedup — and re-extract a JDBC source) a second

@@ -1039,3 +1039,61 @@ def test_erasure_on_hive_escaped_company_dir(spark, tmp_path, lake):
         if f.endswith(".parquet")
     ]
     assert remaining == []
+
+
+def test_upsert_dup_id_batch_and_backfill_arm_match_window_form(
+    spark, tmp_path, lake
+):
+    """r13: the lake merge is merge_upsert (scoped lake never
+    shuffles). Its contract must still cover (a) a batch carrying the
+    SAME id twice (a re-extraction overlap) — within-batch dedup picks
+    one deterministic winner, incoming beats lake; and (b) the
+    broadcast_batch=False backfill arm producing the identical lake."""
+    from data_ingestor_gluejob_script_spark.pipeline import (
+        write_partitioned_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [
+            tuple(r[c] for c in SUBS.columns)
+            for r in [
+                _sub("d1", "2024-01-10 10:00:00", "2024-01-10 10:00:00"),
+                _sub("d2", "2024-01-11 10:00:00", "2024-01-11 10:00:00"),
+            ]
+        ],
+        SUBS.spark_schema,
+    )
+    write_partitioned_upsert(spark, base, SUBS, lake)
+
+    dup_rows = [
+        _sub("d1", "2024-01-10 10:00:00", "2024-01-20 08:00:00",
+             status="cancelled"),
+        _sub("d1", "2024-01-10 10:00:00", "2024-01-20 08:00:00",
+             status="active"),
+        _sub("d3", "2024-01-12 10:00:00", "2024-01-12 10:00:00"),
+    ]
+    batch = spark.createDataFrame(
+        [tuple(r[c] for c in SUBS.columns) for r in dup_rows],
+        SUBS.spark_schema,
+    )
+    n = write_partitioned_upsert(spark, batch, SUBS, lake)
+    assert n == 3  # d1 winner + d2 (lake) + d3
+    got = {
+        r.id: r.status for r in _read_lake(spark, lake, SUBS.name).collect()
+    }
+    # within-batch tie broken by the stable value ordering
+    # (asc_nulls_last over non-key columns → "active" < "cancelled")
+    assert got == {"d1": "active", "d2": "active", "d3": "active"}
+
+    # backfill arm: same batch into a fresh copy of the same lake
+    # state must produce the identical table
+    lake2 = str(tmp_path / "lake2")
+    write_partitioned_upsert(spark, base, SUBS, lake2)
+    write_partitioned_upsert(
+        spark, batch, SUBS, lake2, broadcast_batch=False
+    )
+    got2 = {
+        r.id: r.status
+        for r in _read_lake(spark, lake2, SUBS.name).collect()
+    }
+    assert got2 == got
