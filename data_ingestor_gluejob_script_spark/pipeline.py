@@ -116,11 +116,25 @@ def write_partitioned_upsert(
     never shuffles — it is the map-side stream of an anti join against
     the batch's broadcast key set — where the previous window-over-
     union form re-shuffled every touched partition's rows on each
-    daily batch. ``existing_unique`` is asserted by this writer's own
-    contract (one row per id after every merge). ``broadcast_batch``
-    declares the batch driver-holdable (a daily increment); pass
-    False for a backfill-sized batch and the merge takes the
+    daily batch. ``broadcast_batch`` declares the batch
+    driver-holdable (a daily increment); pass False for a
+    backfill-sized batch (initial_load does) and the merge takes the
     sort-merge arm — only the batch shuffles either way.
+
+    Uniqueness invariant (``existing_unique=True``): one row per id
+    PER PARTITION, which is one row per id lake-wide because the
+    partition key derives from the created-at column — immutable at
+    the source (gluejob.py:174: DT_CreatedAt/created_at, never the
+    updated_at that incremental pulls filter on), so an id can never
+    legitimately move partitions. A source that DID mutate created_at
+    would strand a stale copy in the old partition under BOTH merge
+    forms (the untouched partition is never read); the old window
+    form only appeared to heal it in the lucky case both partitions
+    were touched — and then picked an arbitrary column-order winner,
+    not the newest row. The reference merges each partition file
+    independently (gluejob.py:190-205) and never heals
+    cross-partition copies either; this writer now matches it
+    exactly.
 
     Returns the number of rows written (0 = empty batch skipped, the
     F2 guard at gluejob.py:175-179). Mirrors posting_parquets_in_s3 +
@@ -562,8 +576,12 @@ def initial_load(
             log.error("missing source file for %s — skipping", t)
             result.skipped.append(t)
             continue
+        # full-table batches are backfill-shaped by definition: take
+        # the sort-merge arm — force-broadcasting every key of a
+        # 100M-row table would blow the 8 GB broadcast limit on a
+        # re-run over an existing lake (r13 review)
         result.tables[t] = write_partitioned_upsert(
-            spark, df, spec, lake_root, company
+            spark, df, spec, lake_root, company, broadcast_batch=False
         )
     return result
 

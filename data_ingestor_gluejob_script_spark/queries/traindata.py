@@ -199,8 +199,9 @@ def prepare_training_corpus(
     ``benchmark`` if given] → redact PII → quality filter (score >=
     MIN_QUALITY over the REDACTED text) → [Gopher quality-rule
     battery (docclean.gopher_quality_filter) if ``gopher_quality`` is
-    not False — True OR an empty dict {} enables the published
-    thresholds, a non-empty dict overrides them] →
+    True or a dict — an empty dict {} enables the published
+    thresholds, a non-empty dict overrides them; None/False/anything
+    else leaves it off] →
     [repetition filter: drop docs whose top-2-gram fraction exceeds
     ``max_repetition``, the Gopher-style degenerate-repetition cut,
     if given] → exact dedup

@@ -370,26 +370,17 @@ def test_nonfinite_clone_class_emits_no_nan_edges(spark):
         (6, [float("inf"), 1.0]),
     ]
     df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    import math
+
+    by_arm = {}
     for collapse in (True, False):
         got = knn_graph_frame(
             df, k=3, bands=1, bits_per_band=0, collapse_clones=collapse
         ).collect()
         # no NaN/Inf sims anywhere, and no edges sourced from or
         # pointing at the non-finite vectors
-        import math
-
         for r in got:
             assert math.isfinite(r.cosine_sim), r
             assert r.vec_id in (0, 1, 2) and r.nbr_id in (0, 1, 2), r
-    a = sorted(
-        map(tuple, knn_graph_frame(df, k=3, bands=1, bits_per_band=0).collect())
-    )
-    b = sorted(
-        map(
-            tuple,
-            knn_graph_frame(
-                df, k=3, bands=1, bits_per_band=0, collapse_clones=False
-            ).collect(),
-        )
-    )
-    assert a == b
+        by_arm[collapse] = sorted(map(tuple, got))
+    assert by_arm[True] == by_arm[False]
