@@ -136,9 +136,15 @@ def read_jsonl_quarantine(
     (SPARK-21610 / UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
     COLUMN; its documented workaround is `.cache()`, a non-starter at
     corpus scale). The text scan sidesteps the restriction entirely,
-    keeps the raw line for the quarantine at zero extra cost, and
-    stays one pass: both outputs are projections of the same map.
-    Blank lines are skipped, matching the json reader's behavior.
+    keeps the raw line for the quarantine at zero extra cost. Honest
+    cost note (r13 sources review): the two returned frames are
+    independent plans over the same text scan — a caller that
+    materializes BOTH (write good, write bad) scans and parses the
+    input twice. That is the deliberate trade against .cache() (which
+    cannot hold a corpus); when one pass genuinely matters, write the
+    parsed frame once and split it downstream, or accept the second
+    scan — the quarantine side's rows are the rare case. Blank lines
+    are skipped, matching the json reader's behavior.
     """
     full = f"{schema}, {CORRUPT_COL} STRING"
     parsed = (

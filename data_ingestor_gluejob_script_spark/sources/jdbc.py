@@ -34,7 +34,7 @@ connection's cursor streaming instead of buffering the result set.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from datetime import date, datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
@@ -114,7 +114,10 @@ class JdbcConfig:
 
     url: str  # jdbc:postgresql://host:5432/corleone | jdbc:sqlserver://...
     user: str
-    password: str
+    # repr=False: this object carries SecretsManager-fed credentials;
+    # the generated dataclass repr would otherwise print the password
+    # into any log/assertion/traceback that formats the config.
+    password: str = field(repr=False)
     kind: str = "psql"  # or 'sqlserver'
     driver: str | None = None
     fetchsize: int = 10_000
@@ -262,8 +265,20 @@ class JdbcSource:
                 f"JDBC result for {spec.name} is missing schema columns "
                 f"{missing} (result set: {sorted(df.columns)})"
             )
+        # Cast to the registry lake schema (all string — the
+        # reference's all-string[python] convention the CSV/JSON
+        # readers already enforce). Without it a JDBC batch carries
+        # native DB types into the merge, where unionByName coerces
+        # the string lake side to the batch's type and rewrites
+        # touched partitions with e.g. bigint ids beside untouched
+        # string-id files — an unreadable mixed-schema table
+        # (r13 sources review, finding #1).
+        schema_types = {f.name: f.dataType for f in spec.spark_schema}
         return df.select(
-            *[F.col(by_fold[c.lower()]).alias(c) for c in spec.columns]
+            *[
+                F.col(by_fold[c.lower()]).cast(schema_types[c]).alias(c)
+                for c in spec.columns
+            ]
         )
 
     def clock(self, spark: SparkSession) -> str:

@@ -37,7 +37,14 @@ NULL handling: a record missing an optional header (URI, date,
 content type) carries NULL in that column; a truncated trailing
 record (crash-cut file) yields the records before it and a WARNING
 row is NOT fabricated — truncation is surfaced via ``strict=True``
-(raise) or silently-stop (default, matching warcio's tolerant mode).
+(raise) or stop-with-logged-warning (default). Honest limitation
+(r13 sources review): tolerant mode stops at the FIRST malformed
+record and discards the rest of that stream — it cannot resync, and
+for .warc.gz it reads one continuous gzip stream, so it does not
+resume at the next gzip member the way warcio's tolerant mode does;
+every tolerant stop that leaves bytes unread logs a WARNING with the
+reason and the count of bytes discarded, so a silently-lossy parse
+is visible in the task logs.
 """
 
 from __future__ import annotations
@@ -83,6 +90,21 @@ def _parse_headers(block: bytes) -> dict:
         last = name.strip().decode("utf-8", "replace").lower()
         headers[last] = value.strip().decode("utf-8", "replace")
     return headers
+
+
+def _tolerant_stop(reason: str, buf, pos: int) -> None:
+    """One WARNING per tolerant stop that leaves bytes unread: the
+    stream's remainder is being DISCARDED (this parser cannot resync
+    to the next record), and that must be visible in task logs rather
+    than reading as a clean short file (r13 sources review)."""
+    remaining = max(0, len(buf) - pos)
+    if remaining:
+        logging.getLogger(__name__).warning(
+            "tolerant WARC parse stopped (%s) with %d buffered bytes "
+            "unread — the rest of this stream is discarded",
+            reason,
+            remaining,
+        )
 
 
 def iter_warc_stream(
@@ -146,6 +168,7 @@ def iter_warc_stream(
         if not buf.startswith(b"WARC/", pos):
             if strict:
                 raise ValueError(f"bad record start at offset {pos}")
+            _tolerant_stop("bad record start", buf, pos)
             return
         # Bounded, resume-where-we-left-off terminator search
         # (round-12 review finding): without the `scanned` cursor each
@@ -174,6 +197,8 @@ def iter_warc_stream(
                     if oversized
                     else "truncated header block"
                 )
+            if oversized:
+                _tolerant_stop("oversized header block", buf, pos)
             return
         ver_end = buf.find(b"\r\n", pos)
         headers = _parse_headers(bytes(buf[ver_end + 2 : head_end]))
@@ -182,6 +207,7 @@ def iter_warc_stream(
         except ValueError:
             if strict:
                 raise ValueError("missing Content-Length")
+            _tolerant_stop("missing Content-Length", buf, pos)
             return
         if length < 0:
             # A negative length would move pos BACKWARDS and re-parse
@@ -189,6 +215,7 @@ def iter_warc_stream(
             # must not hang a task that parses untrusted crawl bytes.
             if strict:
                 raise ValueError("negative Content-Length")
+            _tolerant_stop("negative Content-Length", buf, pos)
             return
         # Consume exactly `length` payload bytes, refilling across
         # window edges; the consumed header is released at the next

@@ -54,15 +54,24 @@ WDS_MEMBER_SCHEMA = "shard string, key string, ext string, data binary"
 WDS_SAMPLE_SCHEMA = "shard string, key string, members map<string, binary>"
 
 
-def split_member_name(name: str) -> tuple[str, str]:
+def split_member_name(name: str) -> tuple[str, str] | None:
     """Tar member name -> (key, ext), the WebDataset convention: the
     basename splits at its FIRST dot (so ``0001.seg.png`` is field
     ``seg.png`` of sample ``0001`` — multi-dot extensions carry
     sub-field structure); directories stay on the key, so
-    ``train/0001.jpg`` groups under ``train/0001``."""
+    ``train/0001.jpg`` groups under ``train/0001``.
+
+    Returns None for a dot-leading basename (macOS AppleDouble
+    ``._0001.jpg``, ``.hidden``): the reference implementation's
+    ``base_plus_ext`` regex requires a non-empty key before the first
+    dot and drops such members — without this, a run of hidden files
+    would merge into one bogus sample keyed by the bare directory
+    prefix (r13 sources review)."""
     slash = name.rfind("/")
     head, base = name[: slash + 1], name[slash + 1 :]
     dot = base.find(".")
+    if dot == 0:
+        return None
     if dot < 0:
         return head + base, ""
     return head + base[:dot], base[dot + 1 :]
@@ -82,7 +91,10 @@ def iter_tar_members(
                 continue
             f = tf.extractfile(member)
             data = f.read() if f is not None else b""
-            key, ext = split_member_name(member.name)
+            split = split_member_name(member.name)
+            if split is None:  # hidden/AppleDouble member — not a field
+                continue
+            key, ext = split
             yield key, ext, data
 
 

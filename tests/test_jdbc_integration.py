@@ -97,7 +97,7 @@ def test_parallel_read_with_explicit_bounds(spark, source):
     )
     # Four range-bounded connections, same result set.
     assert df.rdd.getNumPartitions() == 4
-    assert sorted(r.id for r in df.collect()) == list(range(21, 41))
+    assert sorted(int(r.id) for r in df.collect()) == list(range(21, 41))
 
 
 def test_parallel_read_probes_bounds_when_absent(spark, source):
@@ -109,7 +109,7 @@ def test_parallel_read_probes_bounds_when_absent(spark, source):
         num_partitions=3,
     )
     assert df.rdd.getNumPartitions() == 3
-    assert sorted(r.id for r in df.collect()) == list(range(21, 41))
+    assert sorted(int(r.id) for r in df.collect()) == list(range(21, 41))
 
 
 def test_parallel_read_empty_window(spark, source):
@@ -160,7 +160,7 @@ def test_parallel_read_probes_timestamp_bounds(spark, source):
         num_partitions=3,
     )
     assert df.rdd.getNumPartitions() == 3
-    assert sorted(r.id for r in df.collect()) == list(range(21, 41))
+    assert sorted(int(r.id) for r in df.collect()) == list(range(21, 41))
 
 
 def test_parallel_read_probes_date_bounds(spark, source):
@@ -173,4 +173,18 @@ def test_parallel_read_probes_date_bounds(spark, source):
         partition_column="start_date",
         num_partitions=2,
     )
-    assert sorted(r.id for r in df.collect()) == list(range(21, 41))
+    assert sorted(int(r.id) for r in df.collect()) == list(range(21, 41))
+
+
+def test_jdbc_read_lands_as_lake_string_schema(spark, source):
+    """r13 sources review: the JDBC reader must cast to the registry's
+    all-string lake schema like the CSV/JSON readers do — native DB
+    types (int id, TIMESTAMP sync_ts) entering the merge would coerce
+    the string lake side under unionByName and strand mixed-type
+    parquet partitions."""
+    df = source.read_table(spark, NARROW_SPEC, WM)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == (
+        ["string"] * len(NARROW_SPEC.columns)
+    )
+    row = df.filter(df.id == "21").collect()[0]
+    assert row.id == "21" and row.sync_ts.startswith("2024-01-20 10:21")

@@ -214,3 +214,38 @@ def test_e2e_into_image_dedup_and_resize(spark, tmp_path):
     sized = resize_media(imgs, width=4, height=4, id_col="doc_id").collect()
     assert len(sized) == 3
     assert all(len(bytes(r.payload)) == 16 for r in sized)
+
+
+def test_hidden_members_are_dropped(spark, tmp_path):
+    """r13 sources review: dot-leading basenames (macOS AppleDouble
+    '._0001.jpg', '.hidden') must be DROPPED like the reference
+    base_plus_ext regex does — previously a run of hidden files merged
+    into one bogus sample keyed by the bare directory prefix."""
+    import io
+    import tarfile
+
+    from data_ingestor_gluejob_script_spark.sources.webdataset import (
+        iter_tar_members,
+        split_member_name,
+    )
+
+    assert split_member_name("train/._0001.jpg") is None
+    assert split_member_name(".hidden") is None
+    assert split_member_name("train/0001.jpg") == ("train/0001", "jpg")
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in [
+            ("train/._0001.jpg", b"apple-double"),
+            ("train/0001.jpg", b"img"),
+            ("train/0001.json", b"{}"),
+            ("train/._0002.jpg", b"apple-double"),
+        ]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    got = list(iter_tar_members("s.tar", buf.getvalue()))
+    assert [(k, e) for k, e, _ in got] == [
+        ("train/0001", "jpg"),
+        ("train/0001", "json"),
+    ]
