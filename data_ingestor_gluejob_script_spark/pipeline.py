@@ -79,6 +79,101 @@ def _partition_predicate(ycol: str, mcol: str, touched: list[tuple]):
     )
 
 
+def _touched_partitions_guarded(
+    prepared: DataFrame,
+    spec: TableSpec,
+    ycol: str,
+    mcol: str,
+    delete_touched: list[tuple] | None,
+) -> tuple[list[tuple], list[tuple]]:
+    """One metadata-sized pass over the prepared batch that yields the
+    (year, month) partitions it touches AND enforces the writer's PK
+    contract (no NULL ``spec.id_col``) in the same aggregation — the
+    null-id guard that makes ``merge_upsert(keys_nullable=False)``
+    sound costs no extra batch scan beyond the touched-partition
+    collect the writer already paid. Returns ``(touched,
+    batch_touched)`` where ``touched`` additionally covers the CDC
+    delete arm's victim partitions."""
+    part_rows = (
+        prepared.groupBy(ycol, mcol)
+        .agg(
+            F.count_if(F.col(spec.id_col).isNull()).alias("_null_ids")
+        )
+        .collect()
+    )
+    null_ids = sum(r["_null_ids"] for r in part_rows)
+    if null_ids:
+        raise ValueError(
+            f"write_partitioned_upsert: {null_ids} row(s) with NULL "
+            f"{spec.id_col} in the {spec.name} batch — the lake merge "
+            "treats the id as a primary key (plain-equality anti "
+            "join); a NULL id can never be upserted over and would "
+            "strand forever. Fix the extraction or pre-filter."
+        )
+    batch_touched = [(r[0], r[1]) for r in part_rows]
+    touched = list(batch_touched)
+    for part in delete_touched or []:
+        if part not in touched:
+            touched.append(part)
+    return touched, batch_touched
+
+
+def _prepare_batch(batch: DataFrame, spec: TableSpec) -> DataFrame:
+    """Shared batch normalization both lake writers run: boolean
+    dict-map (O1, gluejob.py:181), partition derivation from the
+    created-at column (O5, gluejob.py:182-185), and the microsecond
+    strftime round-trip of the timestamp column (O4,
+    gluejob.py:174)."""
+    return (
+        normalize_booleans(batch, spec.boolean_cols)
+        .transform(lambda d: derive_partitions(d, spec.ts_col, spec.name))
+        .withColumn(spec.ts_col, format_ts_micro(parse_ts(F.col(spec.ts_col))))
+    )
+
+
+def _scope_existing(
+    existing: DataFrame,
+    prepared: DataFrame,
+    spec: TableSpec,
+    ycol: str,
+    mcol: str,
+    touched: list[tuple],
+    company: str,
+) -> DataFrame:
+    """The lake rows one merge must consider, shared by the hive-path
+    and bucketed-table writers.
+
+    Partition-scoped (gluejob.py:190-205): only lake partitions the
+    batch touches (null-safety: see _partition_predicate), and only
+    THIS company's — company is a partition column, so on a
+    multi-company lake an unscoped read would merge other companies'
+    rows into this company's rewrite (re-stamped with the wrong
+    company literal) while dynamic overwrite left their own partitions
+    intact — duplication, and under the fused delete arm,
+    cross-company erasure. Both predicates push down as partition
+    pruning.
+
+    Schema evolution: a registry column added AFTER these lake files
+    were written is absent from the merged scan — backfill it as a
+    typed NULL (type from the incoming batch) so historic rows survive
+    the upsert with NULL in the new column instead of failing the
+    select. Columns the lake has but the registry dropped are pruned
+    by the select, and age out as their partitions rewrite.
+    """
+    pred = _partition_predicate(ycol, mcol, touched)
+    if "company" in existing.columns:
+        existing = existing.filter(F.col("company") == company)
+    existing = existing.filter(pred)  # pushed as partition pruning
+    batch_types = {f.name: f.dataType for f in prepared.schema.fields}
+    for c in spec.columns:
+        if c not in existing.columns:
+            existing = existing.withColumn(c, F.lit(None).cast(batch_types[c]))
+    return (
+        existing.select(*spec.columns)  # drop partition/company cols
+        .transform(lambda d: derive_partitions(d, spec.ts_col, spec.name))
+    )
+
+
 def _partition_dir(
     spark: SparkSession, root: str, table: str, company: str, y, m
 ) -> str:
@@ -170,58 +265,24 @@ def write_partitioned_upsert(
         return 0
 
     ycol, mcol = f"{spec.name}_year", f"{spec.name}_month"
-    prepared = (
-        normalize_booleans(batch, spec.boolean_cols)  # O1, gluejob.py:181
-        .transform(lambda d: derive_partitions(d, spec.ts_col, spec.name))
-        .withColumn(spec.ts_col, format_ts_micro(parse_ts(F.col(spec.ts_col))))
-    )
+    prepared = _prepare_batch(batch, spec)
 
     root = lake_table_root(lake_root, spec.name)
     existing = read_parquet_table(spark, root)
     # The (year, month) set this batch touches — drives both the lake
     # pruning predicate and the compat rename scope. The collect is
-    # metadata-sized (bounded by the calendar, not the data).
-    touched: list[tuple] = []
-    batch_touched: list[tuple] = []
-    if existing is not None or single_object_compat:
-        batch_touched = [
-            (r[0], r[1])
-            for r in prepared.select(ycol, mcol).distinct().collect()
-        ]
-        touched = list(batch_touched)
-        for part in delete_touched or []:
-            if part not in touched:
-                touched.append(part)
+    # metadata-sized (bounded by the calendar, not the data). The same
+    # pass enforces the PK contract: this writer's merge runs the anti
+    # join with plain-equality keys (``keys_nullable=False`` below),
+    # which is only sound because no row with a NULL id ever enters
+    # the lake — guarded HERE, on every write including the initial
+    # load, so the invariant holds for the lake's whole life.
+    touched, batch_touched = _touched_partitions_guarded(
+        prepared, spec, ycol, mcol, delete_touched
+    )
     if existing is not None:
-        # Partition-scoped merge (gluejob.py:190-205): only read lake
-        # partitions the batch touches (null-safety: see
-        # _partition_predicate), and only THIS company's — company is
-        # a partition column, so on a multi-company lake an unscoped
-        # read would merge other companies' rows into this company's
-        # rewrite (re-stamped with the wrong company literal) while
-        # dynamic overwrite left their own partitions intact —
-        # duplication, and under the fused delete arm, cross-company
-        # erasure. Both predicates push down as partition pruning.
-        pred = _partition_predicate(ycol, mcol, touched)
-        if "company" in existing.columns:
-            existing = existing.filter(F.col("company") == company)
-        existing = existing.filter(pred)  # pushed as partition pruning
-        # Schema evolution: a registry column added AFTER these lake
-        # files were written is absent from the merged scan — backfill
-        # it as a typed NULL (type from the incoming batch) so historic
-        # rows survive the upsert with NULL in the new column instead
-        # of failing the select. Columns the lake has but the registry
-        # dropped are pruned by the select, and age out as their
-        # partitions rewrite.
-        batch_types = {f.name: f.dataType for f in prepared.schema.fields}
-        for c in spec.columns:
-            if c not in existing.columns:
-                existing = existing.withColumn(
-                    c, F.lit(None).cast(batch_types[c])
-                )
-        existing = (
-            existing.select(*spec.columns)  # drop partition/company cols
-            .transform(lambda d: derive_partitions(d, spec.ts_col, spec.name))
+        existing = _scope_existing(
+            existing, prepared, spec, ycol, mcol, touched, company
         )
 
     emptied: list[tuple] = []
@@ -263,11 +324,20 @@ def write_partitioned_upsert(
             spec.id_col,
             existing_unique=True,
             broadcast_incoming=broadcast_batch,
+            # PK contract: ids are guarded non-null on every write
+            # (see _touched_partitions_guarded), so the anti join may
+            # use plain equality. The null-safe form would partition
+            # on (coalesce(id), isnull(id)) — a shape no id-bucketed
+            # lake can satisfy, silently re-introducing the lake-side
+            # Exchange on the sort-merge/backfill arm (the trap pinned
+            # in operators/upsert.py and tests/test_merge_upsert.py).
+            keys_nullable=False,
         )
     # Row count via an Observation on the write itself: a separate
-    # .count() would execute the full merge plan (pruned lake scan +
-    # union + window dedup — and re-extract a JDBC source) a second
-    # time just for the number.
+    # .count() would execute the full merge plan (the incoming-side
+    # window dedup + broadcast/sort-merge anti join against the pruned
+    # lake scan + union — and re-extract a JDBC source) a second time
+    # just for the number.
     obs = Observation(f"upsert_{spec.name}")
     out = merged.observe(obs, F.count(F.lit(1)).alias("n")).withColumn(
         "company", F.lit(company)
@@ -494,6 +564,196 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def _table_location(spark: SparkSession, table_name: str) -> str:
+    """Storage location of a catalog table, via DESCRIBE FORMATTED —
+    public API, works for any catalog/path scheme."""
+    rows = spark.sql(f"DESCRIBE FORMATTED {table_name}").collect()
+    for r in rows:
+        if r["col_name"].strip() == "Location":
+            return r["data_type"].strip()
+    raise ValueError(f"no Location in DESCRIBE FORMATTED {table_name}")
+
+
+def _rm_dir(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def _insert_partition_overwrite(
+    spark: SparkSession, df: DataFrame, table_name: str, dynamic: bool = True
+) -> None:
+    """``INSERT OVERWRITE`` into a catalog table with an explicit
+    partition-overwrite mode. ``insertInto`` ignores writer-level
+    ``partitionOverwriteMode`` options (verified on Spark 4.1: a
+    writer-option "dynamic" under a static session still wiped
+    untouched partitions), so the session conf is set for the insert
+    and restored after — the same vanilla-session-safety contract the
+    hive-path writer gets from its per-writer option."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic" if dynamic else "static")
+    try:
+        df.write.insertInto(table_name, overwrite=True)
+    finally:
+        spark.conf.set(key, old)
+
+
+def write_partitioned_upsert_bucketed(
+    spark: SparkSession,
+    batch: DataFrame,
+    spec: TableSpec,
+    table_name: str,
+    *,
+    num_buckets: int = 32,
+    company: str = "Locaweb",
+    broadcast_batch: bool = True,
+) -> int:
+    """K1 on a BUCKETED lake: same merge semantics as
+    ``write_partitioned_upsert`` (same batch normalization, same
+    null-id PK guard, same partition+company scoping, same
+    ``merge_upsert(existing_unique=True, keys_nullable=False)``), but
+    the lake is a catalog table partitioned by (company, year, month)
+    AND bucketed+sorted on ``spec.id_col`` — the layout under which
+    the backfill arm's sort-merge anti join reads the lake with no
+    Exchange and no Sort (measured 2.55×/decade at sf100 in
+    tools/bucketed_upsert.py vs 6.33× for the window form; plan
+    pinned by tests/test_merge_upsert.py). Use this mode when batches
+    are routinely backfill-sized; for daily increments the hive-path
+    writer's broadcast arm is already Exchange-free on the lake.
+
+    Mechanics the layout forces (why this isn't just a writer flag):
+
+    - Bucket metadata lives in the catalog, so the lake is
+      ``saveAsTable``-managed and merges write back via ``INSERT
+      OVERWRITE`` (the bucketed write path stamps bucket ids into
+      file names; writing bare parquet into the table directory would
+      corrupt the layout readers trust).
+    - Spark refuses an INSERT OVERWRITE whose plan reads the target
+      table (UNSUPPORTED_OVERWRITE), so the merged touched partitions
+      stage through a ``_staging`` subdirectory of the table location
+      (underscore-prefixed → invisible to table scans) and re-insert
+      from there. The staging pass costs one extra write+read of the
+      TOUCHED partitions only — the price of keeping the lake scan
+      bucketed during the merge itself.
+    - Dynamic partition overwrite on insert comes from session conf,
+      set-and-restored per write (see _insert_partition_overwrite).
+
+    Returns rows written (0 = empty batch skipped, the F2 guard).
+    """
+    if batch.limit(1).count() == 0:
+        log.info("skip empty batch for %s", spec.name)
+        return 0
+
+    ycol, mcol = f"{spec.name}_year", f"{spec.name}_month"
+    prepared = _prepare_batch(batch, spec)
+    # Same pass = same PK contract as the hive-path writer: the
+    # plain-equality anti join below is only sound because NULL ids
+    # are rejected on every write, initial load included.
+    touched, _ = _touched_partitions_guarded(
+        prepared, spec, ycol, mcol, None
+    )
+
+    obs = Observation(f"upsert_bucketed_{spec.name}")
+    if not spark.catalog.tableExists(table_name):
+        out = (
+            prepared.observe(obs, F.count(F.lit(1)).alias("n"))
+            .withColumn("company", F.lit(company))
+            .select(*spec.columns, "company", ycol, mcol)
+        )
+        (
+            out.write.format("parquet")
+            .partitionBy("company", ycol, mcol)
+            .bucketBy(num_buckets, spec.id_col)
+            .sortBy(spec.id_col)
+            .saveAsTable(table_name)
+        )
+        n = int(obs.get["n"])
+        log.info("created bucketed lake %s with %d rows", table_name, n)
+        return n
+
+    lake = spark.table(table_name)
+    existing = _scope_existing(
+        lake, prepared, spec, ycol, mcol, touched, company
+    )
+    if not broadcast_batch:
+        # Conform the incoming side to the lake's bucket layout BEFORE
+        # the merge: the incoming dedup window would otherwise shuffle
+        # at AQE's initial width, and when the sort-merge join then
+        # aligns partition COUNTS it re-shuffles the 4-vs-256 smaller
+        # child — the bucketed lake — forfeiting the Exchange-free scan
+        # this layout exists for (observed: the planner's
+        # autoBucketedScan then disables bucketed reading entirely).
+        # One explicit hash(id, num_buckets) shuffle of the batch makes
+        # the window AND the join reuse it: the lake side never moves.
+        # AQE does not coalesce user-specified repartitions, so the
+        # alignment holds regardless of batch size.
+        prepared = prepared.repartition(num_buckets, spec.id_col)
+    merged = merge_upsert(
+        prepared,
+        existing,
+        spec.id_col,
+        existing_unique=True,  # this writer's own uniqueness invariant
+        broadcast_incoming=broadcast_batch,
+        keys_nullable=False,  # PK contract, guarded above — keeps the
+        # bucketed lake scan Exchange-free under the sort-merge arm
+    )
+    staging = f"{_table_location(spark, table_name)}/_staging"
+    out = merged.observe(obs, F.count(F.lit(1)).alias("n")).withColumn(
+        "company", F.lit(company)
+    )
+    try:
+        out.select(*lake.columns).write.mode("overwrite").parquet(staging)
+        n = int(obs.get["n"])
+        staged = spark.read.parquet(staging).select(*lake.columns)
+        _insert_partition_overwrite(spark, staged, table_name, dynamic=True)
+    finally:
+        _rm_dir(spark, staging)
+    log.info("upserted %d rows into bucketed lake %s", n, table_name)
+    return n
+
+
+def compact_bucketed_table(
+    spark: SparkSession, table_name: str, bucket_col: str, num_buckets: int
+) -> int:
+    """Small-file compaction for a bucketed lake table, preserving the
+    bucket layout: each insert leaves one file per bucket PER WRITE
+    TASK, so partitions accumulate up to tasks×buckets files per
+    rewrite. Re-inserting the table clustered on the bucket column
+    collapses that to one file per (partition, bucket) — ``repartition
+    (num_buckets, bucket_col)`` uses the same murmur3 hash family as
+    bucket assignment, so each task holds exactly one bucket's rows.
+
+    Same staging dance as the upsert (Spark refuses a self-reading
+    INSERT OVERWRITE); the insert is STATIC overwrite — a full-table
+    rewrite, which is what compaction is. Bucket metadata is
+    catalog-owned and untouched by inserts, so the layout (and every
+    Exchange-free plan built on it) survives — asserted in
+    tests/test_bucketed_writer.py. Returns rows rewritten.
+    """
+    lake = spark.table(table_name)
+    obs = Observation(f"compact_{table_name}")
+    staging = f"{_table_location(spark, table_name)}/_compact_staging"
+    try:
+        (
+            lake.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        n = int(obs.get["n"])
+        staged = (
+            spark.read.parquet(staging)
+            .repartition(num_buckets, bucket_col)
+            .select(*lake.columns)
+        )
+        _insert_partition_overwrite(spark, staged, table_name, dynamic=False)
+    finally:
+        _rm_dir(spark, staging)
+    return n
 
 
 class LocalFileSource:

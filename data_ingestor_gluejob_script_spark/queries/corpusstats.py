@@ -830,13 +830,15 @@ def bm25_search_join(
 
     Scale shape: the query set is benchmark-sized → its exploded
     (query_id, token) table BROADCASTS into the corpus; every
-    corpus-sized shuffle is QUERY-FREE (the (doc, token) tf count and
-    the doc-length join — the per-term BM25 score is computed before
-    any query id appears, see the inline note), and the only
-    query-fanned stage is the final per-(query, doc) sum, map-side
-    combined to candidate size; the per-query top-k is one window over
-    those candidates. The corpus is never scanned per query — one pass
-    scores every query.
+    corpus-sized shuffle is QUERY-FREE, and the (doc, token) tf count
+    is additionally QUERY-TERM-RESTRICTED (the broadcast semi-join on
+    query terms sits BELOW the tf groupBy, so the shuffle carries
+    query-term occurrences only, not the full vocabulary — see the
+    inline note; the per-term BM25 score is still computed before any
+    query id appears). The only query-fanned stage is the final
+    per-(query, doc) sum, map-side combined to candidate size; the
+    per-query top-k is one window over those candidates. The corpus is
+    never scanned per query — one pass scores every query.
     """
     n_docs_total = docs.select("doc_id").distinct().count()
     toks = docs.select(
@@ -847,22 +849,33 @@ def bm25_search_join(
     qtoks = queries.select(
         "query_id", F.explode(words_col(F.col("text"))).alias("token")
     ).distinct()
-    # Keep every corpus-sized shuffle QUERY-FREE. The original order —
-    # join raw token occurrences against the broadcast (query, token)
-    # pairs, then groupBy (query, doc, token) — shuffled every matching
-    # occurrence TIMES the number of queries sharing that token; common
-    # words appear in most of a 64-doc query batch, so the shuffle
-    # carried a ~query-batch-sized multiplier and died disk-full at
-    # sf100 in the r13 decade smoke. The BM25 term contribution of
-    # (doc, token) does not depend on WHICH query asked (qtoks is
-    # distinct per query), so: count (doc, token) tf, restrict to query
-    # TERMS, derive df, fold the full per-term score — all before any
-    # query id appears — and fan out only into the final per-(query,
-    # doc) sum, whose map-side partial aggregation collapses to
-    # candidate size. Scores are bit-identical to the old plan.
-    ctf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # Keep every corpus-sized shuffle QUERY-FREE, and keep the one
+    # remaining token shuffle QUERY-TERM-RESTRICTED. Two plans died on
+    # the decade smokes before this shape: (a) joining raw occurrences
+    # against the broadcast (query, token) pairs and grouping by
+    # (query, doc, token) shuffled every matching occurrence TIMES the
+    # number of queries sharing that token — disk-full at sf100 in the
+    # r13 smoke; (b) counting tf over the FULL vocabulary first and
+    # restricting to query terms after shuffled one partial row per
+    # distinct (doc, token) of the whole corpus — the 11.55× decade-3
+    # ratio in SCALE.md r13. The BM25 term contribution of (doc, token)
+    # does not depend on WHICH query asked (qtoks is distinct per
+    # query), so: broadcast-semi-join raw occurrences down to query
+    # TERMS first (map-only, no fanout — qterms is term-distinct so the
+    # join multiplicity is 1), THEN count tf, derive df, fold the full
+    # per-term score — all before any query id appears — and fan out
+    # only into the final per-(query, doc) sum, whose map-side partial
+    # aggregation collapses to candidate size. The tf groupBy's
+    # map-side combine now emits partials for query-term occurrences
+    # only; scores are bit-identical to both earlier plans. `lens`
+    # still folds the full token stream, but that is a doc-keyed
+    # partial agg whose shuffle is one row per (doc, partition).
     qterms = qtoks.select("token").distinct()
-    ctf_q = ctf.join(F.broadcast(qterms), "token")
+    ctf_q = (
+        toks.join(F.broadcast(qterms), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
     # ctf_q is one row per (doc, token): counting rows per token IS df
     df_tbl = ctf_q.groupBy("token").agg(F.count("*").alias("df"))
     idf = F.log(
