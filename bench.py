@@ -72,11 +72,14 @@ Protocol hardening:
   fresh re-gated JVM with ≥3 reps, keeping the overall min. The
   re-run list and per-batch loads land in BENCH_DETAIL.json so the
   artifact shows whether an over-bar number survived a quiet retry.
-  The CORE set gets the same 1.5x auto-rerun against BASELINE.md's
-  frozen round-2 per-query table (parsed from the markdown, single
-  source of truth): most core queries are sub-second, so a few
-  hundred ms of ambient load can push one over its tiny per-query 2x
-  bar even when the suite total sits at ~0.5x of baseline.
+  The CORE set gets the same auto-rerun against BASELINE.md's frozen
+  round-2 per-query table (parsed from the markdown, single source of
+  truth), triggered at 1.3x (r14: the r13 contention round drifted
+  trivial queries to 1.3-1.4x, under the old 1.5x trigger): most core
+  queries are sub-second, so a few hundred ms of ambient load can
+  push one over its tiny per-query 2x bar even when the suite total
+  sits at ~0.5x of baseline. Both re-run lists ride on the stdout
+  summary line so the per-round BENCH artifact is self-describing.
 """
 
 from __future__ import annotations
@@ -329,20 +332,25 @@ def main() -> int:
         base: dict[str, float],
         label: str,
         rerun_reps: int,
+        factor: float = 1.5,
     ) -> list[str]:
-        """Shared 1.5x defense for the core and extras suites: entries
-        whose best exceeds 1.5x their baseline get ONE more re-gated
-        (0.15x-ncpus) fresh-JVM batch at >=3 reps; the overall min
-        across both runs stands. Contention inflates one-sidedly, so
-        a quiet retry either clears the entry or confirms a real
-        regression — either way the artifact is trustworthy. Mutates
-        detail/loads in place; returns the re-run list for the
-        artifact."""
+        """Shared over-baseline defense for the core and extras
+        suites: entries whose best exceeds ``factor``x their baseline
+        get ONE more re-gated (0.15x-ncpus) fresh-JVM batch at >=3
+        reps; the overall min across both runs stands. Contention
+        inflates one-sidedly, so a quiet retry either clears the
+        entry or confirms a real regression — either way the artifact
+        is trustworthy. The core set triggers at 1.3x (r13's host-
+        contention round drifted trivial queries to 1.3-1.4x, under
+        the old 1.5x trigger but well over their quiet-host numbers);
+        extras keep 1.5x (their baselines are bigger, so 1.3x of one
+        is a real gap, not protocol noise). Mutates detail/loads in
+        place; returns the re-run list for the artifact."""
         best = best_of(detail)
         over = sorted(
             n
             for n, t in best.items()
-            if t >= 0 and base.get(n) and t > 1.5 * base[n]
+            if t >= 0 and base.get(n) and t > factor * base[n]
         )
         if over:
             print(
@@ -359,7 +367,8 @@ def main() -> int:
         return over
 
     core_rerun = rerun_over_baseline(
-        reps_detail, batch_loads, core_base, "core", max(reps, 3)
+        reps_detail, batch_loads, core_base, "core", max(reps, 3),
+        factor=1.3,
     )
 
     # Extras: quieter gate than the core set, and entries whose baseline
@@ -417,6 +426,12 @@ def main() -> int:
         "reps": reps,
         "load_at_start": start_load,
         "load_at_end": loadavg_1m(),
+        # Re-run lists ride on the driver artifact too (not just
+        # BENCH_DETAIL.json) so a round record shows on its face
+        # whether any number needed the quiet-host retry. Usually
+        # empty — a few chars against the stdout line budget.
+        "core_rerun": core_rerun,
+        "extras_rerun": rerun,
     }
     # Full per-rep evidence goes to a side file; the stdout line must
     # stay under the consumer's 2,000-char tail window (see module

@@ -828,54 +828,102 @@ def bm25_search_join(
     surfaced even when shingle overlap (the lexical decontamination
     net) misses them. Compose with ``textops.decontaminate``.
 
-    Scale shape: the query set is benchmark-sized → its exploded
-    (query_id, token) table BROADCASTS into the corpus; every
-    corpus-sized shuffle is QUERY-FREE, and the (doc, token) tf count
-    is additionally QUERY-TERM-RESTRICTED (the broadcast semi-join on
-    query terms sits BELOW the tf groupBy, so the shuffle carries
-    query-term occurrences only, not the full vocabulary — see the
-    inline note; the per-term BM25 score is still computed before any
-    query id appears). The only query-fanned stage is the final
-    per-(query, doc) sum, map-side combined to candidate size; the
-    per-query top-k is one window over those candidates. The corpus is
-    never scanned per query — one pass scores every query.
+    Scale shape (r14): the corpus side carries ZERO corpus-sized
+    shuffles. tf and document length are computed PER DOC ROW with
+    array higher-order functions (run-length counting over the sorted
+    words array — see the inline note), so the exploded (doc, token,
+    tf, dl) stream is map-only; the query-term restriction is a
+    broadcast semi-join on that stream; df aggregates the restricted
+    stream (≤ query-term-vocabulary rows); and the per-term BM25 score
+    folds map-side before any query id appears. The only query-fanned
+    stage is the final per-(query, doc) sum, map-side combined to
+    candidate size; the per-query top-k is one window over those
+    candidates. The corpus is never scanned per query — one pass
+    scores every query. Precondition (shared with the rest of the
+    document operators): ``doc_id`` identifies one document row —
+    duplicate doc_id rows score per ROW under this plan where the old
+    shuffle plan merged their occurrences (run exact dedup first).
     """
     n_docs_total = docs.select("doc_id").distinct().count()
-    toks = docs.select(
-        "doc_id", F.explode(words_col(F.col("text"))).alias("token")
+    # tf WITHOUT a corpus shuffle. History, because each predecessor
+    # died on a decade smoke: (a) r12 joined raw occurrences against
+    # broadcast (query, token) pairs and grouped by (query, doc,
+    # token) — the shuffle carried a query-batch-sized multiplier,
+    # disk-full at sf100; (b) r13 counted tf over the full vocabulary
+    # then restricted — 11.55× at decade 3, the shuffle of every
+    # distinct (doc, token) pair being the superlinear term; (c) a
+    # first r14 cut pushed the query-term semi-join below the tf
+    # groupBy — semantically identical, but measured SLOWER at sf10
+    # (12.6 → 14-16 s): the testdata vocabulary saturates any query's
+    # term set, so the probe pruned nothing and the shuffle stayed.
+    # The structural answer: a document's term frequencies are a
+    # per-row computation — array_sort the words, take run lengths —
+    # so tf, like dl (= size(words)), derives in the SAME projection
+    # with no shuffle at all. Catalyst HOFs only (no UDF); arrays are
+    # bound to columns first (inline arrays re-evaluate per lambda
+    # access — the O(len²) trap pinned in textops.shingles_from_words).
+    # array_sort is a counting aid, not semantics: run lengths equal
+    # the old groupBy counts exactly, and split() never yields NULL
+    # elements (NULLs would sort last and break run detection).
+    base = docs.select(
+        "doc_id", words_col(F.col("text")).alias("_ws")
+    ).select(
+        "doc_id",
+        F.array_sort("_ws").alias("_sws"),
+        F.size("_ws").alias("dl"),
     )
-    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    avg_dl = lens.agg(F.avg("dl").alias("avgdl"))
+    starts = F.filter(
+        F.sequence(F.lit(0), F.col("dl") - 1),
+        lambda i: F.when(i == 0, F.lit(True)).otherwise(
+            F.element_at(F.col("_sws"), i + 1)
+            != F.element_at(F.col("_sws"), i)
+        ),
+    )
+    # dl > 0 guard: sequence(0, -1) would COUNT DOWN (two phantom
+    # indices), and slice's length arg must be non-negative — When
+    # branches evaluate lazily per row, so the degenerate rows (NULL
+    # text → NULL dl; split never returns an empty array otherwise)
+    # fall to the empty branch and explode() drops them, exactly as
+    # explode() dropped them from the old occurrence stream.
+    base = base.withColumn(
+        "_st",
+        F.when(F.col("dl") > 0, starts).otherwise(
+            F.lit(None).cast("array<int>")
+        ),
+    )
+    entries = F.zip_with(
+        F.col("_st"),
+        F.concat(
+            F.slice(F.col("_st"), 2, F.size(F.col("_st")) - 1),
+            F.array(F.col("dl")),
+        ),
+        lambda s, e: F.struct(
+            F.element_at(F.col("_sws"), s + 1).alias("token"),
+            (e - s).cast("long").alias("tf"),
+        ),
+    )
+    ctf = base.select(
+        "doc_id", "dl", F.explode(entries).alias("_e")
+    ).select("doc_id", "dl", F.col("_e.token"), F.col("_e.tf"))
+    avg_dl = base.agg(F.avg("dl").alias("avgdl"))
     qtoks = queries.select(
         "query_id", F.explode(words_col(F.col("text"))).alias("token")
     ).distinct()
-    # Keep every corpus-sized shuffle QUERY-FREE, and keep the one
-    # remaining token shuffle QUERY-TERM-RESTRICTED. Two plans died on
-    # the decade smokes before this shape: (a) joining raw occurrences
-    # against the broadcast (query, token) pairs and grouping by
-    # (query, doc, token) shuffled every matching occurrence TIMES the
-    # number of queries sharing that token — disk-full at sf100 in the
-    # r13 smoke; (b) counting tf over the FULL vocabulary first and
-    # restricting to query terms after shuffled one partial row per
-    # distinct (doc, token) of the whole corpus — the 11.55× decade-3
-    # ratio in SCALE.md r13. The BM25 term contribution of (doc, token)
-    # does not depend on WHICH query asked (qtoks is distinct per
-    # query), so: broadcast-semi-join raw occurrences down to query
-    # TERMS first (map-only, no fanout — qterms is term-distinct so the
-    # join multiplicity is 1), THEN count tf, derive df, fold the full
-    # per-term score — all before any query id appears — and fan out
-    # only into the final per-(query, doc) sum, whose map-side partial
-    # aggregation collapses to candidate size. The tf groupBy's
-    # map-side combine now emits partials for query-term occurrences
-    # only; scores are bit-identical to both earlier plans. `lens`
-    # still folds the full token stream, but that is a doc-keyed
-    # partial agg whose shuffle is one row per (doc, partition).
     qterms = qtoks.select("token").distinct()
-    ctf_q = (
-        toks.join(F.broadcast(qterms), "token")
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-    )
+    # One deliberate Exchange on the RESTRICTED stream (query-term
+    # rows only — small for real decontamination workloads) and the
+    # only one the corpus side ever pays: ctf_q has two consumers (df
+    # and the score fold), and with a purely map-only lineage each
+    # consumer would re-run the whole scan + run-length pass —
+    # measured 16 s vs 12.6 s at sf10. A repartition gives Spark an
+    # exchange to REUSE, so the heavy pass runs once. doc_id is the
+    # partition key on purpose: it is skew-free (unique per doc) and
+    # hash(doc_id) satisfies the final per-(query_id, doc_id) sum's
+    # clustering, so the scored aggregation adds NO further shuffle —
+    # where partitioning by token would put every row of a hot term
+    # in one task (the degenerate-vocabulary trap: testdata has 31
+    # distinct words, so ANY term set saturates the corpus).
+    ctf_q = ctf.join(F.broadcast(qterms), "token").repartition("doc_id")
     # ctf_q is one row per (doc, token): counting rows per token IS df
     df_tbl = ctf_q.groupBy("token").agg(F.count("*").alias("df"))
     idf = F.log(
@@ -884,7 +932,6 @@ def bm25_search_join(
     )
     term_scores = (
         ctf_q.join(F.broadcast(df_tbl), "token")
-        .join(lens, "doc_id")
         .crossJoin(F.broadcast(avg_dl))
         .select(
             "doc_id",

@@ -197,8 +197,18 @@ def iter_warc_stream(
                     if oversized
                     else "truncated header block"
                 )
-            if oversized:
-                _tolerant_stop("oversized header block", buf, pos)
+            # Non-oversized means EOF mid-header: buf still holds a
+            # partial record start (≥ the "WARC/" probe guarantees
+            # bytes at pos), so this stop discards bytes too and must
+            # warn like every other tolerant stop (r13 advice: a
+            # crash-cut file mid-header previously read as a clean
+            # short file).
+            _tolerant_stop(
+                "oversized header block" if oversized
+                else "truncated header block",
+                buf,
+                pos,
+            )
             return
         ver_end = buf.find(b"\r\n", pos)
         headers = _parse_headers(bytes(buf[ver_end + 2 : head_end]))

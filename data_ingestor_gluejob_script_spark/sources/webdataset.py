@@ -62,11 +62,15 @@ def split_member_name(name: str) -> tuple[str, str] | None:
     ``train/0001.jpg`` groups under ``train/0001``.
 
     Returns None for a dot-leading basename (macOS AppleDouble
-    ``._0001.jpg``, ``.hidden``): the reference implementation's
-    ``base_plus_ext`` regex requires a non-empty key before the first
-    dot and drops such members — without this, a run of hidden files
-    would merge into one bogus sample keyed by the bare directory
-    prefix (r13 sources review)."""
+    ``._0001.jpg``, ``.hidden``). For a BARE hidden name this matches
+    the reference implementation's ``base_plus_ext`` regex (non-empty
+    key required before the first dot). For a directory-qualified one
+    (``train/._0001.jpg``) it is a DELIBERATE DIVERGENCE: that regex
+    backtracks and matches key ``train/``, ext ``_0001.jpg``, so
+    upstream would merge a run of hidden files into one bogus sample
+    keyed by the bare directory prefix — dropping them is the saner
+    behavior (r13 sources review; divergence scope pinned by r13
+    advice)."""
     slash = name.rfind("/")
     head, base = name[: slash + 1], name[slash + 1 :]
     dot = base.find(".")

@@ -845,6 +845,34 @@ def run_web_curation_ingest(
     )
 
 
+#: Broadcast-contract ceiling for gated-ingest micro-batches, in ROWS
+#: (a cheap proxy for the 8 GB broadcast hard limit: digest/band rows
+#: are ~50-100 bytes, so the default leaves an order of magnitude of
+#: headroom). The ingest twins deliberately FORCE broadcasts of the
+#: batch side — there is no shuffle fallback by design — so an
+#: oversized batch must fail with an actionable message, not an opaque
+#: broadcast OOM mid-query (r13 advice).
+BATCH_BROADCAST_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_BATCH_MAX_ROWS", 10_000_000)
+)
+
+
+def _assert_broadcast_contract(batch_df: DataFrame, what: str) -> None:
+    """Raise a clear error when a micro-batch exceeds the broadcast
+    contract. A bounded ``limit(cap+1).count()`` probe — never a full
+    count — so the guard costs one capped scan of the batch file(s),
+    which the sink was about to read anyway."""
+    cap = BATCH_BROADCAST_MAX_ROWS
+    if batch_df.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"{what}: micro-batch exceeds the broadcast contract "
+            f"(> {cap} rows). The gated ingests broadcast the batch "
+            "side BY CONSTRUCTION (no shuffle fallback) — lower "
+            "maxFilesPerTrigger or pre-split oversized input files; "
+            "to raise the ceiling set SPARK_GRAFT_STREAM_BATCH_MAX_ROWS."
+        )
+
+
 def _ledgered_fresh(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -864,6 +892,7 @@ def _ledgered_fresh(
     "first batch" would skip dedup and double-ingest on replay)."""
     from pyspark.errors import AnalysisException
 
+    _assert_broadcast_contract(batch_df, "ledgered ingest")
     hashed = batch_df.withColumn(digest_col, digest_expr)
     payload = [
         c for c in hashed.columns if c not in (digest_col, id_col)
@@ -910,6 +939,244 @@ def _ledgered_fresh(
     return fresh, state
 
 
+#: Bucket fan-out of the band ledgers' prune column (``band_pfx``).
+#: Not a partition DIRECTORY — appends write one pfx-sorted file per
+#: batch and rebuilds write N_BAND_PFX pfx-clustered files, so the
+#: prune rides on parquet row-group stats instead of directory
+#: listings (the directory-per-bucket cut measurably lost to its own
+#: tiny-file opens at 24 batches). Raising it sharpens the
+#: small-batch prune at the cost of coarser clustering per file.
+N_BAND_PFX = 8
+
+
+def _read_parquet_or_none(spark: SparkSession, path: str):
+    """Parquet read that treats ONLY path-not-found as 'no lake yet'.
+    Any other failure (corrupt footer, permission) aborts the batch —
+    treating it as first-batch would skip dedup state and
+    double-ingest on replay."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" not in str(ex):
+            raise
+        return None
+
+
+#: MinHash slots are fixed 4-hex-char md5 prefixes (the family the
+#: python-twin differential pins), so a full signature packs into one
+#: 32-char string the ledger stores as a single column.
+_SLOT_W = 4
+
+
+def _sig_cat_col(slot_cols: list[str]):
+    """The packed-signature column: s0..s7 concatenated. One string
+    per ledger row instead of eight — the probe decodes 2 columns, not
+    12 (the r14 smoke showed per-row parquet decode, not the join,
+    dominating the residual per-batch slope)."""
+    return F.concat(*[F.col(s) for s in slot_cols])
+
+
+def _cat_slot(sig_col, i: int):
+    """Slot ``i`` unpacked from a packed signature."""
+    return F.substring(sig_col, i * _SLOT_W + 1, _SLOT_W)
+
+
+def _est_jaccard_vs_cat(sig_col) -> Column:
+    """Estimated Jaccard between the probe row's s0..s7 columns and a
+    packed reference signature — substring compares on CANDIDATE rows
+    only (the post-join set, batch-sized)."""
+    from .queries.textops import N_MINHASH
+
+    eq = [
+        F.when(F.col(f"s{i}") == _cat_slot(sig_col, i), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    ]
+    total = eq[0]
+    for e in eq[1:]:
+        total = total + e
+    return total / F.lit(N_MINHASH)
+
+
+def _ref_band_hash(band_idx_col, sig_col):
+    """The reference row's TRUE band hash at the probe row's band
+    index, recomputed from the packed signature exactly as
+    banded_signature_frame computes it (md5 over '|'-joined slots).
+    Equality with the probe's band_hash is the collision verify: a
+    64-bit band_key collision must not manufacture a candidate the
+    batch twin would never see (with 2 bands × 4 slots and tau 0.75,
+    pigeonhole does NOT guarantee a colliding high-Jaccard pair shares
+    a real band). Matching on the PROBE's band index is sufficient AND
+    exact: equal hashes there mean the pair truly shares that band —
+    the LSH candidate condition itself."""
+    from .queries.textops import MINHASH_BANDS
+
+    out = None
+    for bi, slots in enumerate(MINHASH_BANDS):
+        h = F.md5(
+            F.concat_ws("|", *[_cat_slot(sig_col, s) for s in slots])
+        )
+        out = (
+            F.when(band_idx_col == bi, h)
+            if out is None
+            else out.when(band_idx_col == bi, h)
+        )
+    return out
+
+
+def _minhash_band_ledger_rows(sig_rows: DataFrame) -> DataFrame:
+    """Precomputed probe rows of the text near-dup BAND LEDGER — the
+    r13-documented evolution, implemented in r14: instead of deriving
+    band rows for the FULL signature lake on every micro-batch
+    (md5-per-band + explode over every ledger row, the measured
+    ~12 µs/ledger-doc·batch slope in SCALE.md r13), the band rows are
+    computed ONCE when a signature enters the ledger and stored in a
+    lake the per-batch probe just scans.
+
+    Layout — THREE columns, deliberately (the first r14 cut stored
+    band_idx/band_hash/s0..s7 alongside and the smoke showed the
+    per-row decode of 12 columns dominating the probe):
+
+    - ``band_key`` = xxhash64(band_idx, band_hash): the narrow 64-bit
+      join key. Key collisions are verified away on the candidate set
+      via :func:`_ref_band_hash` (md5 recompute from the packed
+      signature), so correctness never rests on 64 bits.
+    - ``sig_cat``: the packed 32-char signature — serves BOTH the
+      collision verify and the inline estimated-Jaccard, with no join
+      back to the signature lake.
+    - ``band_pfx`` = pmod(band_key, N_BAND_PFX): the prune column; the
+      append path sorts on it so row-group stats can skip buckets a
+      small batch doesn't touch.
+
+    Input: any frame carrying s0..s7 (sub-shingle rows — NULL slots —
+    have no bands and are excluded)."""
+    from .queries.textops import N_MINHASH, banded_signature_frame
+
+    slot_cols = [f"s{i}" for i in range(N_MINHASH)]
+    src = sig_rows.filter(F.col("s0").isNotNull()).select(
+        F.lit("").alias("doc_id"), *slot_cols
+    )
+    bands = banded_signature_frame(src)
+    key = F.xxhash64("band_idx", "band_hash")
+    return bands.select(
+        key.alias("band_key"),
+        _sig_cat_col(slot_cols).alias("sig_cat"),
+        F.pmod(key, F.lit(N_BAND_PFX)).cast("int").alias("band_pfx"),
+    )
+
+
+def _phash_band_ledger_rows(
+    sig_rows: DataFrame, max_hamming: int
+) -> DataFrame:
+    """Precomputed probe rows of the IMAGE near-dup band ledger — the
+    dHash twin of :func:`_minhash_band_ledger_rows`. Bit-slice band
+    values are exact longs (no hash, no collision caveat), so the
+    probe joins directly on (band_idx, band_val); the full ``phash``
+    rides along for the inline hamming verify. ``band_pfx`` =
+    pmod(xxhash64(band_idx, band_val), N_BAND_PFX) is the partition
+    column — computed the same way on the batch side for the static
+    prune. Input: any frame carrying a ``phash`` column (NULL-phash
+    rows have no bands and are excluded)."""
+    from .operators.multimodal import phash_bands
+
+    src = sig_rows.filter(F.col("phash").isNotNull()).select(
+        F.lit("").alias("doc_id"), "phash"
+    )
+    bands = phash_bands(src, max_hamming, id_col="doc_id")
+    return bands.select(
+        "band_idx",
+        "band_val",
+        "phash",
+        F.pmod(F.xxhash64("band_idx", "band_val"), F.lit(N_BAND_PFX))
+        .cast("int")
+        .alias("band_pfx"),
+    )
+
+
+def _append_band_ledger(band_rows: DataFrame, band_dir: str) -> None:
+    """Append one batch's band rows as ONE file, sorted by the prune
+    column. One file per batch keeps directory listings (and the
+    footer-open cost every probe pays) linear in batch count with the
+    smallest possible constant — the first r14 cut wrote
+    N_BAND_PFX files per batch via partitionBy and the smoke showed
+    the accumulated tiny-file opens eating the derivation win. The
+    in-file sort puts row-group min/max stats on band_pfx for the
+    small-batch prune."""
+    (
+        band_rows.coalesce(1)
+        .sortWithinPartitions("band_pfx")
+        .write.mode("append")
+        .parquet(band_dir)
+    )
+
+
+#: Rebuild (= compact) the band ledger when its directory accumulates
+#: this many data files. Appends add one file per batch; the rebuild
+#: rewrites the lake from the signature lake in N_BAND_PFX clustered
+#: files, so probe-side open cost stays bounded at any batch count
+#: and crash-replay duplicate rows are deduplicated in passing.
+BAND_LEDGER_COMPACT_FILES = 96
+
+
+def _n_parquet_files(spark: SparkSession, path: str) -> int:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return 0
+    return sum(
+        1
+        for s in fs.listStatus(p)
+        if s.getPath().getName().endswith(".parquet")
+    )
+
+
+def _rebuild_band_ledger(
+    spark: SparkSession, state, band_dir: str, derive_rows
+) -> None:
+    """Derive the whole band ledger from the signature lake and
+    replace ``band_dir`` — a write-to-staging + swap (an in-place
+    overwrite would delete the input files mid-read). Serves three
+    duties with one code path: migration (pre-r14 ledgers have no
+    band lake), compaction (appends accumulate one file per batch),
+    and crash-replay healing (the signature lake is the single source
+    of truth; band rows are a pure function of it, so duplicates a
+    replay double-appended vanish)."""
+    staging = band_dir.rstrip("/") + "._rebuild"
+    (
+        derive_rows(state)
+        .repartitionByRange(N_BAND_PFX, F.col("band_pfx"))
+        .sortWithinPartitions("band_pfx")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    jvm = spark._jvm
+    dst = jvm.org.apache.hadoop.fs.Path(band_dir)
+    src = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise IOError(f"band-ledger swap failed: {staging} -> {band_dir}")
+
+
+def _ensure_band_ledger(
+    spark: SparkSession, state, band_dir: str, derive_rows
+):
+    """The band-ledger frame, rebuilt from the signature lake when
+    absent (self-healing migration for pre-r14 ledgers; also the
+    manual recovery story — delete ``band_dir`` and re-run) and
+    compacted through the same rebuild once per-batch appends
+    accumulate past BAND_LEDGER_COMPACT_FILES files."""
+    if state is None:
+        return None
+    n_files = _n_parquet_files(spark, band_dir)
+    if n_files == 0 or n_files > BAND_LEDGER_COMPACT_FILES:
+        _rebuild_band_ledger(spark, state, band_dir, derive_rows)
+    return _read_parquet_or_none(spark, band_dir)
+
+
 def _newcomer_loses(ref_id, my_id) -> Column:
     """Arrival-order precedence for the near-dup ingest twins: a
     newcomer drops to anything already in the state, to a smaller id
@@ -935,31 +1202,39 @@ def _two_lake_append(
     lake_dir: str,
     sig_dir: str,
     digest_col: str,
+    band_rows: DataFrame | None = None,
+    band_dir: str | None = None,
 ) -> None:
-    """Two-lake exactly-once tail of the near-dup ingest twins:
-    corpus append FIRST, guarded by its own digest anti-join;
-    signature ledger LAST. A crash between the appends leaves digests
-    out of the ledger, so the replayed batch reprocesses them (the
-    keep decisions are deterministic, so the retained set recomputes
-    identically) and the corpus guard turns the re-append into a
-    no-op. The reverse order would ledger the batch before its rows
-    exist — replay would skip it and the retained rows would be
-    lost."""
-    from pyspark.errors import AnalysisException
+    """Exactly-once tail of the near-dup ingest twins: corpus append
+    FIRST, guarded by its own digest anti-join; then the batch's band
+    rows; signature ledger LAST. A crash between the appends leaves
+    digests out of the ledger, so the replayed batch reprocesses them
+    (the keep decisions are deterministic, so the retained set
+    recomputes identically) and the corpus guard turns the re-append
+    into a no-op. The reverse order would ledger the batch before its
+    rows exist — replay would skip it and the retained rows would be
+    lost.
 
+    The band ledger writes BEFORE the signature ledger for the same
+    reason: a crash in between can only leave the batch's band rows
+    DOUBLE-appended on replay (harmless — the drop set is a DISTINCT
+    over digests, and a band-ledger rebuild from the signature lake
+    heals the duplication), never leave signatures ledgered without
+    their band rows, which would permanently exempt those documents
+    from every future near-dup check."""
     # Pin the batch's keep decisions once: the guard below broadcasts
     # the retained digests, which would otherwise re-run the whole
     # band-join pipeline a second (and third) time per batch.
     pinned = retained.persist()
     retained = pinned
     try:
-        try:
+        corpus = _read_parquet_or_none(spark, lake_dir)
+        if corpus is not None:
             # same decomposition as _ledgered_fresh: the corpus is the
             # big growing side, so probe it map-only with the broadcast
             # batch digests instead of shuffling it under a left_anti
             # every batch
-            corpus_seen = spark.read.parquet(lake_dir).select(digest_col)
-            seen = corpus_seen.join(
+            seen = corpus.select(digest_col).join(
                 F.broadcast(retained.select(digest_col)),
                 digest_col,
                 "left_semi",
@@ -967,11 +1242,18 @@ def _two_lake_append(
             retained = retained.join(
                 F.broadcast(seen), digest_col, "left_anti"
             )
-        except AnalysisException as ex:
-            if "PATH_NOT_FOUND" not in str(ex):
-                raise
-        retained.write.mode("append").parquet(lake_dir)
-        sig_rows.write.mode("append").parquet(sig_dir)
+        # Single-file appends: the rows come out of the ledger
+        # preamble's window SHUFFLE, so an uncoalesced append writes
+        # up to a shuffle-width of small files per batch — and both
+        # lakes are re-listed (one footer open per file) by EVERY
+        # subsequent batch's guard/anti-join scans, a per-batch cost
+        # that grows with batch count (measured as part of the r14
+        # smoke's residual slope). Batches are broadcast-sized by
+        # contract, so one write task per lake is the right shape.
+        retained.coalesce(1).write.mode("append").parquet(lake_dir)
+        if band_rows is not None:
+            _append_band_ledger(band_rows, band_dir)
+        sig_rows.coalesce(1).write.mode("append").parquet(sig_dir)
     finally:
         pinned.unpersist()
 
@@ -984,6 +1266,7 @@ def run_neardup_ingest(
     checkpoint_dir: str,
     tau: float | None = None,
     max_files_per_trigger: int = 1,
+    band_dir: str | None = None,
 ):
     """Continuous-crawl ingestion with MinHash NEAR-duplicate dedup
     against everything already seen — the streaming composition of
@@ -1021,25 +1304,34 @@ def run_neardup_ingest(
     Scale shape: the batch side is small BY CONTRACT — its digests and
     band rows are explicitly broadcast (r13) so the ledger/corpus
     sides are map-only column-pruned scans at any state size, never
-    per-batch shuffles. The contract's other edge: a micro-batch must
-    stay driver-holdable (broadcast hard-limits at 8 GB);
-    ``maxFilesPerTrigger`` bounds files, not rows, so a backlog of
-    oversized input files should lower it (or pre-split files) rather
-    than rely on a shuffle fallback this plan deliberately no longer
-    has. At very high batch rates the documented evolution is a
-    band-bucketized ``sig_dir`` so a batch prunes to its band buckets
-    instead of deriving the full ledger's band rows.
+    per-batch shuffles. The contract is GUARDED (r14): a batch over
+    ``BATCH_BROADCAST_MAX_ROWS`` fails fast with an actionable message
+    (lower ``maxFilesPerTrigger`` / pre-split files) instead of an
+    opaque broadcast OOM — there is deliberately no shuffle fallback.
+
+    Band ledger (r14, ``band_dir``, default ``{sig_dir}_bands``): the
+    state side of the candidate join is a PRECOMPUTED band-row lake —
+    band rows are derived once when a signature is ledgered, not
+    re-derived from the full signature lake every batch (the measured
+    ~12 µs/ledger-doc·batch slope of the r13 design, SCALE.md). The
+    probe joins on a 64-bit ``band_key`` with true-band equality
+    verified post-join, prunes ``band_pfx`` partitions the batch
+    doesn't touch, and the lake is self-healing: absent (pre-r14
+    state) it is rebuilt from the signature lake, which also heals
+    crash-replay double-appends (see _ensure_band_ledger /
+    _two_lake_append ordering).
     """
     from .queries.textops import (
         MINHASH_DEDUP_TAU,
         N_MINHASH,
         banded_signature_frame,
-        est_jaccard_col,
         minhash_signature_frame,
     )
 
     if tau is None:
         tau = MINHASH_DEDUP_TAU
+    if band_dir is None:
+        band_dir = sig_dir.rstrip("/") + "_bands"
     slot_cols = [f"s{i}" for i in range(N_MINHASH)]
 
     batch0 = spark.read.parquet(docs_dir)
@@ -1063,67 +1355,105 @@ def run_neardup_ingest(
             # collapse text_md5 is unique and non-null per fresh row,
             # while a NULL doc_id would miss the equi-join back and
             # ledger NULL signature slots for a doc that HAS a
-            # signature — silently exempting its future near-dups
+            # signature — silently exempting its future near-dups.
+            # PINNED: the signing pass (shingle + per-shingle md5) is
+            # the batch's expensive map — every downstream consumer
+            # (ledger append, band rows, probe, in-batch refs) reads
+            # the persisted rows instead of re-signing.
             sig_md5 = minhash_signature_frame(
                 fresh.select(F.col("text_md5").alias("doc_id"), "text")
             ).withColumnRenamed("doc_id", "text_md5")
             sig_rows = fresh.select("doc_id", "text_md5").join(
                 sig_md5, "text_md5", "left"
-            )
+            ).persist()
             # probe band rows carry BOTH keys: doc_id for precedence,
-            # text_md5 (non-null) for the drop set — see _newcomer_loses
-            new_bands = (
+            # text_md5 (non-null) for the drop set (_newcomer_loses) —
+            # plus the 64-bit band_key the candidate join hashes on
+            new_keys = (
                 banded_signature_frame(
-                    sig_md5.filter(F.col("s0").isNotNull())
-                    .withColumnRenamed("text_md5", "doc_id")
+                    sig_rows.filter(F.col("s0").isNotNull())
+                    .select(F.col("text_md5").alias("doc_id"), *slot_cols)
                 )
                 .withColumnRenamed("doc_id", "text_md5")
-                .join(fresh.select("text_md5", "doc_id"), "text_md5")
+                .join(sig_rows.select("text_md5", "doc_id"), "text_md5")
+                .withColumn("band_key", F.xxhash64("band_idx", "band_hash"))
             )
-            batch_ref = new_bands.select(
+            batch_ref = new_keys.select(
                 F.col("doc_id").alias("_r_doc_id"),
-                "band_idx",
-                "band_hash",
-                *[F.col(s).alias(f"_r_{s}") for s in slot_cols],
+                "band_key",
+                _sig_cat_col(slot_cols).alias("_r_sig"),
                 F.lit(False).alias("_r_state"),
             )
-            refs = [batch_ref]
-            if state is not None:
-                state_sig = state.filter(F.col("s0").isNotNull()).select(
-                    "doc_id", *slot_cols
-                )
-                refs.append(
-                    banded_signature_frame(state_sig).select(
-                        F.col("doc_id").alias("_r_doc_id"),
-                        "band_idx",
-                        "band_hash",
-                        *[F.col(s).alias(f"_r_{s}") for s in slot_cols],
+            ref = batch_ref
+            band_state = _ensure_band_ledger(
+                spark, state, band_dir, _minhash_band_ledger_rows
+            )
+            if band_state is not None:
+                # prune column: the batch's touched band_pfx set is
+                # metadata-sized (≤ N_BAND_PFX values; pushed to
+                # parquet row-group stats of the pfx-sorted files)
+                pfx = [
+                    r[0]
+                    for r in new_keys.select(
+                        F.pmod(F.col("band_key"), F.lit(N_BAND_PFX))
+                        .cast("int")
+                        .alias("p")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                # NULL typed as the batch's own id type: a bare
+                # string-NULL would make unionByName widen the batch
+                # branch's _r_doc_id to string and silently turn the
+                # in-batch precedence comparison lexicographic
+                id_type = fresh.schema["doc_id"].dataType
+                ref = ref.unionByName(
+                    band_state.filter(F.col("band_pfx").isin(pfx)).select(
+                        F.lit(None).cast(id_type).alias("_r_doc_id"),
+                        "band_key",
+                        F.col("sig_cat").alias("_r_sig"),
                         F.lit(True).alias("_r_state"),
                     )
                 )
-            ref = refs[0]
-            for r in refs[1:]:
-                ref = ref.unionByName(r)
-            # broadcast the batch's band rows so the state-derived
-            # side of the candidate join stays a map-only scan of the
-            # pruned signature lake — without it the whole ledger's
-            # band rows re-shuffle every batch (r13 sf10 smoke)
+            # broadcast the batch's band rows so the band-ledger side
+            # of the candidate join stays a map-only pruned scan —
+            # without it the whole ledger's band rows re-shuffle every
+            # batch (r13 sf10 smoke). The join hashes on the narrow
+            # long key; the TRUE band hash is recomputed from the
+            # reference's packed signature on the candidate set and
+            # compared (see _ref_band_hash), so a 64-bit key collision
+            # can never manufacture a candidate the batch twin would
+            # not produce.
             dropped = (
-                F.broadcast(new_bands)
-                .join(ref, ["band_idx", "band_hash"])
+                F.broadcast(new_keys)
+                .join(ref, "band_key")
+                .filter(
+                    _ref_band_hash(F.col("band_idx"), F.col("_r_sig"))
+                    == F.col("band_hash")
+                )
                 .filter(
                     _newcomer_loses(F.col("_r_doc_id"), F.col("doc_id"))
                 )
-                .filter(est_jaccard_col() >= F.lit(tau))
+                .filter(_est_jaccard_vs_cat(F.col("_r_sig")) >= F.lit(tau))
                 .select("text_md5")
                 .distinct()
             )
             retained = fresh.join(
                 F.broadcast(dropped), "text_md5", "left_anti"
             )
-            _two_lake_append(
-                spark, retained, sig_rows, lake_dir, sig_dir, "text_md5"
-            )
+            try:
+                _two_lake_append(
+                    spark,
+                    retained,
+                    sig_rows,
+                    lake_dir,
+                    sig_dir,
+                    "text_md5",
+                    band_rows=_minhash_band_ledger_rows(sig_rows),
+                    band_dir=band_dir,
+                )
+            finally:
+                sig_rows.unpersist()
         finally:
             fresh.unpersist()
 
@@ -1146,6 +1476,7 @@ def run_image_dedup_ingest(
     max_files_per_trigger: int = 1,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    band_dir: str | None = None,
 ):
     """Continuous image ingestion with perceptual (dHash) near-dup
     dedup against everything already seen — the streaming composition
@@ -1185,8 +1516,19 @@ def run_image_dedup_ingest(
     smaller id within a batch — with id-ordered arrival this
     reproduces ``image_dedup_frame``'s retained set exactly (pinned
     by tests/test_image_dedup.py).
+
+    Band ledger (r14, ``band_dir``, default ``{sig_dir}_bands``):
+    same precomputed band-row lake as the text twin — state band rows
+    are derived once at ledger time, partition-pruned on ``band_pfx``
+    per batch, and self-heal from the signature lake when absent.
+    Band values depend on ``max_hamming``: changing it across runs
+    requires deleting ``band_dir`` (the next batch rebuilds it with
+    the new banding).
     """
     from .operators.multimodal import dhash64, phash_bands
+
+    if band_dir is None:
+        band_dir = sig_dir.rstrip("/") + "_bands"
 
     batch0 = spark.read.parquet(media_dir)
     stream = (
@@ -1224,15 +1566,23 @@ def run_image_dedup_ingest(
             sig_pm = dhash64(
                 fresh, id_col="payload_md5", payload_col=payload_col
             )
+            # PINNED: the dHash pass (Arrow map over payload bytes) is
+            # the batch's expensive step — the ledger append, the band
+            # rows, and the probe all read the persisted rows instead
+            # of re-hashing payloads
             sig_rows = fresh.select(id_col, "payload_md5").join(
                 sig_pm, "payload_md5", "left"
-            )
+            ).persist()
             # probe band rows carry BOTH keys: the id for precedence,
             # payload_md5 (non-null) for the drop set — see
             # _newcomer_loses
             new_bands = phash_bands(
-                sig_pm, max_hamming, id_col="payload_md5"
-            ).join(fresh.select("payload_md5", id_col), "payload_md5")
+                sig_rows.filter(F.col("phash").isNotNull()).select(
+                    "payload_md5", "phash"
+                ),
+                max_hamming,
+                id_col="payload_md5",
+            ).join(sig_rows.select("payload_md5", id_col), "payload_md5")
             batch_ref = new_bands.select(
                 F.col(id_col).alias("_r_id"),
                 F.col("phash").alias("_r_phash"),
@@ -1241,14 +1591,31 @@ def run_image_dedup_ingest(
                 F.lit(False).alias("_r_state"),
             )
             ref = batch_ref
-            if state is not None:
+            band_state = _ensure_band_ledger(
+                spark,
+                state,
+                band_dir,
+                lambda s: _phash_band_ledger_rows(s, max_hamming),
+            )
+            if band_state is not None:
+                pfx = [
+                    r[0]
+                    for r in new_bands.select(
+                        F.pmod(
+                            F.xxhash64("band_idx", "band_val"),
+                            F.lit(N_BAND_PFX),
+                        )
+                        .cast("int")
+                        .alias("p")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                # NULL typed as the batch's own id type (see text twin)
+                id_type = fresh.schema[id_col].dataType
                 ref = ref.unionByName(
-                    phash_bands(
-                        state.select(id_col, "phash"),
-                        max_hamming,
-                        id_col=id_col,
-                    ).select(
-                        F.col(id_col).alias("_r_id"),
+                    band_state.filter(F.col("band_pfx").isin(pfx)).select(
+                        F.lit(None).cast(id_type).alias("_r_id"),
                         F.col("phash").alias("_r_phash"),
                         "band_idx",
                         "band_val",
@@ -1259,8 +1626,8 @@ def run_image_dedup_ingest(
                 F.col("phash").bitwiseXOR(F.col("_r_phash"))
             )
             # same broadcast discipline as the text twin: the batch's
-            # band rows broadcast so the ledger-derived side never
-            # shuffles per batch
+            # band rows broadcast so the ledger side stays a map-only
+            # pruned scan per batch
             dropped = (
                 F.broadcast(new_bands)
                 .join(ref, ["band_idx", "band_val"])
@@ -1272,10 +1639,21 @@ def run_image_dedup_ingest(
             retained = fresh.join(
                 F.broadcast(dropped), "payload_md5", "left_anti"
             )
-            _two_lake_append(
-                spark, retained, sig_rows, lake_dir, sig_dir,
-                "payload_md5",
-            )
+            try:
+                _two_lake_append(
+                    spark,
+                    retained,
+                    sig_rows,
+                    lake_dir,
+                    sig_dir,
+                    "payload_md5",
+                    band_rows=_phash_band_ledger_rows(
+                        sig_rows, max_hamming
+                    ),
+                    band_dir=band_dir,
+                )
+            finally:
+                sig_rows.unpersist()
         finally:
             fresh.unpersist()
 

@@ -18,7 +18,7 @@ Usage:
   python tools/streaming_neardup_smoke.py [sf_dir] [n_chunks]
 (defaults: scale_data/sf10, 24 chunks)
 
-Output: scale_data/streaming_neardup_smoke_r13.json. Protocol: one
+Output: scale_data/streaming_neardup_smoke_r14.json. Protocol: one
 JVM, quiet host, never under concurrent Spark (memory:
 bench-timing-discipline).
 """
@@ -109,7 +109,7 @@ def main() -> int:
         "batch_ms_last3": [b["batch_ms"] for b in batches[-3:]],
     }
     path = os.path.join(
-        REPO, "scale_data", "streaming_neardup_smoke_r13.json"
+        REPO, "scale_data", "streaming_neardup_smoke_r14.json"
     )
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
