@@ -61,94 +61,12 @@ def ngrams_col(ws: Column, n: int) -> Column:
     )
 
 
-def term_count_entries_frame(
-    df: DataFrame, arr_col: str, out_col: str = "_entries"
-) -> DataFrame:
-    """Adds ``out_col`` = array<struct<token string, tf long>> — the
-    element run-lengths of ``df[arr_col]`` — computed ENTIRELY per row
-    with Catalyst HOFs: ``array_sort`` then run boundaries via
-    sequence/filter, run lengths via zip_with against the shifted
-    boundary array. This is the r14 replacement for the
-    explode → groupBy(doc_id, token) shuffle that every token-counting
-    operator (BM25, TF-IDF, vocab, repetition) used to pay: a
-    document's term frequencies are a function of the document alone,
-    so the corpus-sized exchange was pure waste (and the superlinear
-    term in the BM25 decade smokes — SCALE.md r14).
-
-    Contract: run lengths equal the old groupBy counts exactly.
-    ``array_sort`` is a counting aid, not semantics. Input arrays must
-    be NULL-FREE (split() never yields NULL elements; a NULL would
-    sort last and break run detection). A NULL ARRAY (e.g. split of
-    NULL text) yields a NULL entries array — explode() then drops the
-    row, exactly as explode dropped it from the old occurrence
-    stream; split() never returns an empty array otherwise. All
-    intermediates are BOUND columns (inline arrays re-evaluate per
-    lambda access — the O(len²) trap pinned in shingles_from_words).
-
-    ANSI traps the guards exist for: sequence(0, -1) COUNTS DOWN
-    (two phantom indices) rather than yielding an empty range, and
-    slice's length argument must be non-negative — When branches
-    evaluate lazily per row, so NULL-dl rows never reach either.
-
-    Form note (hard-won, r14 — two implementations were built and
-    raced so this is measured, not assumed). This CAPTURE form (the
-    lambdas index the bound ``_tce_s`` array via element_at) beat the
-    capture-free alternative (arrays_zip packing (token, prev, index)
-    structs so every lambda reads only its own arguments) by 40-80%
-    at every REAL call site — the struct-array materialization plus
-    interpreted per-element GetStructField costs more than the
-    captured element_at (BM25 decades with the capture-free form:
-    sf10 13.4 → 23.2 s, sf100 122.7 → 195.5 s).
-
-    HARD CONSTRAINT on consumers: do NOT ``explode`` this helper's
-    bound output column. explode() over the BOUND capture-form column
-    measured a 12-15× per-row cliff (bm25 sf0.1: 37-47 s through the
-    helper vs 2.5-3.4 s with the IDENTICAL expressions inlined and
-    the entries EXPRESSION passed straight to explode — quiet-host
-    bisect, r14; interpreted-HOF re-evaluation under Generate). Fold
-    consumers (aggregate/transform/size/array_max — repetition,
-    gopher) are unaffected and are what this helper is FOR; a
-    consumer that needs one row per run must inline the construction
-    the way bm25_search_join does."""
-    d = df.withColumn("_tce_s", F.array_sort(F.col(arr_col))).withColumn(
-        "_tce_n", F.size(F.col(arr_col))
-    )
-    starts = F.filter(
-        F.sequence(F.lit(0), F.col("_tce_n") - 1),
-        lambda i: F.when(i == 0, F.lit(True)).otherwise(
-            F.element_at(F.col("_tce_s"), i + 1)
-            != F.element_at(F.col("_tce_s"), i)
-        ),
-    )
-    d = d.withColumn(
-        "_tce_st",
-        F.when(F.col("_tce_n") > 0, starts).otherwise(
-            F.lit(None).cast("array<int>")
-        ),
-    )
-    # run length = next run's start position - this run's (the
-    # appended array length closes the last run)
-    entries = F.zip_with(
-        F.col("_tce_st"),
-        F.concat(
-            F.slice(F.col("_tce_st"), 2, F.size(F.col("_tce_st")) - 1),
-            F.array(F.col("_tce_n")),
-        ),
-        lambda s, e: F.struct(
-            F.element_at(F.col("_tce_s"), s + 1).alias("token"),
-            (e - s).cast("long").alias("tf"),
-        ),
-    )
-    return d.withColumn(out_col, entries).drop(
-        "_tce_s", "_tce_n", "_tce_st"
-    )
-
-
 def token_counts_frame(docs: DataFrame) -> DataFrame:
     """Per-(doc_id, token) occurrence counts — the shared first pass of
     vocab and TF-IDF. One shuffle on (doc_id, token) with map-side
     combine — KEPT DELIBERATELY (r14): the zero-shuffle run-length
-    alternative (term_count_entries_frame + explode) was built,
+    alternative (run-length entries per doc + explode; the construction
+    now lives inline in bm25_search_join) was built,
     measured, and REJECTED for this call site — explode + codegen
     hash-agg runs the corpus at whole-stage-codegen speed while the
     HOF chain is interpreted, and the controlled sf10 A/B showed the
@@ -188,33 +106,45 @@ def repetition_frame(docs: DataFrame, n: int = 2) -> DataFrame:
     its word n-grams accounted for by the single most frequent n-gram
     (`top_ngram_frac`), plus the distinct/total gram counts. Documents
     shorter than ``n`` words surface with zero counts and a 0.0
-    fraction rather than dropping out.
+    fraction rather than dropping out (explode_outer).
 
-    Plan (r14): ZERO shuffles. A repetition signal is a per-document
-    statistic, and the gram tallies it needs are run lengths over the
-    sorted gram array (term_count_entries_frame) — so total count,
-    distinct count, and the max tally all derive in one map-side
-    projection. The previous formulation paid two corpus-sized
-    partial-agg shuffles (explode → groupBy(doc_id, gram) →
-    groupBy(doc_id)) for a statistic the row already contained."""
-    base = term_count_entries_frame(
-        docs.select(
-            "doc_id", words_col(F.col("text")).alias("_ws")
-        ).select("doc_id", ngrams_col(F.col("_ws"), n).alias("_gs")),
-        "_gs",
-    )
-    tfs = F.transform(F.col("_entries"), lambda e: e["tf"])
-    n_grams = F.coalesce(F.size("_gs").cast("long"), F.lit(0))
-    return base.select(
+    Plan: explode grams → groupBy(doc_id, gram) tally → groupBy(doc_id)
+    max/sum — both shuffles partial-aggregated; per-doc work is linear
+    in document length (words projected before the gram lambda — see
+    ngrams_col). A ZERO-shuffle per-doc-fold form over
+    the run-length construction (now inline in bm25_search_join only)
+    was built (r14) and REVERTED: its outputs
+    are raw HOF expressions, and FILTER PUSHDOWN substitutes them into
+    downstream predicates through every column binding — a caller that
+    filters on top_ngram_frac (traindata does) gets the whole upstream
+    chain, PII-redaction regexes included, re-inlined INTO the
+    array_sort comparator (jstack-confirmed: RegExpReplace inside
+    ArraySort inside a generated Predicate; a bench batch sat 27 min
+    single-core on 5k docs). The aggregations here are a pushdown-
+    proof materialization barrier; the per-doc rows already shuffle
+    map-combined and skew-bounded by document length."""
+    grams = docs.select(
+        "doc_id", words_col(F.col("text")).alias("_ws")
+    ).select(
         "doc_id",
-        n_grams.alias("n_grams"),
-        F.coalesce(F.size("_entries").cast("long"), F.lit(0)).alias(
-            "n_distinct_grams"
-        ),
-        F.coalesce(F.array_max(tfs), F.lit(0)).alias("top_ngram_count"),
+        F.explode_outer(ngrams_col(F.col("_ws"), n)).alias("gram"),
+    )
+    tallies = grams.groupBy("doc_id", "gram").agg(
+        F.count("gram").alias("cnt")
+    )
+    out = tallies.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.col("gram")).alias("n_distinct_grams"),
+        F.max("cnt").alias("top_ngram_count"),
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        "n_distinct_grams",
+        F.coalesce("top_ngram_count", F.lit(0)).alias("top_ngram_count"),
         F.when(
-            n_grams > 0,
-            F.round(F.coalesce(F.array_max(tfs), F.lit(0)) / n_grams, 6),
+            F.col("n_grams") > 0,
+            F.round(F.col("top_ngram_count") / F.col("n_grams"), 6),
         )
         .otherwise(F.lit(0.0))
         .alias("top_ngram_frac"),
@@ -953,7 +883,8 @@ def bm25_search_join(
     # per-row computation — array_sort the words, take run lengths —
     # so tf, like dl (= size(words)), derives in the SAME projection
     # with no shuffle at all (the fold-consuming twin of this
-    # construction is term_count_entries_frame). DELIBERATELY INLINE
+    # construction was shared by repetition/gopher until their r14
+    # revert — see repetition_frame). DELIBERATELY INLINE and UNSHARED
     # rather than through the helper: explode() over the entries
     # EXPRESSION runs at full speed, while explode() over the same
     # expression BOUND to a column via withColumn measured a ~15×

@@ -137,22 +137,22 @@ def gopher_repetition_frame(
     joining spaces' neighbours exactly as written: chars(gram) =
     length(gram) with words joined by a single space.
 
-    Scale shape (r14): ZERO shuffles. Every metric is a per-document
-    statistic over unit tallies, and the tallies are run lengths over
-    the sorted typed-unit array (corpusstats.term_count_entries_frame
-    — struct elements sort/compare fine), so the whole battery folds
-    in one map-side projection. The previous formulation paid two
-    doc-keyed partial-agg shuffles (groupBy(doc_id, unit_type, unit)
-    then groupBy(doc_id)) for statistics each row already contained.
-    Per-row memory holds a document's line+bigram+trigram array
-    (~2× its words) — the same transient the old explode materialized
-    as rows; cap pathological document lengths upstream as usual.
+    Scale shape: one posexplode of typed units (line / 2-gram /
+    3-gram) from pre-projected word arrays, then TWO partially
+    aggregated shuffles — groupBy(doc_id, unit_type, unit) for counts,
+    groupBy(doc_id) with conditional aggregates for the metrics. Unit
+    counts are per-document, so both shuffles key on doc_id and are
+    skew-bounded by document size, not corpus-wide unit popularity
+    (contrast: corpus-level vocab in corpusstats.vocab_frame). A
+    zero-shuffle per-doc-fold form was built (r14) and REVERTED for
+    the same reason as repetition_frame's: filter pushdown substitutes
+    the fold expressions into downstream predicates, re-inlining the
+    whole upstream chain into HOF comparators (see repetition_frame's
+    docstring for the jstack evidence); the aggregations are a
+    pushdown-proof materialization barrier.
 
     NULL text is treated as empty text (docclean convention — the
     doc must appear in the metrics output, not silently vanish).
-    Precondition (shared with repetition_frame): one row per doc_id —
-    duplicate doc_id rows now yield one metrics row each instead of
-    being merged by the old groupBy.
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
     ws = F.split(text, " ")
@@ -173,14 +173,12 @@ def gopher_repetition_frame(
             F.array().cast("array<string>")
         )
 
-    from .corpusstats import term_count_entries_frame
-
-    tallied = term_count_entries_frame(
-        base.select(
-            "doc_id",
-            "n_chars",
-            "n_words",
-            F.size("_lines").alias("n_lines"),
+    units = base.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        F.size("_lines").alias("n_lines"),
+        F.explode(
             F.concat(
                 F.transform(
                     F.col("_lines"), lambda ln: F.struct(
@@ -197,47 +195,41 @@ def gopher_repetition_frame(
                         F.lit("3").alias("t"), g.alias("u")
                     )
                 ),
-            ).alias("_us"),
-        ),
-        "_us",
-    )
-
-    # Per-doc folds over the tally entries (token = the typed unit
-    # struct, tf = its count) — each reproduces the old conditional
-    # aggregate exactly, including max-struct tie-breaking.
-    def _typed(t: str):
-        return F.filter(
-            F.col("_entries"), lambda e: e["token"]["t"] == t
-        )
-
-    def _dup_chars(t: str) -> Column:
-        return F.aggregate(
-            _typed(t),
-            F.lit(0).cast("long"),
-            lambda acc, e: acc
-            + F.when(
-                e["tf"] >= 2, e["tf"] * F.length(e["token"]["u"])
-            ).otherwise(F.lit(0).cast("long")),
-        )
-
-    agg = tallied.select(
+            )
+        ).alias("_u"),
+    ).select(
         "doc_id",
         "n_chars",
         "n_words",
         "n_lines",
-        F.size(_typed("l")).cast("long").alias("_distinct_lines"),
-        _dup_chars("l").alias("_dup_line_chars"),
-        F.array_max(
-            F.transform(
-                _typed("2"),
-                lambda e: F.struct(
-                    e["tf"].alias("cnt"), e["token"]["u"].alias("u")
-                ),
-            )
-        ).alias("_top_bi"),
-        _dup_chars("3").alias("_dup_tri_chars"),
+        F.col("_u.t").alias("t"),
+        F.col("_u.u").alias("u"),
     )
+
+    counts = units.groupBy(
+        "doc_id", "n_chars", "n_words", "n_lines", "t", "u"
+    ).agg(F.count("*").alias("cnt"))
+
+    is_line = F.col("t") == "l"
+    is_bi = F.col("t") == "2"
+    is_tri = F.col("t") == "3"
+    chars_u = F.length("u")
     nc = F.col("n_chars")
+
+    agg = counts.groupBy("doc_id", "n_chars", "n_words", "n_lines").agg(
+        F.sum(F.when(is_line, 1).otherwise(0)).alias("_distinct_lines"),
+        F.sum(
+            F.when(is_line & (F.col("cnt") >= 2), F.col("cnt") * chars_u)
+            .otherwise(F.lit(0))
+        ).alias("_dup_line_chars"),
+        F.max(
+            F.when(is_bi, F.struct(F.col("cnt").alias("cnt"), F.col("u").alias("u")))
+        ).alias("_top_bi"),
+        F.sum(
+            F.when(is_tri & (F.col("cnt") >= 2), F.col("cnt") * chars_u)
+            .otherwise(F.lit(0))
+        ).alias("_dup_tri_chars"),
+    )
 
     safe_div = lambda num, den: F.when(  # noqa: E731
         den > 0, F.round(num / den, 6)
