@@ -734,10 +734,21 @@ def compact_bucketed_table(
     catalog-owned and untouched by inserts, so the layout (and every
     Exchange-free plan built on it) survives — asserted in
     tests/test_bucketed_writer.py. Returns rows rewritten.
+
+    Failure safety: static overwrite TRUNCATES the table before the
+    rewrite commits, so — unlike the upsert's dynamic overwrite, where
+    deletion defers to commit — a mid-insert failure (disk full,
+    exhausted retries) can leave the lake wiped while the staging copy
+    is the only surviving full snapshot. The staging directory is
+    therefore removed only AFTER a successful insert; on failure it is
+    kept and its path logged as the recovery copy. A stale staging dir
+    from a previous failed run is cleared up-front (the rewrite below
+    re-creates it from the live table, so nothing is lost).
     """
     lake = spark.table(table_name)
     obs = Observation(f"compact_{table_name}")
     staging = f"{_table_location(spark, table_name)}/_compact_staging"
+    _rm_dir(spark, staging)  # clear leftovers from a prior failed run
     try:
         (
             lake.observe(obs, F.count(F.lit(1)).alias("n"))
@@ -751,8 +762,15 @@ def compact_bucketed_table(
             .select(*lake.columns)
         )
         _insert_partition_overwrite(spark, staged, table_name, dynamic=False)
-    finally:
-        _rm_dir(spark, staging)
+    except BaseException:
+        log.error(
+            "compaction of %s failed mid-rewrite; staging copy KEPT as "
+            "the recovery snapshot at %s — restore by re-inserting it",
+            table_name,
+            staging,
+        )
+        raise
+    _rm_dir(spark, staging)
     return n
 
 

@@ -864,10 +864,30 @@ def bm25_search_join(
     candidates. The corpus is never scanned per query — one pass
     scores every query. Precondition (shared with the rest of the
     document operators): ``doc_id`` identifies one document row —
-    duplicate doc_id rows score per ROW under this plan where the old
-    shuffle plan merged their occurrences (run exact dedup first).
+    duplicate doc_id rows would score per ROW under this plan where
+    the old shuffle plan merged their occurrences, so the precondition
+    is ENFORCED: duplicate doc_id rows raise ``ValueError`` (run exact
+    dedup first). The guard is free — the doc count the formula needs
+    anyway is computed in the same single aggregation pass.
     """
-    n_docs_total = docs.select("doc_id").distinct().count()
+    counts = docs.agg(
+        F.count(F.lit(1)).alias("rows"),
+        # count_distinct skips NULL keys; distinct() treated the NULL
+        # group as one document — preserve that for n_docs_total, and
+        # note two NULL-doc_id rows ARE duplicate keys under the guard
+        (
+            F.count_distinct("doc_id")
+            + F.max(F.col("doc_id").isNull()).cast("long")
+        ).alias("n_docs"),
+    ).first()
+    n_docs_total = counts["n_docs"] or 0
+    if counts["rows"] != n_docs_total:
+        raise ValueError(
+            f"bm25_search_join: {counts['rows']} corpus rows but "
+            f"{n_docs_total} distinct doc_id — duplicate doc_id rows "
+            "would score per row, not per document; run exact dedup "
+            "(q_exact_dedup_docs / exact_dedup_frame) first"
+        )
     # tf WITHOUT a corpus shuffle. History, because each predecessor
     # died on a decade smoke: (a) r12 joined raw occurrences against
     # broadcast (query, token) pairs and grouped by (query, doc,

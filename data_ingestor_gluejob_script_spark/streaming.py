@@ -1132,6 +1132,31 @@ def _n_parquet_files(spark: SparkSession, path: str) -> int:
     )
 
 
+def _banding_tag_of(spark: SparkSession, band_dir: str) -> str | None:
+    """The banding-parameter tag recorded in ``band_dir`` (a zero-byte
+    ``_BANDING_<tag>`` marker file — underscore-prefixed, so parquet
+    readers ignore it), or None when the ledger predates tagging."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(band_dir)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    for s in fs.listStatus(p):
+        name = s.getPath().getName()
+        if name.startswith("_BANDING_"):
+            return name[len("_BANDING_"):]
+    return None
+
+
+def _write_banding_tag(
+    spark: SparkSession, band_dir: str, tag: str
+) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{band_dir}/_BANDING_{tag}")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(p, True).close()
+
+
 def _rebuild_band_ledger(
     spark: SparkSession, state, band_dir: str, derive_rows
 ) -> None:
@@ -1162,18 +1187,34 @@ def _rebuild_band_ledger(
 
 
 def _ensure_band_ledger(
-    spark: SparkSession, state, band_dir: str, derive_rows
+    spark: SparkSession, state, band_dir: str, derive_rows,
+    banding_tag: str | None = None,
 ):
     """The band-ledger frame, rebuilt from the signature lake when
     absent (self-healing migration for pre-r14 ledgers; also the
     manual recovery story — delete ``band_dir`` and re-run) and
     compacted through the same rebuild once per-batch appends
-    accumulate past BAND_LEDGER_COMPACT_FILES files."""
+    accumulate past BAND_LEDGER_COMPACT_FILES files.
+
+    ``banding_tag`` (r15) pins parameterized bandings: the tag is
+    stored in the lake as a ``_BANDING_<tag>`` marker at rebuild time
+    and compared on every ensure — a mismatch (parameter changed
+    across runs, or a pre-tag ledger) auto-rebuilds from the signature
+    lake with the CURRENT banding instead of silently probing slices
+    of the wrong width (advice r14: a changed ``max_hamming`` against
+    an old ledger made the candidate join miss every near-dup)."""
     if state is None:
         return None
     n_files = _n_parquet_files(spark, band_dir)
-    if n_files == 0 or n_files > BAND_LEDGER_COMPACT_FILES:
+    stale_banding = (
+        banding_tag is not None
+        and n_files > 0
+        and _banding_tag_of(spark, band_dir) != banding_tag
+    )
+    if n_files == 0 or n_files > BAND_LEDGER_COMPACT_FILES or stale_banding:
         _rebuild_band_ledger(spark, state, band_dir, derive_rows)
+        if banding_tag is not None:
+            _write_banding_tag(spark, band_dir, banding_tag)
     return _read_parquet_or_none(spark, band_dir)
 
 
@@ -1204,6 +1245,7 @@ def _two_lake_append(
     digest_col: str,
     band_rows: DataFrame | None = None,
     band_dir: str | None = None,
+    banding_tag: str | None = None,
 ) -> None:
     """Exactly-once tail of the near-dup ingest twins: corpus append
     FIRST, guarded by its own digest anti-join; then the batch's band
@@ -1253,6 +1295,12 @@ def _two_lake_append(
         retained.coalesce(1).write.mode("append").parquet(lake_dir)
         if band_rows is not None:
             _append_band_ledger(band_rows, band_dir)
+            if banding_tag is not None:
+                # idempotent re-create: the lake was either just born
+                # from this run's rows (first batch — _ensure never ran
+                # because there was no state yet) or already verified/
+                # rebuilt against this tag by _ensure_band_ledger
+                _write_banding_tag(spark, band_dir, banding_tag)
         sig_rows.coalesce(1).write.mode("append").parquet(sig_dir)
     finally:
         pinned.unpersist()
@@ -1521,9 +1569,12 @@ def run_image_dedup_ingest(
     same precomputed band-row lake as the text twin — state band rows
     are derived once at ledger time, partition-pruned on ``band_pfx``
     per batch, and self-heal from the signature lake when absent.
-    Band values depend on ``max_hamming``: changing it across runs
-    requires deleting ``band_dir`` (the next batch rebuilds it with
-    the new banding).
+    Band values depend on ``max_hamming``: the parameter is persisted
+    in the lake as a ``_BANDING_mh<k>`` marker, and a run with a
+    different value (or against a pre-marker ledger) auto-rebuilds the
+    band lake from the signature lake with the current banding —
+    slices of the wrong width would otherwise silently miss every
+    near-dup candidate.
     """
     from .operators.multimodal import dhash64, phash_bands
 
@@ -1596,6 +1647,7 @@ def run_image_dedup_ingest(
                 state,
                 band_dir,
                 lambda s: _phash_band_ledger_rows(s, max_hamming),
+                banding_tag=f"mh{max_hamming}",
             )
             if band_state is not None:
                 pfx = [
@@ -1651,6 +1703,7 @@ def run_image_dedup_ingest(
                         sig_rows, max_hamming
                     ),
                     band_dir=band_dir,
+                    banding_tag=f"mh{max_hamming}",
                 )
             finally:
                 sig_rows.unpersist()

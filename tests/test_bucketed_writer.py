@@ -201,3 +201,44 @@ def test_layout_survives_compaction(spark, clean_table):
         d = os.path.dirname(r["f"])
         per_dir[d] = per_dir.get(d, 0) + 1
     assert per_dir and all(v <= BUCKETS for v in per_dir.values()), per_dir
+
+
+def test_compaction_failure_keeps_staging_recovery_copy(
+    spark, clean_table, monkeypatch
+):
+    """Static-overwrite compaction truncates the table before the
+    rewrite commits, so a mid-insert failure must NOT destroy the
+    staging snapshot — it is the only surviving full copy. Assert:
+    on failure the staging dir is kept with every pre-compaction row;
+    a retried compaction recovers (clearing the stale staging) and
+    removes staging on success."""
+    import os
+
+    write_partitioned_upsert_bucketed(
+        spark, _batch(spark, BATCH1), SUBS, TABLE, num_buckets=BUCKETS
+    )
+    before = _content(spark.table(TABLE))
+    loc = pipeline._table_location(spark, TABLE)
+    staging = (loc.removeprefix("file:")) + "/_compact_staging"
+
+    real = pipeline._insert_partition_overwrite
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("simulated mid-insert failure")
+
+    monkeypatch.setattr(pipeline, "_insert_partition_overwrite", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        compact_bucketed_table(spark, TABLE, SUBS.id_col, BUCKETS)
+    # recovery copy survived the failure, content-complete
+    assert os.path.isdir(staging), "staging recovery copy was deleted"
+    recovered = spark.read.parquet(staging)
+    assert (
+        sorted(tuple(r) for r in recovered.select(*SUBS.columns).collect())
+        == before
+    )
+    # retry succeeds: stale staging cleared up-front, removed on success
+    monkeypatch.setattr(pipeline, "_insert_partition_overwrite", real)
+    n = compact_bucketed_table(spark, TABLE, SUBS.id_col, BUCKETS)
+    assert n == len(before)
+    assert _content(spark.table(TABLE)) == before
+    assert not os.path.exists(staging)

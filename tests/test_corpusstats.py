@@ -482,3 +482,38 @@ def test_bm25_search_join_matches_single_query(spark):
     got2 = [r for r in batch if r.query_id == 2]
     assert len(got2) == 5
     assert {r.rank for r in got2} == {1, 2, 3, 4, 5}
+
+
+def test_bm25_search_join_rejects_duplicate_doc_ids(spark):
+    """Advice r14: the r14 per-row run-length tf scores duplicate
+    doc_id rows independently (and df counts a token once per row)
+    where the old (doc_id, token) groupBy merged occurrences — the
+    one-row-per-doc_id precondition is now a loud guard, not a
+    docstring. Duplicate keys (including two NULL ids) raise; the
+    deduped corpus passes."""
+    import pytest as _pytest
+
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        bm25_search_join,
+    )
+
+    queries = spark.createDataFrame(
+        [(0, "scan join")], "query_id long, text string"
+    )
+    dup = spark.createDataFrame(
+        [(1, "scan scan join"), (1, "join hash"), (2, "window")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="duplicate doc_id"):
+        bm25_search_join(dup, queries)
+    nulldup = spark.createDataFrame(
+        [(None, "scan join"), (None, "join"), (2, "window")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="duplicate doc_id"):
+        bm25_search_join(nulldup, queries)
+    ok = spark.createDataFrame(
+        [(1, "scan scan join"), (None, "join hash"), (2, "window")],
+        "doc_id long, text string",
+    )
+    assert bm25_search_join(ok, queries, k=2).count() > 0

@@ -328,3 +328,55 @@ def test_image_dedup_ingest_null_id_neardup_arriving_later_is_dropped(
     q2.awaitTermination(300)
     lake2 = spark.read.parquet(str(tmp_path / "lake2")).collect()
     assert [r["doc_id"] for r in lake2] == [5]
+
+
+def test_image_ingest_rebuilds_band_lake_on_max_hamming_change(
+    spark, tmp_path
+):
+    """Advice r14: band slice widths depend on max_hamming, so a run
+    with a different value against an existing band lake silently
+    missed every near-dup (wrong-width slices never equi-join). The
+    parameter is now persisted as a _BANDING_mh<k> marker and a
+    mismatch auto-rebuilds the lake with the current banding: a
+    near-dup at hamming ~5 — invisible under the old mh2 banding —
+    must be dropped by the mh8 run."""
+    from data_ingestor_gluejob_script_spark.streaming import (
+        _banding_tag_of,
+        run_image_dedup_ingest,
+    )
+
+    base = bytes(
+        [(16 * (c % 2) + r) % 256 for r in range(8) for c in range(9)]
+    )
+    mid = bytearray(base)
+    for pos in (4, 13, 22, 31):  # one pixel in each of rows 0-3
+        mid[pos] = 255
+    d = bin(
+        (_dhash_py(base) ^ _dhash_py(bytes(mid))) & ((1 << 64) - 1)
+    ).count("1")
+    assert 2 < d <= 8, d  # true mid-range pair: invisible at mh2
+
+    media = str(tmp_path / "in")
+    lake, sigs = str(tmp_path / "lake"), str(tmp_path / "sigs")
+    band_dir = sigs + "_bands"
+    spark.createDataFrame(
+        [(1, base)], "doc_id long, payload binary"
+    ).coalesce(1).write.mode("append").parquet(media)
+    run_image_dedup_ingest(
+        spark, media, lake, sigs, str(tmp_path / "ck1"), max_hamming=2
+    ).awaitTermination(300)
+    assert _banding_tag_of(spark, band_dir) == "mh2"
+
+    # second run, wider radius, SAME sig/band lakes: the mid-range
+    # variant arrives and must be caught by the rebuilt banding
+    spark.createDataFrame(
+        [(2, bytes(mid))], "doc_id long, payload binary"
+    ).coalesce(1).write.mode("append").parquet(media)
+    run_image_dedup_ingest(
+        spark, media, lake, sigs, str(tmp_path / "ck2"), max_hamming=8
+    ).awaitTermination(300)
+    assert _banding_tag_of(spark, band_dir) == "mh8"
+    lake_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(lake).collect()
+    )
+    assert lake_ids == [1], lake_ids  # near-dup (2) dropped, not missed
