@@ -58,11 +58,14 @@ def main() -> int:
         names = [n for n in names if n in only]
 
     spark = get_spark("scale-smoke")
-    # warm JVM + footer caches on both datasets
+    # warm JVM + footer caches on both datasets (documents-only dirs —
+    # the zipf corpora — carry no lineitem; warm what exists)
     for d in (SMALL, BIG):
-        spark.read.parquet(os.path.join(d, "lineitem.parquet")).limit(
-            1
-        ).count()
+        for t in ("lineitem", "documents"):
+            p = os.path.join(d, f"{t}.parquet")
+            if os.path.exists(p):
+                spark.read.parquet(p).limit(1).count()
+                break
 
     def t(name: str, sf_dir: str) -> float:
         t0 = time.perf_counter()
