@@ -835,12 +835,53 @@ class RunResult:
     skipped: list[str] = field(default_factory=list)
 
 
+def bucketed_lake_table(table: str, prefix: str = "lake_") -> str:
+    """Catalog-table name the bucketed writer mode uses for ``table``
+    (catalog tables live in the warehouse, not under ``lake_root``)."""
+    return f"{prefix}{table}"
+
+
+def _flow_write(
+    spark: SparkSession,
+    df: DataFrame,
+    spec: TableSpec,
+    lake_root: str,
+    company: str,
+    writer: str,
+    num_buckets: int,
+    broadcast_batch: bool,
+) -> int:
+    """The flow's writer seam: ``hive`` (default) is the reference-
+    parity partitioned-directory lake; ``bucketed`` routes the same
+    batch through write_partitioned_upsert_bucketed (r14's measured
+    backfill layout) — same upsert semantics, same watermark protocol
+    (the writers return identical row counts; asserted equal in
+    tests/test_pipeline_bucketed_flow.py)."""
+    if writer == "bucketed":
+        return write_partitioned_upsert_bucketed(
+            spark,
+            df,
+            spec,
+            bucketed_lake_table(spec.name),
+            num_buckets=num_buckets,
+            company=company,
+            broadcast_batch=broadcast_batch,
+        )
+    if writer != "hive":
+        raise ValueError(f"unknown writer mode: {writer!r}")
+    return write_partitioned_upsert(
+        spark, df, spec, lake_root, company, broadcast_batch=broadcast_batch
+    )
+
+
 def initial_load(
     spark: SparkSession,
     source_root: str,
     lake_root: str,
     tables: list[str],
     company: str = "Locaweb",
+    writer: str = "hive",
+    num_buckets: int = 32,
 ) -> RunResult:
     """Entry point 1 (gluejob.py:163-171): per-table CSV → lake.
     Missing CSV → log + continue (gluejob.py:167-169)."""
@@ -858,8 +899,9 @@ def initial_load(
         # the sort-merge arm — force-broadcasting every key of a
         # 100M-row table would blow the 8 GB broadcast limit on a
         # re-run over an existing lake (r13 review)
-        result.tables[t] = write_partitioned_upsert(
-            spark, df, spec, lake_root, company, broadcast_batch=False
+        result.tables[t] = _flow_write(
+            spark, df, spec, lake_root, company, writer, num_buckets,
+            broadcast_batch=False,
         )
     return result
 
@@ -871,6 +913,8 @@ def incremental(
     tables: list[str],
     store: WatermarkStore,
     company: str = "Locaweb",
+    writer: str = "hive",
+    num_buckets: int = 32,
 ) -> RunResult:
     """Entry point 2 (gluejob.py:157-161): per-table changed rows →
     partition-scoped upsert → in-memory watermark advance to the t0
@@ -884,8 +928,9 @@ def incremental(
             log.error("source read failed for %s — skipping", t)
             result.skipped.append(t)
             continue
-        result.tables[t] = write_partitioned_upsert(
-            spark, df, spec, lake_root, company
+        result.tables[t] = _flow_write(
+            spark, df, spec, lake_root, company, writer, num_buckets,
+            broadcast_batch=True,
         )
         store.advance(t, t0)
     return result
@@ -900,16 +945,25 @@ def run(
     source_root: str | None = None,
     source=None,
     company: str = "Locaweb",
+    writer: str = "hive",
+    num_buckets: int = 32,
 ) -> RunResult:
     """C1 flow dispatch (gluejob.py:144-155): OnDemand → initial load,
     Scheduled → incremental, anything else → explicit no-op
     (README.md:17). The watermark commit runs in every path, including
-    the no-op — matching gluejob.py:623."""
+    the no-op — matching gluejob.py:623. ``writer`` selects the lake
+    layout (hive partitioned dirs, or the bucketed catalog tables)."""
     tables = tables_list(job_mode)  # C2; unknown mode → [] → no-op
     if trigger_origin == "OnDemand":
-        result = initial_load(spark, source_root, lake_root, tables, company)
+        result = initial_load(
+            spark, source_root, lake_root, tables, company, writer,
+            num_buckets,
+        )
     elif trigger_origin == "Scheduled":
-        result = incremental(spark, source, lake_root, tables, store, company)
+        result = incremental(
+            spark, source, lake_root, tables, store, company, writer,
+            num_buckets,
+        )
     else:
         log.info("unmapped JobTriggerOrigin=%r — no-op", trigger_origin)
         result = RunResult("no-op")

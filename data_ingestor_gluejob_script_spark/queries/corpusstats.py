@@ -839,11 +839,48 @@ LIMIT {k}
 
 
 def bm25_search_join(
-    docs: DataFrame, queries: DataFrame, k: int = 5
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    max_df_frac: float | None = None,
+    df_table: DataFrame | None = None,
 ) -> DataFrame:
     """Batch BM25: top-``k`` corpus documents PER QUERY —
     (query_id, doc_id, bm25, rank). ``queries`` is (query_id, text);
     scoring is the same formula as ``bm25_topk_frame``.
+
+    Two r15 scale knobs, motivated by the Zipf-corpus measurement
+    (SCALE.md r15): on natural-vocabulary text a 64-query batch's
+    2416 distinct terms cover 50.4% of all (doc, token) rows AT EVERY
+    SCALE — Zipf head terms appear in nearly every document, so the
+    broadcast query-term restriction alone cannot make the corpus
+    exchange query-term-sized.
+
+    ``max_df_frac``: common-term pruning — query terms whose document
+    frequency exceeds ``max_df_frac * n_docs`` are dropped from
+    scoring entirely (the standard IR max-df/stopword cut). This is a
+    semantics knob, not a free lunch: a dropped term's idf
+    ``ln(1 + (1-f)/f)`` is ~0.1 at f=0.9 but ~2.3 at f=0.1, so
+    aggressive cuts reorder common-term-heavy matches; the caller
+    picks the precision/cost point. Without ``df_table`` this runs
+    TWO corpus passes: pass 1 folds df map-side (its shuffle carries
+    ≤ |query terms| rows per partition), pass 2 re-derives the stream
+    restricted to the SURVIVING terms — the corpus-sized exchange
+    shrinks to the selective-term posting rows.
+
+    ``df_table``: a precomputed (token, df) frame — the search-engine
+    dictionary, an INDEX-TIME corpus statistic (build once from the
+    same corpus, e.g. ``vocab.select("token", n_docs AS df)``, persist
+    beside the lake, refresh with it). With it the query batch is
+    ONE corpus pass: the per-term df rides the broadcast restriction
+    join, so no df pass, and ``max_df_frac`` prunes before the
+    exchange for free. At 100 TB this is the shape that matters — df
+    over the corpus is not recomputable per query batch. Contract:
+    ``df_table`` must cover the corpus' tokens with the same
+    whitespace tokenization (a query term absent from it scores as
+    df-unknown and is dropped — it matches no postings in the indexed
+    corpus). With ``max_df_frac=None`` and an exact table this path
+    is bit-identical to the default plan (pinned by test).
 
     The curation use is retrieval-based decontamination: run the
     benchmark's questions as queries and flag their top retrievals —
@@ -975,16 +1012,56 @@ def bm25_search_join(
     # where partitioning by token would put every row of a hot term
     # in one task (the degenerate-vocabulary trap: testdata has 31
     # distinct words, so ANY term set saturates the corpus).
-    ctf_q = ctf.join(F.broadcast(qterms), "token").repartition("doc_id")
-    # ctf_q is one row per (doc, token): counting rows per token IS df
-    df_tbl = ctf_q.groupBy("token").agg(F.count("*").alias("df"))
+    if df_table is not None:
+        # Dictionary path: ONE corpus pass. The dictionary lookup
+        # (inner join against broadcast qterms) yields ≤ |query terms|
+        # rows, broadcast into the corpus-stream restriction with df
+        # attached — no df pass over the corpus at query time.
+        qdf = df_table.select("token", "df").join(
+            F.broadcast(qterms), "token"
+        )
+        if max_df_frac is not None:
+            qdf = qdf.filter(
+                F.col("df") <= F.lit(max_df_frac * n_docs_total)
+            )
+        with_df = ctf.join(F.broadcast(qdf), "token").repartition(
+            "doc_id"
+        )
+    elif max_df_frac is None:
+        ctf_q = ctf.join(F.broadcast(qterms), "token").repartition(
+            "doc_id"
+        )
+        # ctf_q is one row per (doc, token): counting rows per token
+        # IS df
+        df_tbl = ctf_q.groupBy("token").agg(F.count("*").alias("df"))
+        with_df = ctf_q.join(F.broadcast(df_tbl), "token")
+    else:
+        # Pass 1: df over the restricted MAP-ONLY lineage — the
+        # groupBy's partial aggregation folds per input split, so its
+        # exchange carries at most |query terms| rows per partition
+        # (token-keyed, never corpus-sized). No repartition here: this
+        # pass has exactly one consumer and its output is tiny.
+        df_tbl = (
+            ctf.join(F.broadcast(qterms), "token")
+            .groupBy("token")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= F.lit(max_df_frac * n_docs_total))
+        )
+        # Pass 2: re-derive the per-row stream restricted to the
+        # SURVIVING selective terms (df rides the broadcast join, so
+        # no further df join). The explicit doc_id repartition stays:
+        # it is what lets the post-fan-out per-(query, doc) sum reuse
+        # hash(doc_id) clustering instead of shuffling the fanned
+        # contribution stream.
+        with_df = ctf.join(F.broadcast(df_tbl), "token").repartition(
+            "doc_id"
+        )
     idf = F.log(
         F.lit(1.0)
         + (F.lit(n_docs_total) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     term_scores = (
-        ctf_q.join(F.broadcast(df_tbl), "token")
-        .crossJoin(F.broadcast(avg_dl))
+        with_df.crossJoin(F.broadcast(avg_dl))
         .select(
             "doc_id",
             "token",

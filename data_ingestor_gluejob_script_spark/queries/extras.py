@@ -487,6 +487,21 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .selectExpr("doc_id AS query_id", "text"),
             k=5,
         ),
+        # r15: the max-df (common-term) pruned twin — two corpus
+        # passes, but the doc_id exchange carries only selective-term
+        # posting rows; on the 31-word testdata vocabulary every term
+        # is common so this measures the pruned plan's WORST case
+        # (nearly everything cut, pass-2 stream near-empty). The
+        # natural-vocabulary decades live in the Zipf smoke
+        # (tools/bm25_zipf_smoke.py, SCALE.md r15).
+        "x_bm25_search_pruned": lambda s, d: bm25_search_join(
+            _docs(s, d),
+            load(s, d, "documents")
+            .filter(F.col("doc_id") < 64)
+            .selectExpr("doc_id AS query_id", "text"),
+            k=5,
+            max_df_frac=0.1,
+        ),
         "x_tfidf_topk": lambda s, d: tfidf_topk_frame(_docs(s, d)),
         "x_dup_span_report": lambda s, d: duplicate_span_report(_docs(s, d)),
         "x_chunk_documents": lambda s, d: chunk_documents_frame(_docs(s, d)),

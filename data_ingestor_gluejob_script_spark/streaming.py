@@ -910,6 +910,7 @@ def _ledgered_fresh(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    _recover_lake_swap(spark, sig_dir)
     try:
         state = spark.read.parquet(sig_dir)
     except AnalysisException as ex:
@@ -1218,6 +1219,109 @@ def _ensure_band_ledger(
     return _read_parquet_or_none(spark, band_dir)
 
 
+#: Compact an APPEND-ONLY source-of-truth lake (signature ledger,
+#: curated corpus) when it accumulates this many data files. The band
+#: lake heals by re-deriving from the signature lake; these lakes ARE
+#: the truth, so compaction is a count-preserving rewrite behind a
+#: recovery marker (r14 verdict #2: one coalesced file per batch kept
+#: per-batch file-listing cost growing without bound at long horizons
+#: — the exact slope r14 measured and killed for band rows).
+APPEND_LAKE_COMPACT_FILES = int(
+    os.environ.get("SPARK_GRAFT_LAKE_COMPACT_FILES", "96")
+)
+
+#: Target on-disk bytes per compacted file (local sandbox sizing; a
+#: real deployment tunes toward its block size).
+_COMPACT_TARGET_BYTES = 64 * 1024 * 1024
+
+#: Observability for smokes/tests: (path, n_files_before) per
+#: compaction event, in order. Process-local, append-only.
+COMPACTION_EVENTS: list[tuple[str, int]] = []
+
+
+def _lake_marker(path: str) -> str:
+    return path.rstrip("/") + "._swap_pending"
+
+
+def _lake_staging(path: str) -> str:
+    return path.rstrip("/") + "._compacted"
+
+
+def _recover_lake_swap(spark: SparkSession, path: str) -> None:
+    """Finish (or abandon) a compaction swap a crash interrupted.
+    Protocol (see :func:`_compact_append_lake`): the marker is created
+    only AFTER the staging copy is complete, so marker-present means
+    staging is the authoritative full copy — redo the swap
+    idempotently. Marker-absent: any leftover staging is an
+    incomplete write from a crash mid-copy — the lake is untouched,
+    drop the orphan."""
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    marker = jvm.org.apache.hadoop.fs.Path(_lake_marker(path))
+    staging = jvm.org.apache.hadoop.fs.Path(_lake_staging(path))
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(marker):
+        if fs.exists(staging):
+            fs.delete(staging, True)
+        return
+    if fs.exists(staging):
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        if not fs.rename(staging, dst):
+            raise IOError(f"lake swap recovery failed: {path}")
+    # else: crash after the rename — swap already complete
+    fs.delete(marker, False)
+
+
+def _compact_append_lake(spark: SparkSession, path: str) -> None:
+    """Count-preserving small-file compaction for an append-only lake,
+    crash-safe against every window:
+
+    1. rewrite the lake to staging (``<path>._compacted``), sized by
+       bytes — crash here leaves the lake untouched (orphan staging
+       dropped by recovery);
+    2. create the swap marker — from here staging is authoritative;
+    3. delete the lake, rename staging into place — a crash between
+       these redoes the swap from the marker on the next batch;
+    4. drop the marker.
+    """
+    jvm = spark._jvm
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = sum(
+        s.getLen()
+        for s in fs.listStatus(dst)
+        if s.getPath().getName().endswith(".parquet")
+    )
+    n_out = max(1, min(64, total_bytes // _COMPACT_TARGET_BYTES + 1))
+    staging_p = _lake_staging(path)
+    staging = jvm.org.apache.hadoop.fs.Path(staging_p)
+    if fs.exists(staging):
+        fs.delete(staging, True)
+    (
+        spark.read.parquet(path)
+        .repartition(int(n_out))
+        .write.mode("overwrite")
+        .parquet(staging_p)
+    )
+    marker = jvm.org.apache.hadoop.fs.Path(_lake_marker(path))
+    fs.create(marker, True).close()
+    fs.delete(dst, True)
+    if not fs.rename(staging, dst):
+        raise IOError(f"lake compaction swap failed: {path}")
+    fs.delete(marker, False)
+
+
+def _maybe_compact_lakes(spark: SparkSession, *paths: str) -> None:
+    for p in paths:
+        n = _n_parquet_files(spark, p)
+        if n > APPEND_LAKE_COMPACT_FILES:
+            COMPACTION_EVENTS.append((p, n))
+            _compact_append_lake(spark, p)
+
+
 def _newcomer_loses(ref_id, my_id) -> Column:
     """Arrival-order precedence for the near-dup ingest twins: a
     newcomer drops to anything already in the state, to a smaller id
@@ -1270,6 +1374,7 @@ def _two_lake_append(
     pinned = retained.persist()
     retained = pinned
     try:
+        _recover_lake_swap(spark, lake_dir)
         corpus = _read_parquet_or_none(spark, lake_dir)
         if corpus is not None:
             # same decomposition as _ledgered_fresh: the corpus is the
@@ -1302,6 +1407,15 @@ def _two_lake_append(
                 # rebuilt against this tag by _ensure_band_ledger
                 _write_banding_tag(spark, band_dir, banding_tag)
         sig_rows.coalesce(1).write.mode("append").parquet(sig_dir)
+        # Threshold rebuild-as-compaction for BOTH source-of-truth
+        # lakes (r14 verdict #2): past APPEND_LAKE_COMPACT_FILES the
+        # one-file-per-batch appends are rewritten into byte-sized
+        # files behind the swap marker, so every later batch's
+        # listing + footer-open cost drops back to a handful of files.
+        # Runs AFTER the ledger append: a crash anywhere in the swap
+        # replays the batch, whose appends are no-ops (digest guards),
+        # and _recover_lake_swap finishes the swap from the marker.
+        _maybe_compact_lakes(spark, lake_dir, sig_dir)
     finally:
         pinned.unpersist()
 

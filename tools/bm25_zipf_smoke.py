@@ -1,0 +1,110 @@
+"""BM25 decade smoke on the natural-vocabulary Zipf corpus
+(tools/make_zipf_corpus.py) — round-15: measure the plan variants the
+r14 verdict's by-construction claim could not distinguish on the
+31-word testdata vocabulary.
+
+Variants, all over the constant 64-query batch (doc_id < 64):
+- plain:       the default plan (broadcast qterms restriction, one
+               reused doc_id exchange carrying ~50% of ctf rows on
+               Zipf text — the r15 measurement).
+- pruned:      max_df_frac=0.1, no dictionary — TWO corpus passes,
+               exchange restricted to selective-term postings.
+- dict:        precomputed df_table (the index-time dictionary,
+               persisted as parquet beside the corpus) — ONE corpus
+               pass, df rides the broadcast. Build time reported
+               separately as index_sec (amortized across batches).
+- dict_pruned: dictionary + max_df_frac=0.1 — one pass AND the
+               selective exchange.
+
+Protocol (memory: bench timing discipline): one JVM, noop sink, warm
+scan first, best-of-$SPARK_GRAFT_SCALE_REPS (default 2), variants
+interleaved per corpus so JIT state is comparable. Output:
+scale_data/bm25_zipf_smoke.json with per-size seconds and per-decade
+ratios; the committed analysis lives in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SIZES = ["zipf_sf0.1", "zipf_sf1", "zipf_sf10", "zipf_sf100"]
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+FRAC = float(os.environ.get("SPARK_GRAFT_BM25_MAXDF", "0.1"))
+
+
+def main() -> int:
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        bm25_search_join,
+        vocab_frame,
+    )
+    from data_ingestor_gluejob_script_spark.session import get_spark
+
+    sizes = sys.argv[1:] or SIZES
+    spark = get_spark("bm25-zipf-smoke")
+    out: dict[str, dict] = {}
+    for name in sizes:
+        d = os.path.join(REPO, "scale_data", name)
+        docs_path = os.path.join(d, "documents.parquet")
+        if not os.path.exists(docs_path):
+            print(f"skip {name} (no corpus)")
+            continue
+        docs = spark.read.parquet(docs_path).select("doc_id", "text")
+        docs.limit(1).count()  # warm footer/JIT
+        # index-time: build + persist the dictionary once
+        dft_path = os.path.join(d, "df_table.parquet")
+        t0 = time.perf_counter()
+        if not os.path.exists(dft_path):
+            vocab_frame(docs).select(
+                "token", F.col("n_docs").alias("df")
+            ).write.parquet(dft_path)
+        index_sec = round(time.perf_counter() - t0, 3)
+        dft = spark.read.parquet(dft_path)
+        queries = docs.filter(F.col("doc_id") < 64).selectExpr(
+            "doc_id AS query_id", "text"
+        )
+        variants = {
+            "plain": dict(),
+            "pruned": dict(max_df_frac=FRAC),
+            "dict": dict(df_table=dft),
+            "dict_pruned": dict(df_table=dft, max_df_frac=FRAC),
+        }
+        res: dict[str, float] = {}
+        for rep in range(REPS):
+            for v, kw in variants.items():
+                t0 = time.perf_counter()
+                bm25_search_join(docs, queries, k=5, **kw).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                dt = round(time.perf_counter() - t0, 3)
+                res[v] = min(res.get(v, dt), dt)
+        out[name] = {"index_sec": index_sec, **res}
+        print(f"{name}: {out[name]}", flush=True)
+
+    decades = {}
+    for a, b in zip(SIZES, SIZES[1:]):
+        if a in out and b in out:
+            decades[f"{a}->{b}"] = {
+                v: round(out[b][v] / out[a][v], 2)
+                for v in ("plain", "pruned", "dict", "dict_pruned")
+                if out[a].get(v)
+            }
+    doc = {"reps": REPS, "max_df_frac": FRAC, "sizes": out,
+           "decades": decades}
+    path = os.path.join(REPO, "scale_data", "bm25_zipf_smoke.json")
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(decades))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

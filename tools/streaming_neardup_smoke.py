@@ -14,11 +14,18 @@ themselves. Ledger rows must track DISTINCT texts seen (retained +
 dropped — what makes the drop decision batching-invariant), not raw
 input rows.
 
+r15 addition: the signature and curated-corpus lakes now compact
+themselves past SPARK_GRAFT_LAKE_COMPACT_FILES appended files
+(streaming._maybe_compact_lakes, swap-marker protocol) — the smoke
+records every compaction event and the per-lake final file counts, so
+a long-horizon run shows per-batch ms staying flat ACROSS compaction
+events instead of climbing with file count.
+
 Usage:
   python tools/streaming_neardup_smoke.py [sf_dir] [n_chunks]
 (defaults: scale_data/sf10, 24 chunks)
 
-Output: scale_data/streaming_neardup_smoke_r14.json. Protocol: one
+Output: scale_data/streaming_neardup_smoke_r15.json. Protocol: one
 JVM, quiet host, never under concurrent Spark (memory:
 bench-timing-discipline).
 """
@@ -93,6 +100,11 @@ def main() -> int:
             }
         )
 
+    from data_ingestor_gluejob_script_spark import streaming as _st
+    from data_ingestor_gluejob_script_spark.streaming import (
+        _n_parquet_files,
+    )
+
     sig = spark.read.parquet(sig_dir)
     doc = {
         "sf_dir": sf_dir,
@@ -104,18 +116,26 @@ def main() -> int:
         "ledger_bytes": _dir_bytes(sig_dir),
         "lake_bytes": _dir_bytes(lake_dir),
         "checkpoint_bytes": _dir_bytes(ckpt_dir),
+        "compact_threshold_files": _st.APPEND_LAKE_COMPACT_FILES,
+        "compaction_events": [
+            {"lake": os.path.basename(p), "files_before": n}
+            for p, n in _st.COMPACTION_EVENTS
+        ],
+        "sig_files_final": _n_parquet_files(spark, sig_dir),
+        "lake_files_final": _n_parquet_files(spark, lake_dir),
         "batches": batches,
         "batch_ms_first3": [b["batch_ms"] for b in batches[:3]],
         "batch_ms_last3": [b["batch_ms"] for b in batches[-3:]],
     }
     path = os.path.join(
-        REPO, "scale_data", "streaming_neardup_smoke_r14.json"
+        REPO, "scale_data", "streaming_neardup_smoke_r15.json"
     )
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps({k: doc[k] for k in (
         "input_docs", "wall_sec", "retained_docs", "ledger_rows",
-        "ledger_bytes", "batch_ms_first3", "batch_ms_last3",
+        "ledger_bytes", "compaction_events", "sig_files_final",
+        "lake_files_final", "batch_ms_first3", "batch_ms_last3",
     )}))
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
