@@ -778,7 +778,11 @@ BM25_B = 0.75
 
 
 def bm25_topk_frame(
-    docs: DataFrame, query_terms: list[str], k: int = 10
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    max_df_frac: float | None = None,
+    df_table: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 retrieval: the top-``k`` documents for a bag of query
     terms — the classic lexical ranking (Robertson-Spärck Jones),
@@ -795,13 +799,17 @@ def bm25_topk_frame(
     query-for-query before being unified). Rounded to 9 dp with doc_id
     tie-break — deterministic and engine-portable, same discipline as
     TF-IDF. Differential: BM25_ORACLE_TEMPLATE
-    (tests/test_corpusstats.py).
+    (tests/test_corpusstats.py). ``max_df_frac``/``df_table`` pass
+    through to the search join (r15 scale knobs — see its docstring).
     """
     queries = docs.sparkSession.createDataFrame(
         [(0, " ".join(query_terms))], "query_id long, text string"
     )
     return (
-        bm25_search_join(docs, queries, k=k)
+        bm25_search_join(
+            docs, queries, k=k, max_df_frac=max_df_frac,
+            df_table=df_table,
+        )
         .orderBy("rank")
         .select("doc_id", "bm25")
     )

@@ -91,6 +91,8 @@ def hybrid_search(
     emb: DataFrame,
     query_terms: list[str],
     k: int = 10,
+    max_df_frac: float | None = None,
+    df_table: DataFrame | None = None,
 ) -> DataFrame:
     """Lexical + dense hybrid search over the shared id space
     (documents.doc_id ↔ embeddings.vec_id in the testdata): BM25
@@ -102,7 +104,10 @@ def hybrid_search(
     from .corpusstats import bm25_topk_frame
     from .similarity import _scored
 
-    lex = bm25_topk_frame(docs, query_terms, k=2 * k).select(
+    lex = bm25_topk_frame(
+        docs, query_terms, k=2 * k, max_df_frac=max_df_frac,
+        df_table=df_table,
+    ).select(
         F.col("doc_id").alias("id"), F.col("bm25").alias("score")
     )
     dense = (

@@ -692,3 +692,16 @@ def test_bm25_search_join_df_table_bit_identical(spark, tmp_path):
     assert rows(
         bm25_search_join(docs, queries, k=5, df_table=dft, max_df_frac=0.2)
     ) == rows(bm25_search_join(docs, queries, k=5, max_df_frac=0.2))
+    # the topk wrapper threads the knobs through unchanged
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        bm25_topk_frame,
+    )
+
+    def trows(**kw):
+        return sorted(
+            (r.doc_id, str(r.bm25))
+            for r in bm25_topk_frame(docs, ["w1", "w7"], k=5, **kw)
+            .collect()
+        )
+
+    assert trows(df_table=dft) == trows()

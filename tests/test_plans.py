@@ -448,3 +448,54 @@ def test_no_unlisted_explode_over_bound_hof_in_package():
         f"explode over withColumn-bound interpreted-HOF columns "
         f"(the measured 12-15x Generate cliff — SCALE.md r14): {unlisted}"
     )
+
+
+def test_bm25_dictionary_path_kills_query_time_df_aggregation(spark, tmp_path):
+    """r15 plan pin for the BM25 scale knobs: every variant keeps the
+    ONE deliberate hashpartitioning(doc_id) exchange, and the
+    dictionary path (precomputed df_table) carries NO corpus-stream
+    token aggregation at query time — its only token-keyed exchange is
+    the query-side distinct (constant-size), vs the default plan's
+    additional df groupBy over the restricted corpus stream."""
+    from data_ingestor_gluejob_script_spark.queries._util import load
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        bm25_search_join,
+        vocab_frame,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    qs = docs.filter(F.col("doc_id") < 8).selectExpr(
+        "doc_id AS query_id", "text"
+    )
+    dft_path = str(tmp_path / "df_table")
+    vocab_frame(docs).select(
+        "token", F.col("n_docs").alias("df")
+    ).write.parquet(dft_path)
+    dft = spark.read.parquet(dft_path)
+
+    def counts(**kw):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            bm25_search_join(docs, qs, k=5, **kw).explain("formatted")
+        p = buf.getvalue()
+        return (
+            len(re.findall(r"hashpartitioning\(doc_id", p)),
+            len(re.findall(r"hashpartitioning\(token", p)),
+            p.count("df_table"),
+        )
+
+    d_doc, d_tok, d_dft = counts()
+    t_doc, t_tok, t_dft = counts(max_df_frac=0.1)
+    k_doc, k_tok, k_dft = counts(df_table=dft)
+    kp_doc, kp_tok, kp_dft = counts(df_table=dft, max_df_frac=0.1)
+
+    # the deliberate doc_id clustering exchange exists in every plan
+    assert min(d_doc, t_doc, k_doc, kp_doc) >= 1
+    # dictionary scans ride the plan exactly once, only when passed
+    assert d_dft == t_dft == 0 and k_dft >= 1 and kp_dft >= 1
+    # dictionary kills the query-time df aggregation: strictly fewer
+    # token-keyed exchanges than the default, and both dict variants
+    # bottom out at the same query-side-only count
+    assert k_tok < d_tok and kp_tok < d_tok
+    assert k_tok == kp_tok
