@@ -509,6 +509,27 @@ def read_vocab_lake(spark: SparkSession, vocab_dir: str) -> DataFrame | None:
     )
 
 
+def df_table_from_vocab_lake(
+    spark: SparkSession, vocab_dir: str
+) -> DataFrame | None:
+    """The BM25 dictionary — (token, df) — read from a
+    ``run_vocab_ingest`` lake: ``n_docs`` of the token rows IS the
+    document frequency, maintained incrementally as the corpus
+    arrives. This closes the index-time loop for
+    ``bm25_search_join(df_table=...)`` (r15): at 100 TB the dictionary
+    is never recomputed over the corpus — the streaming twin folds
+    each batch's delta into the Heaps-law-sized lake, and query
+    batches read it as a broadcast-sized side input. Parity pinned by
+    tests/test_corpusstats.py::test_bm25_dictionary_from_vocab_ingest.
+    ``None`` before the first published version."""
+    lake = read_vocab_lake(spark, vocab_dir)
+    if lake is None:
+        return None
+    return lake.filter(F.col("token").isNotNull()).select(
+        "token", F.col("n_docs").alias("df")
+    )
+
+
 def run_vocab_ingest(
     spark: SparkSession,
     docs_dir: str,

@@ -705,3 +705,50 @@ def test_bm25_search_join_df_table_bit_identical(spark, tmp_path):
         )
 
     assert trows(df_table=dft) == trows()
+
+
+def test_bm25_dictionary_from_vocab_ingest(spark, tmp_path):
+    """End-to-end index-time loop: the corpus arrives as micro-batches,
+    run_vocab_ingest folds each delta into the vocabulary lake, and
+    the BM25 dictionary read from that lake
+    (streaming.df_table_from_vocab_lake) scores bit-identically to the
+    batch plan that recomputes df from the corpus — the dictionary is
+    maintained incrementally, never recomputed at query time."""
+    from tools.make_zipf_corpus import zipf_documents
+
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        bm25_search_join,
+    )
+    from data_ingestor_gluejob_script_spark.streaming import (
+        df_table_from_vocab_lake,
+        run_vocab_ingest,
+    )
+
+    docs = zipf_documents(spark, 900, vocab=3000).select("doc_id", "text")
+    docs_dir = str(tmp_path / "in")
+    # three micro-batches (separate files, maxFilesPerTrigger=1)
+    for lo, hi in ((0, 300), (300, 600), (600, 900)):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    vocab_dir = str(tmp_path / "vocab")
+    q = run_vocab_ingest(spark, docs_dir, vocab_dir, str(tmp_path / "ck"))
+    q.awaitTermination(300)
+
+    dft = df_table_from_vocab_lake(spark, vocab_dir)
+    assert dft is not None
+    corpus = spark.read.parquet(docs_dir)
+    queries = corpus.filter(F.col("doc_id") < 5).selectExpr(
+        "doc_id AS query_id", "text"
+    )
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.doc_id, str(r.bm25), r.rank)
+            for r in df.collect()
+        )
+
+    assert rows(
+        bm25_search_join(corpus, queries, k=5, df_table=dft)
+    ) == rows(bm25_search_join(corpus, queries, k=5))
