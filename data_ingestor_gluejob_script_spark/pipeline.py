@@ -584,6 +584,16 @@ def _rm_dir(spark: SparkSession, path: str) -> None:
         fs.delete(p, True)
 
 
+def _dir_has_success(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` holds a COMPLETE Spark write (its committer's
+    ``_SUCCESS`` marker exists) — how the compaction resume path tells
+    an authoritative snapshot from a partial one."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def _insert_partition_overwrite(
     spark: SparkSession, df: DataFrame, table_name: str, dynamic: bool = True
 ) -> None:
@@ -740,22 +750,54 @@ def compact_bucketed_table(
     deletion defers to commit — a mid-insert failure (disk full,
     exhausted retries) can leave the lake wiped while the staging copy
     is the only surviving full snapshot. The staging directory is
-    therefore removed only AFTER a successful insert; on failure it is
-    kept and its path logged as the recovery copy. A stale staging dir
-    from a previous failed run is cleared up-front (the rewrite below
-    re-creates it from the live table, so nothing is lost).
+    therefore removed only AFTER a successful insert. A stale staging
+    at entry is interpreted by its ``_SUCCESS`` marker (review r15 —
+    the first cut deleted staging unconditionally, which on a
+    retry-after-truncation re-staged the EMPTY table and committed it
+    as a silent total loss):
+
+    - staging WITH ``_SUCCESS``: the previous run completed the
+      snapshot and then died in (or before finishing) the truncating
+      insert — the snapshot is authoritative; resume by inserting IT,
+      never by re-reading the possibly-truncated table.
+    - staging WITHOUT ``_SUCCESS``: the previous run died mid-snapshot
+      — the table was never touched; drop the partial copy and stage
+      fresh.
     """
     lake = spark.table(table_name)
-    obs = Observation(f"compact_{table_name}")
     staging = f"{_table_location(spark, table_name)}/_compact_staging"
-    _rm_dir(spark, staging)  # clear leftovers from a prior failed run
-    try:
-        (
-            lake.observe(obs, F.count(F.lit(1)).alias("n"))
-            .write.mode("overwrite")
-            .parquet(staging)
+    resume = _dir_has_success(spark, staging)
+    if resume:
+        log.warning(
+            "compact %s: resuming from the complete staging snapshot "
+            "at %s (previous run failed during the insert phase)",
+            table_name,
+            staging,
         )
+        n = spark.read.parquet(staging).count()
+    else:
+        _rm_dir(spark, staging)  # partial snapshot; table untouched
+        obs = Observation(f"compact_{table_name}")
+        try:
+            (
+                lake.observe(obs, F.count(F.lit(1)).alias("n"))
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+        except BaseException:
+            # snapshot-phase failure: the table is INTACT — say so, and
+            # drop the partial copy so a retry can't mistake it for a
+            # recovery snapshot
+            log.error(
+                "compact %s: staging write failed; the table is intact "
+                "and the partial staging at %s was discarded",
+                table_name,
+                staging,
+            )
+            _rm_dir(spark, staging)
+            raise
         n = int(obs.get["n"])
+    try:
         staged = (
             spark.read.parquet(staging)
             .repartition(num_buckets, bucket_col)
@@ -764,8 +806,9 @@ def compact_bucketed_table(
         _insert_partition_overwrite(spark, staged, table_name, dynamic=False)
     except BaseException:
         log.error(
-            "compaction of %s failed mid-rewrite; staging copy KEPT as "
-            "the recovery snapshot at %s — restore by re-inserting it",
+            "compact %s: insert failed AFTER the table may have been "
+            "truncated; the complete staging snapshot is KEPT at %s — "
+            "re-running compact_bucketed_table resumes from it",
             table_name,
             staging,
         )
@@ -952,7 +995,11 @@ def run(
     Scheduled → incremental, anything else → explicit no-op
     (README.md:17). The watermark commit runs in every path, including
     the no-op — matching gluejob.py:623. ``writer`` selects the lake
-    layout (hive partitioned dirs, or the bucketed catalog tables)."""
+    layout (hive partitioned dirs, or the bucketed catalog tables) —
+    validated HERE, before any source I/O, so a typo fails fast at the
+    dispatch altitude instead of after the first table's read."""
+    if writer not in ("hive", "bucketed"):
+        raise ValueError(f"unknown writer mode: {writer!r}")
     tables = tables_list(job_mode)  # C2; unknown mode → [] → no-op
     if trigger_origin == "OnDemand":
         result = initial_load(

@@ -852,6 +852,8 @@ def bm25_search_join(
     k: int = 5,
     max_df_frac: float | None = None,
     df_table: DataFrame | None = None,
+    n_docs: int | None = None,
+    avg_dl: float | None = None,
 ) -> DataFrame:
     """Batch BM25: top-``k`` corpus documents PER QUERY —
     (query_id, doc_id, bm25, rank). ``queries`` is (query_id, text);
@@ -890,6 +892,21 @@ def bm25_search_join(
     corpus). With ``max_df_frac=None`` and an exact table this path
     is bit-identical to the default plan (pinned by test).
 
+    ``n_docs``/``avg_dl``: the remaining per-batch corpus jobs, made
+    index-time too (review r15 — without them even the dictionary
+    path paid a guard aggregation and an avg-dl aggregation over the
+    corpus per query batch). Both are maintainable in the SAME vocab
+    lake the dictionary comes from
+    (``streaming.bm25_stats_from_vocab_lake`` returns all three).
+    Passing ``n_docs`` also ASSERTS the one-row-per-doc_id
+    precondition — the duplicate-key guard scan is skipped, which is
+    the point: an indexed corpus is deduped by construction and its
+    stats already known. ``avg_dl`` is total tokens / total
+    documents — exact-equal to the recomputed mean when every indexed
+    document has tokenizable text (NULL-text docs are excluded from
+    the recomputed mean but counted by the ledger; don't index
+    NULL-text rows if the last ulp matters).
+
     The curation use is retrieval-based decontamination: run the
     benchmark's questions as queries and flag their top retrievals —
     documents that answer a benchmark question verbatim-ish get
@@ -915,24 +932,30 @@ def bm25_search_join(
     dedup first). The guard is free — the doc count the formula needs
     anyway is computed in the same single aggregation pass.
     """
-    counts = docs.agg(
-        F.count(F.lit(1)).alias("rows"),
-        # count_distinct skips NULL keys; distinct() treated the NULL
-        # group as one document — preserve that for n_docs_total, and
-        # note two NULL-doc_id rows ARE duplicate keys under the guard
-        (
-            F.count_distinct("doc_id")
-            + F.max(F.col("doc_id").isNull()).cast("long")
-        ).alias("n_docs"),
-    ).first()
-    n_docs_total = counts["n_docs"] or 0
-    if counts["rows"] != n_docs_total:
-        raise ValueError(
-            f"bm25_search_join: {counts['rows']} corpus rows but "
-            f"{n_docs_total} distinct doc_id — duplicate doc_id rows "
-            "would score per row, not per document; run exact dedup "
-            "(q_exact_dedup_docs / exact_dedup_frame) first"
-        )
+    if n_docs is not None:
+        # index-time stats: the caller asserts the one-row-per-doc_id
+        # precondition (see docstring) — no guard scan
+        n_docs_total = int(n_docs)
+    else:
+        counts = docs.agg(
+            F.count(F.lit(1)).alias("rows"),
+            # count_distinct skips NULL keys; distinct() treated the
+            # NULL group as one document — preserve that for
+            # n_docs_total, and note two NULL-doc_id rows ARE
+            # duplicate keys under the guard
+            (
+                F.count_distinct("doc_id")
+                + F.max(F.col("doc_id").isNull()).cast("long")
+            ).alias("n_docs"),
+        ).first()
+        n_docs_total = counts["n_docs"] or 0
+        if counts["rows"] != n_docs_total:
+            raise ValueError(
+                f"bm25_search_join: {counts['rows']} corpus rows but "
+                f"{n_docs_total} distinct doc_id — duplicate doc_id "
+                "rows would score per row, not per document; run exact "
+                "dedup (q_exact_dedup_docs / exact_dedup_frame) first"
+            )
     # tf WITHOUT a corpus shuffle. History, because each predecessor
     # died on a decade smoke: (a) r12 joined raw occurrences against
     # broadcast (query, token) pairs and grouped by (query, doc,
@@ -1002,7 +1025,11 @@ def bm25_search_join(
     ctf = base.select(
         "doc_id", "dl", F.explode(entries).alias("_e")
     ).select("doc_id", "dl", F.col("_e.token"), F.col("_e.tf"))
-    avg_dl = base.agg(F.avg("dl").alias("avgdl"))
+    avgdl_frame = (
+        None
+        if avg_dl is not None
+        else base.agg(F.avg("dl").alias("avgdl"))
+    )
     qtoks = queries.select(
         "query_id", F.explode(words_col(F.col("text"))).alias("token")
     ).distinct()
@@ -1068,8 +1095,13 @@ def bm25_search_join(
         F.lit(1.0)
         + (F.lit(n_docs_total) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
+    with_stats = (
+        with_df.withColumn("avgdl", F.lit(float(avg_dl)))
+        if avg_dl is not None
+        else with_df.crossJoin(F.broadcast(avgdl_frame))
+    )
     term_scores = (
-        with_df.crossJoin(F.broadcast(avg_dl))
+        with_stats
         .select(
             "doc_id",
             "token",

@@ -530,6 +530,38 @@ def df_table_from_vocab_lake(
     )
 
 
+def bm25_stats_from_vocab_lake(
+    spark: SparkSession, vocab_dir: str
+) -> tuple[DataFrame, int, float] | None:
+    """Everything ``bm25_search_join`` needs, from the incrementally
+    maintained vocab lake, so a query batch runs ZERO corpus-side
+    statistics jobs: (df_table, n_docs, avg_dl). n_docs counts the
+    lake's doc-id ledger rows; avg_dl = Σ n_occurrences / n_docs (the
+    textbook definition — exact-equal to the recomputed per-doc mean
+    when every ledgered document has tokenizable text, see the
+    bm25_search_join docstring). Both reads are lake-sized
+    (Heaps-law vocabulary + doc-id ledger), never corpus-sized.
+    Passing n_docs asserts the one-row-per-doc_id precondition — true
+    by construction for an ingested corpus (the vocab ingest's ledger
+    anti-join merges each doc_id exactly once). ``None`` before the
+    first published version."""
+    lake = read_vocab_lake(spark, vocab_dir)
+    if lake is None:
+        return None
+    tok = lake.filter(F.col("token").isNotNull())
+    stats = lake.agg(
+        F.sum("n_occurrences").alias("total_tokens"),
+        F.count(F.col("doc_id")).alias("n_docs"),
+    ).first()
+    n_docs = int(stats["n_docs"])
+    avg_dl = (stats["total_tokens"] or 0) / n_docs if n_docs else 0.0
+    return (
+        tok.select("token", F.col("n_docs").alias("df")),
+        n_docs,
+        float(avg_dl),
+    )
+
+
 def run_vocab_ingest(
     spark: SparkSession,
     docs_dir: str,

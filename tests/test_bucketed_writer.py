@@ -210,8 +210,10 @@ def test_compaction_failure_keeps_staging_recovery_copy(
     rewrite commits, so a mid-insert failure must NOT destroy the
     staging snapshot — it is the only surviving full copy. Assert:
     on failure the staging dir is kept with every pre-compaction row;
-    a retried compaction recovers (clearing the stale staging) and
-    removes staging on success."""
+    a retried compaction RESUMES from the complete snapshot (review
+    r15: the first cut deleted it up-front, which after a truncating
+    failure re-staged the empty table — silent total loss) and removes
+    staging on success."""
     import os
 
     write_partitioned_upsert_bucketed(
@@ -223,21 +225,52 @@ def test_compaction_failure_keeps_staging_recovery_copy(
 
     real = pipeline._insert_partition_overwrite
 
-    def boom(*args, **kwargs):
+    def truncate_then_boom(spark_, df, table_name, dynamic=True):
+        # model the worst window: static overwrite cleared the table,
+        # then the rewrite died before committing any rows
+        spark_.sql(f"TRUNCATE TABLE {table_name}")
         raise RuntimeError("simulated mid-insert failure")
 
-    monkeypatch.setattr(pipeline, "_insert_partition_overwrite", boom)
+    monkeypatch.setattr(
+        pipeline, "_insert_partition_overwrite", truncate_then_boom
+    )
     with pytest.raises(RuntimeError, match="simulated"):
         compact_bucketed_table(spark, TABLE, SUBS.id_col, BUCKETS)
-    # recovery copy survived the failure, content-complete
+    # the table is wiped; the staging snapshot is the only full copy
+    assert spark.table(TABLE).count() == 0
     assert os.path.isdir(staging), "staging recovery copy was deleted"
     recovered = spark.read.parquet(staging)
     assert (
         sorted(tuple(r) for r in recovered.select(*SUBS.columns).collect())
         == before
     )
-    # retry succeeds: stale staging cleared up-front, removed on success
+    # retry RESTORES from the snapshot — full content back, no loss
     monkeypatch.setattr(pipeline, "_insert_partition_overwrite", real)
+    n = compact_bucketed_table(spark, TABLE, SUBS.id_col, BUCKETS)
+    assert n == len(before)
+    assert _content(spark.table(TABLE)) == before
+    assert not os.path.exists(staging)
+
+
+def test_compaction_partial_staging_is_dropped_not_trusted(
+    spark, clean_table, monkeypatch
+):
+    """The complementary window: a crash DURING the staging write
+    leaves a partial snapshot (no _SUCCESS) and an INTACT table — the
+    retry must stage fresh from the table, never resume from (or tell
+    the operator to restore) the partial copy."""
+    import os
+
+    write_partitioned_upsert_bucketed(
+        spark, _batch(spark, BATCH1), SUBS, TABLE, num_buckets=BUCKETS
+    )
+    before = _content(spark.table(TABLE))
+    loc = pipeline._table_location(spark, TABLE)
+    staging = (loc.removeprefix("file:")) + "/_compact_staging"
+    # fabricate a partial snapshot: valid parquet, one row, no _SUCCESS
+    spark.table(TABLE).limit(1).write.parquet(staging)
+    os.remove(os.path.join(staging, "_SUCCESS"))
+
     n = compact_bucketed_table(spark, TABLE, SUBS.id_col, BUCKETS)
     assert n == len(before)
     assert _content(spark.table(TABLE)) == before

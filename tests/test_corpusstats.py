@@ -752,3 +752,18 @@ def test_bm25_dictionary_from_vocab_ingest(spark, tmp_path):
     assert rows(
         bm25_search_join(corpus, queries, k=5, df_table=dft)
     ) == rows(bm25_search_join(corpus, queries, k=5))
+
+    # full index-time stats (df_table + n_docs + avg_dl from the same
+    # lake): zero corpus-side statistics jobs, still bit-identical
+    from data_ingestor_gluejob_script_spark.streaming import (
+        bm25_stats_from_vocab_lake,
+    )
+
+    dft2, n_docs, avg_dl = bm25_stats_from_vocab_lake(spark, vocab_dir)
+    assert n_docs == 900
+    assert rows(
+        bm25_search_join(
+            corpus, queries, k=5, df_table=dft2, n_docs=n_docs,
+            avg_dl=avg_dl,
+        )
+    ) == rows(bm25_search_join(corpus, queries, k=5))
