@@ -1025,8 +1025,18 @@ def bm25_search_join(
     ctf = base.select(
         "doc_id", "dl", F.explode(entries).alias("_e")
     ).select("doc_id", "dl", F.col("_e.token"), F.col("_e.tf"))
+    # An index-time avg_dl arrives as a ONE-ROW FRAME, not a literal
+    # (measured, r15 smoke: the literal form ran 1.5× SLOWER at the
+    # 5M-doc decade — 154 vs 103 s — because constant-folding the
+    # scalar lets the score projection collapse into the map stage's
+    # interpreted-HOF region, the same expression-re-inlining family
+    # as the r14 explode cliff; the crossJoin of a 1-row broadcast is
+    # a materialization barrier that keeps the score post-exchange,
+    # and its cost is one broadcast of 8 bytes).
     avgdl_frame = (
-        None
+        docs.sparkSession.createDataFrame(
+            [(float(avg_dl),)], "avgdl double"
+        )
         if avg_dl is not None
         else base.agg(F.avg("dl").alias("avgdl"))
     )
@@ -1095,13 +1105,8 @@ def bm25_search_join(
         F.lit(1.0)
         + (F.lit(n_docs_total) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
-    with_stats = (
-        with_df.withColumn("avgdl", F.lit(float(avg_dl)))
-        if avg_dl is not None
-        else with_df.crossJoin(F.broadcast(avgdl_frame))
-    )
     term_scores = (
-        with_stats
+        with_df.crossJoin(F.broadcast(avgdl_frame))
         .select(
             "doc_id",
             "token",

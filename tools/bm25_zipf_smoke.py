@@ -72,6 +72,16 @@ def main() -> int:
             ).write.parquet(dft_path)
             index_sec = round(time.perf_counter() - t0, 3)
         dft = spark.read.parquet(dft_path)
+        # index-time corpus stats (n_docs, avg_dl) — in production
+        # these ride the vocab lake (bm25_stats_from_vocab_lake); here
+        # they are computed once per corpus and timed separately
+        t0 = time.perf_counter()
+        srow = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+        ).first()
+        stats_sec = round(time.perf_counter() - t0, 3)
+        nd, adl = int(srow["n"]), float(srow["avgdl"])
         queries = docs.filter(F.col("doc_id") < 64).selectExpr(
             "doc_id AS query_id", "text"
         )
@@ -80,6 +90,12 @@ def main() -> int:
             "pruned": dict(max_df_frac=FRAC),
             "dict": dict(df_table=dft),
             "dict_pruned": dict(df_table=dft, max_df_frac=FRAC),
+            # r15 review follow-up: the FULL index-time shape — zero
+            # corpus statistics jobs at query time
+            "dict_full": dict(df_table=dft, n_docs=nd, avg_dl=adl),
+            "dict_full_pruned": dict(
+                df_table=dft, n_docs=nd, avg_dl=adl, max_df_frac=FRAC
+            ),
         }
         res: dict[str, float] = {}
         for rep in range(REPS):
@@ -90,7 +106,8 @@ def main() -> int:
                 ).format("noop").save()
                 dt = round(time.perf_counter() - t0, 3)
                 res[v] = min(res.get(v, dt), dt)
-        out[name] = {"index_sec": index_sec, **res}
+        out[name] = {"index_sec": index_sec, "stats_sec": stats_sec,
+                     **res}
         print(f"{name}: {out[name]}", flush=True)
 
     decades = {}
@@ -98,8 +115,11 @@ def main() -> int:
         if a in out and b in out:
             decades[f"{a}->{b}"] = {
                 v: round(out[b][v] / out[a][v], 2)
-                for v in ("plain", "pruned", "dict", "dict_pruned")
-                if out[a].get(v)
+                for v in (
+                    "plain", "pruned", "dict", "dict_pruned",
+                    "dict_full", "dict_full_pruned",
+                )
+                if out[a].get(v) and out[b].get(v)
             }
     doc = {"reps": REPS, "max_df_frac": FRAC, "sizes": out,
            "decades": decades}
