@@ -237,10 +237,15 @@ def simhash16_col(text: Column) -> Column:
     with higher-order array functions: per word take 16 bits of md5,
     vote ±1 per bit via a zip_with fold, then sign → bit.
 
-    Map-only on purpose: the explode → 16-way groupBy → join
-    formulation shuffles every token; this one never leaves the row
-    (7.4s → map-side at sf0.1). Integer vote addition is commutative,
-    so the fold order doesn't affect the result."""
+    Map-only, and RE-SCOPED r15: at bench scale this fold wins (0.4 vs
+    0.67 s at sf0.1 — no shuffle, one narrow stage), but its
+    interpreted HOF chain allocates a 16-long array per word and the
+    allocation churn turns superlinear on big corpora (measured 85 s
+    at 500k natural-vocabulary docs vs 6.9 s for the codegen twin —
+    12×). Corpus-scale fingerprinting therefore goes through
+    :func:`simhash16_frame` (value-identical, pinned by test); this
+    column form remains for narrow per-row use. Integer vote addition
+    is commutative, so the fold order doesn't affect the result."""
     words = F.array_distinct(words_col(text))
 
     def bits(w: Column) -> Column:
@@ -271,18 +276,71 @@ def simhash16_col(text: Column) -> Column:
     return F.aggregate(bitvals, F.lit(0).cast("long"), lambda a, b: a + b)
 
 
+def simhash16_frame(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash16): the SAME fingerprint as :func:`simhash16_col`,
+    computed codegen-side — explode the distinct-word set, one
+    partial-aggregated groupBy(id) with 16 vote sums, sign → bits.
+    Value-identical to the fold (vote addition is commutative; NULL
+    text → NULL fingerprint via explode_outer; split() never yields an
+    empty array, so every non-null text votes at least once).
+
+    Why a frame twin exists (r15, measured on the natural-vocabulary
+    dup corpus): the fold form's interpreted HOF chain allocates a
+    16-long array per WORD (md5 → conv → zip_with), and at 500k
+    docs × ~57 distinct words the allocation churn turned the map
+    stage superlinear — 102.7 s at zipfdup_sf10 and ~28× per decade,
+    vs a codegen explode + hash-agg that stays whole-stage-generated.
+    The same explode-vs-HOF call-site split as vocab/tfidf (r14): the
+    fold stays for the narrow per-row uses measured fast on it; the
+    frame form is for corpus-scale fingerprinting. The DuckDB oracle
+    (_SIMHASH_CTE) has always been this formulation."""
+    toks = docs.select(
+        id_col,
+        F.explode_outer(
+            F.array_distinct(words_col(F.col(text_col)))
+        ).alias("_w"),
+    )
+    h = F.conv(F.substring(F.md5("_w"), 1, 4), 16, 10).cast("long")
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+                f"_v{j}"
+            )
+            for j in range(16)
+        ]
+    )
+    fp = None
+    for j in range(16):
+        bit = (
+            F.when(F.col(f"_v{j}") > 0, F.lit(2**j))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        fp = bit if fp is None else fp + bit
+    return votes.select(
+        id_col,
+        F.when(F.col("_v0").isNull(), F.lit(None).cast("long"))
+        .otherwise(fp)
+        .alias("simhash16"),
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over whitespace-normalized
     lowercased text (content hash), plus a 16-bit SimHash over the
     distinct-word set for similarity-preserving fingerprints.
-    One narrow stage — no explode, no aggregation shuffle, no join."""
+    r15: the SimHash rides the codegen frame (one partial-aggregated
+    doc_id shuffle + a doc_id-clustered join) instead of the
+    interpreted fold — the fold's per-word array churn measured 12×
+    slower at 500k docs (see simhash16_frame); at sf0.1 this form is
+    0.67 vs 0.40 s against a 7.44 s baseline."""
     docs = spread(spark, load(spark, sf_dir, "documents"))
     norm = F.lower(F.regexp_replace(F.col("text"), "\\s+", " "))
     return docs.select(
-        "doc_id",
-        F.md5(norm).alias("content_md5"),
-        simhash16_col(F.col("text")).alias("simhash16"),
-    )
+        "doc_id", F.md5(norm).alias("content_md5")
+    ).join(simhash16_frame(docs), "doc_id")
 
 
 def minhash_signature_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -554,9 +612,7 @@ def q_simhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint covers ~10% of all docs, so any pairwise formulation
     of the same information is inherently quadratic."""
     docs = spread(spark, load(spark, sf_dir, "documents"))
-    fp = docs.select(
-        "doc_id", simhash16_col(F.col("text")).alias("simhash16")
-    )
+    fp = simhash16_frame(docs)  # codegen form — see its docstring
     rep = F.min("doc_id").over(Window.partitionBy("simhash16"))
     return fp.select("doc_id", "simhash16", rep.alias("rep_doc_id"))
 
@@ -574,7 +630,7 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical-fingerprint pileups whose pairs are d=0, not near-misses.
     The verify is a per-pair popcount, map-side."""
     docs = spread(spark, load(spark, sf_dir, "documents"))
-    fp = docs.select("doc_id", simhash16_col(F.col("text")).alias("sh16"))
+    fp = simhash16_frame(docs).withColumnRenamed("simhash16", "sh16")
     lo = (F.col("sh16") % 256).cast("int")
     hi = (F.col("sh16") / 256).cast("int")
     banded = fp.select(

@@ -230,7 +230,7 @@ def prepare_training_corpus(
         exact_dedup_frame,
         quality_score_col,
         redacted_text_col,
-        simhash16_col,
+        simhash16_frame,
     )
 
     if benchmark is not None:
@@ -268,8 +268,16 @@ def prepare_training_corpus(
         )
         kept = kept.join(ok.select("doc_id"), "doc_id", "left_semi")
     deduped = exact_dedup_frame(kept)
+    # codegen SimHash frame (r15): the interpreted fold's per-word
+    # array churn measured 12x slower at 500k docs — see
+    # simhash16_frame; the join is doc_id-clustered like the window
     nd = (
-        deduped.withColumn("_fp", simhash16_col(F.col("text")))
+        deduped.join(
+            simhash16_frame(deduped).withColumnRenamed(
+                "simhash16", "_fp"
+            ),
+            "doc_id",
+        )
         .withColumn(
             "_rep", F.min("doc_id").over(Window.partitionBy("_fp"))
         )

@@ -124,3 +124,37 @@ def test_token_budget_partitioning_invariant(spark):
         for r in sample_to_token_budget(docs.repartition(7), 60).collect()
     )
     assert a == b == _budget_oracle([(i, 4) for i in range(40)], 60)
+
+
+def test_simhash_frame_equals_fold_form(spark):
+    """r15: the codegen explode+vote frame must produce the exact
+    fingerprints of the interpreted fold (vote addition commutes;
+    NULL text -> NULL fingerprint in both), on the natural-vocabulary
+    dup corpus the frame form was built for plus NULL/short edges."""
+    import pyspark.sql.functions as F
+
+    from data_ingestor_gluejob_script_spark.queries.textops import (
+        simhash16_col,
+        simhash16_frame,
+    )
+    from tools.make_zipf_corpus import zipf_documents
+
+    base = zipf_documents(
+        spark, 400, vocab=2000, cluster_size=4, dup_pct=40
+    ).select("doc_id", "text")
+    edges = spark.createDataFrame(
+        [(100000, None), (100001, "solo"), (100002, "a a a")],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(edges)
+    fold = {
+        r.doc_id: r.sh
+        for r in docs.select(
+            "doc_id", simhash16_col(F.col("text")).alias("sh")
+        ).collect()
+    }
+    frame = {
+        r.doc_id: r.simhash16 for r in simhash16_frame(docs).collect()
+    }
+    assert fold == frame
+    assert frame[100000] is None

@@ -318,3 +318,28 @@ def test_neardup_ingest_null_id_neardup_arriving_later_is_dropped(
     lake = spark.read.parquet(str(tmp_path / "lake")).collect()
     assert [r["doc_id"] for r in lake] == [5]  # null-id near-dup dropped
     assert spark.read.parquet(str(tmp_path / "sigs")).count() == 2
+
+
+def test_minhash_dedup_differential_zipfdup_corpus(spark):
+    """r15: the near-dup family's decade smokes moved to the
+    natural-vocabulary corpus with PLANTED duplicate clusters
+    (tools/make_zipf_corpus, cluster_size/dup_pct) — this pins the
+    operator against the python oracle on a small instance of exactly
+    that corpus shape, so the scale measurement runs on an
+    oracle-green distribution (wide Zipf vocabulary, ~30% exact+near
+    duplicates, gray-zone pairs around tau included)."""
+    from tools.make_zipf_corpus import zipf_documents
+
+    d = zipf_documents(
+        spark, 1200, vocab=4000, cluster_size=4, dup_pct=40
+    ).select("doc_id", "text")
+    rows = [(r.doc_id, r.text) for r in d.collect()]
+    got = sorted(
+        r.doc_id for r in minhash_dedup_frame(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    )
+    want = minhash_dedup_oracle(rows)
+    assert got == want
+    # the corpus shape is non-trivial: some docs actually dropped
+    assert 0 < len(got) < len(rows)
