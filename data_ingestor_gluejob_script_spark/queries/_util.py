@@ -33,6 +33,34 @@ WM = "1997-01-01 00:00:00"
 WM_UPSERT = "1997-07-01 00:00:00"
 
 
+# Files at or under this size cannot hold a second row group (the
+# parquet writer's default block size), so for them the FILE count —
+# not the planner's split count — bounds real scan parallelism.
+# Module-level so tests can pin the phantom-split heuristic with
+# small fixture files.
+_SINGLE_ROWGROUP_MAX_BYTES = 128 * 1024 * 1024
+
+# Stat every file when the listing is at most this long; above it,
+# stat a spread sample (first/last/stride) instead. Listing is
+# metadata-cheap, but a 100k-file corpus shouldn't pay 100k RPCs for
+# a heuristic.
+_SPREAD_STAT_ALL_MAX = 64
+_SPREAD_SAMPLE = 8
+
+
+def _sample_indices(n: int) -> list[int]:
+    """Indices to stat when the listing is too long to stat fully:
+    first, last, and an even stride between — a mixed corpus whose
+    multi-row-group files sit ANYWHERE in the listing hits the sample
+    (the r15 cut statted only the first 8 paths, so large files past
+    the head were invisible and a healthy scan could be repartitioned
+    for nothing — advice r15)."""
+    if n <= _SPREAD_SAMPLE:
+        return list(range(n))
+    step = (n - 1) / (_SPREAD_SAMPLE - 1)
+    return sorted({round(i * step) for i in range(_SPREAD_SAMPLE)})
+
+
 def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Repartition a small-file scan across the cluster before
     CPU-heavy per-row work (hashing, shingling, vector math) — but
@@ -60,6 +88,17 @@ def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     Larger files may hold many row groups; there the planner's count
     stands (repartitioning a healthy 100 TB scan would be a full
     shuffle for nothing).
+
+    Sampling (r16, advice r15): small listings (≤64 files) are
+    statted in FULL; longer listings stat a first/last/stride sample
+    instead of the first 8 paths, so a mixed corpus whose large
+    multi-row-group files fall late in the (arbitrary-order) listing
+    still disarms the file-count cap. One large sampled file is
+    enough to trust the planner: the heuristic only fires when every
+    sampled file is single-row-group sized, and a false NEGATIVE
+    (trusting a listing whose unsampled tail is all-small) merely
+    keeps the planner's split count — the pre-r15 behavior — never
+    adds a shuffle.
     """
     parallelism = spark.sparkContext.defaultParallelism
     planned = df.rdd.getNumPartitions()
@@ -69,14 +108,15 @@ def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
         jvm = spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(files[0])
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        # one metadata call: if the largest of the first few files is
-        # under the parquet block size, every file is single-row-group
-        # sized and the file count bounds real parallelism
+        if len(files) <= _SPREAD_STAT_ALL_MAX:
+            picked = files
+        else:
+            picked = [files[i] for i in _sample_indices(len(files))]
         sizes = [
             fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
-            for f in files[: min(len(files), 8)]
+            for f in picked
         ]
-        if max(sizes) <= 128 * 1024 * 1024:
+        if max(sizes) <= _SINGLE_ROWGROUP_MAX_BYTES:
             effective = min(planned, len(files))
     if effective * 2 >= parallelism:
         return df

@@ -277,14 +277,32 @@ def simhash16_col(text: Column) -> Column:
 
 
 def simhash16_frame(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, simhash16): the SAME fingerprint as :func:`simhash16_col`,
-    computed codegen-side — explode the distinct-word set, one
-    partial-aggregated groupBy(id) with 16 vote sums, sign → bits.
-    Value-identical to the fold (vote addition is commutative; NULL
-    text → NULL fingerprint via explode_outer; split() never yields an
-    empty array, so every non-null text votes at least once).
+    """(id, *carry_cols, simhash16): the SAME fingerprint as
+    :func:`simhash16_col`, computed codegen-side — explode the
+    distinct-word set, one partial-aggregated groupBy(id) with 16 vote
+    sums, sign → bits. Value-identical to the fold (vote addition is
+    commutative; NULL text → NULL fingerprint via explode_outer;
+    split() never yields an empty array, so every non-null text votes
+    at least once).
+
+    Identity contract (advice r15): joining this frame back on
+    ``id_col`` silently drops NULL-id rows and merges the votes of
+    duplicate-id rows — a semantic change from the map-only fold that
+    testdata's unique non-null ids never exposes. Call sites therefore
+    either (a) carry their other columns THROUGH the aggregation via
+    ``carry_cols`` — zero join, NULL-id rows preserved as their own
+    groups, duplicate ids distinct as long as the carried columns
+    differ (rows identical on id AND every carry collapse to one) — or
+    (b) enforce the non-null unique id precondition explicitly
+    (:func:`require_unique_doc_ids`, the bm25 guard's shape). Keep
+    ``carry_cols`` narrow (digests, flags): they become part of the
+    one shuffle's grouping key, so a wide column here would shuffle
+    the corpus body this formulation exists to avoid.
 
     Why a frame twin exists (r15, measured on the natural-vocabulary
     dup corpus): the fold form's interpreted HOF chain allocates a
@@ -298,12 +316,13 @@ def simhash16_frame(
     (_SIMHASH_CTE) has always been this formulation."""
     toks = docs.select(
         id_col,
+        *carry_cols,
         F.explode_outer(
             F.array_distinct(words_col(F.col(text_col)))
         ).alias("_w"),
     )
     h = F.conv(F.substring(F.md5("_w"), 1, 4), 16, 10).cast("long")
-    votes = toks.groupBy(id_col).agg(
+    votes = toks.groupBy(id_col, *carry_cols).agg(
         *[
             F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(
                 f"_v{j}"
@@ -321,26 +340,60 @@ def simhash16_frame(
         fp = bit if fp is None else fp + bit
     return votes.select(
         id_col,
+        *carry_cols,
         F.when(F.col("_v0").isNull(), F.lit(None).cast("long"))
         .otherwise(fp)
         .alias("simhash16"),
     )
 
 
+def require_unique_doc_ids(
+    docs: DataFrame, op: str, id_col: str = "doc_id"
+) -> None:
+    """Enforce the document-operator identity precondition: one row
+    per non-null ``id_col``. The bm25 duplicate-key guard's shape
+    (corpusstats.bm25_search_join) as a shared entry-point check for
+    operators whose id-keyed joins/windows would otherwise silently
+    drop NULL-id rows or merge duplicate-id rows (advice r15). One
+    column-pruned aggregate pass over the id column only — call it at
+    offline entry points, not inside per-query hot paths."""
+    counts = docs.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct(id_col).alias("ids"),
+        F.max(F.col(id_col).isNull()).alias("has_null"),
+    ).first()
+    if counts["has_null"]:
+        raise ValueError(
+            f"{op}: NULL {id_col} rows present — id-keyed joins and "
+            "windows would silently drop them; assign ids first"
+        )
+    if counts["rows"] != (counts["ids"] or 0):
+        raise ValueError(
+            f"{op}: {counts['rows']} rows but {counts['ids']} distinct "
+            f"{id_col} — duplicate ids would merge votes/fan out "
+            "id-keyed joins; run exact dedup or re-key first"
+        )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over whitespace-normalized
     lowercased text (content hash), plus a 16-bit SimHash over the
     distinct-word set for similarity-preserving fingerprints.
-    r15: the SimHash rides the codegen frame (one partial-aggregated
-    doc_id shuffle + a doc_id-clustered join) instead of the
+    r15: the SimHash rides the codegen frame instead of the
     interpreted fold — the fold's per-word array churn measured 12×
     slower at 500k docs (see simhash16_frame); at sf0.1 this form is
-    0.67 vs 0.40 s against a 7.44 s baseline."""
+    0.67 vs 0.40 s against a 7.44 s baseline. r16 (advice r15): the
+    content_md5 is CARRIED through the frame's aggregation rather
+    than joined back on doc_id — one shuffle instead of
+    shuffle+join, and NULL/duplicate doc_id rows keep the map-only
+    fold's multiplicity (only rows identical on (doc_id, content_md5)
+    — i.e. true duplicates — collapse)."""
     docs = spread(spark, load(spark, sf_dir, "documents"))
     norm = F.lower(F.regexp_replace(F.col("text"), "\\s+", " "))
-    return docs.select(
-        "doc_id", F.md5(norm).alias("content_md5")
-    ).join(simhash16_frame(docs), "doc_id")
+    keyed = docs.select("doc_id", "text", F.md5(norm).alias("content_md5"))
+    return simhash16_frame(keyed, carry_cols=("content_md5",)).select(
+        "doc_id", "content_md5", "simhash16"
+    )
 
 
 def minhash_signature_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -230,9 +230,17 @@ def prepare_training_corpus(
         exact_dedup_frame,
         quality_score_col,
         redacted_text_col,
+        require_unique_doc_ids,
         simhash16_frame,
     )
 
+    # Identity precondition (advice r15): every stage below keys on
+    # doc_id — the repetition semi-join, the SimHash frame's join-back,
+    # and the split bucketing — so NULL ids would silently vanish and
+    # duplicate ids would merge fingerprints / fan out joins. Enforced
+    # once at entry (one id-column aggregate; this is an offline
+    # corpus-prep entry point, not a benched query).
+    require_unique_doc_ids(docs, "prepare_training_corpus")
     if benchmark is not None:
         # Decontamination runs on the RAW text (the benchmark is raw
         # text too — redacting first would shift shingles on only one

@@ -158,3 +158,66 @@ def test_simhash_frame_equals_fold_form(spark):
     }
     assert fold == frame
     assert frame[100000] is None
+
+
+def test_simhash_frame_carry_cols_preserve_identity_edges(spark):
+    """Advice r15: a doc_id join-back on the frame silently drops
+    NULL-id rows and merges duplicate-id votes. The carry_cols form
+    must instead reproduce the map-only fold's multiplicity: NULL-id
+    rows survive as their own groups and duplicate ids stay distinct
+    when the carried digest differs."""
+    import pyspark.sql.functions as F
+
+    from data_ingestor_gluejob_script_spark.queries.textops import (
+        simhash16_col,
+        simhash16_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (1, "delta epsilon zeta"),  # duplicate id, different text
+            (None, "eta theta iota"),  # NULL id
+            (None, "kappa mu nu"),
+            (2, "xi omicron pi"),
+        ],
+        "doc_id long, text string",
+    )
+    keyed = docs.select(
+        "doc_id", "text", F.md5(F.lower(F.col("text"))).alias("d")
+    )
+    got = {
+        (r.doc_id, r.d): r.simhash16
+        for r in simhash16_frame(keyed, carry_cols=("d",)).collect()
+    }
+    want = {
+        (r.doc_id, r.d): r.sh
+        for r in keyed.select(
+            "doc_id", "d", simhash16_col(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 5  # nothing dropped, nothing merged
+
+
+def test_require_unique_doc_ids_guard(spark):
+    import pytest
+
+    from data_ingestor_gluejob_script_spark.queries.textops import (
+        require_unique_doc_ids,
+    )
+
+    ok = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    require_unique_doc_ids(ok, "t")  # no raise
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="duplicate ids"):
+        require_unique_doc_ids(dup, "t")
+    withnull = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        require_unique_doc_ids(withnull, "t")

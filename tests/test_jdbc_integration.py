@@ -36,6 +36,13 @@ def derby(spark, tmp_path_factory):
     db_path = str(tmp_path_factory.mktemp("derby") / "testdb")
     url = f"jdbc:derby:{db_path}"
     jvm = spark._jvm
+    # Redirect Derby's diagnostic log into the test tmpdir BEFORE the
+    # engine boots — by default it drops a derby.log in the process
+    # cwd (the repo root), which pollutes the working tree.
+    jvm.java.lang.System.setProperty(
+        "derby.stream.error.file",
+        str(tmp_path_factory.mktemp("derby-log") / "derby.log"),
+    )
     jvm.java.lang.Class.forName(DERBY_DRIVER)
     conn = jvm.java.sql.DriverManager.getConnection(f"{url};create=true")
     st = conn.createStatement()

@@ -14,7 +14,11 @@ import pyspark.sql.functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from data_ingestor_gluejob_script_spark.queries._util import spread  # noqa: E402
+from data_ingestor_gluejob_script_spark.queries import _util  # noqa: E402
+from data_ingestor_gluejob_script_spark.queries._util import (  # noqa: E402
+    _sample_indices,
+    spread,
+)
 
 
 def _fat_rows(spark, n=120_000):
@@ -46,3 +50,58 @@ def test_spread_noop_for_well_split_input(spark, tmp_path):
     df = spark.read.parquet(path)
     assert len(df.inputFiles()) == n_files
     assert spread(spark, df) is df
+
+
+def test_spread_noop_for_mixed_sizes_any_listing_order(
+    spark, tmp_path, monkeypatch
+):
+    """Advice r15: the old heuristic statted only the FIRST 8 paths of
+    the arbitrary-order listing, so a mixed corpus whose large
+    multi-row-group file fell past the head looked all-small, took the
+    file-count cap, and got a full repartition shuffle it didn't need.
+    Listings ≤64 files are now statted in full — ONE over-threshold
+    file anywhere in the listing disarms the cap. The threshold is
+    scaled down so the fixture's "big" file counts as multi-row-group
+    without writing 128 MB in a test."""
+    path = str(tmp_path / "mixed")
+    # 16 small files (~1.5 MB parquet each) + one ~8x larger file, all
+    # in one dataset directory; listing order is filesystem-arbitrary.
+    _fat_rows(spark, n=50_000).repartition(16).write.mode("append").parquet(
+        path
+    )
+    _fat_rows(spark, n=25_000).coalesce(1).write.mode("append").parquet(path)
+    df = spark.read.parquet(path)
+    files = df.inputFiles()
+    assert len(files) == 17
+    sizes = sorted(
+        (tmp_path / "mixed").glob("*.parquet"), key=lambda p: p.stat().st_size
+    )
+    big = sizes[-1].stat().st_size
+    small_max = sizes[-2].stat().st_size
+    assert big > 2 * small_max  # fixture premise: one genuinely-large file
+    monkeypatch.setattr(
+        _util, "_SINGLE_ROWGROUP_MAX_BYTES", (big + small_max) // 2
+    )
+    planned = df.rdd.getNumPartitions()
+    if planned * 2 < spark.sparkContext.defaultParallelism:
+        import pytest
+
+        pytest.skip("planner under-split the fixture; premise not met")
+    # the big file is over-threshold wherever it sits in the listing,
+    # so the file-count cap must NOT apply and the scan is a no-op
+    assert spread(spark, df) is df
+
+
+def test_sample_indices_cover_first_last_and_spread():
+    for n in (1, 2, 7, 8, 9, 64, 65, 1000, 100_000):
+        idx = _sample_indices(n)
+        assert idx[0] == 0
+        assert idx[-1] == n - 1 or n <= 1
+        assert idx == sorted(set(idx))
+        assert all(0 <= i < n for i in idx)
+        assert len(idx) <= 8
+        if n > 8:
+            # stride sampling: consecutive samples at most ~n/7 apart,
+            # so a large-file run anywhere in the listing is hit
+            gaps = [b - a for a, b in zip(idx, idx[1:])]
+            assert max(gaps) <= (n - 1) // 7 + 1
