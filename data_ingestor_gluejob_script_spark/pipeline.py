@@ -594,6 +594,42 @@ def _dir_has_success(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def _success_mtime(spark: SparkSession, path: str) -> int | None:
+    """Modification time (epoch ms) of ``path``'s ``_SUCCESS`` marker,
+    or None when absent — the timestamp token the compaction
+    stale-resume guard compares table writes against."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    return int(fs.getFileStatus(p).getModificationTime())
+
+
+def _max_data_mtime(spark: SparkSession, path: str) -> int | None:
+    """Newest modification time (epoch ms) across a table location's
+    COMMITTED data files — every hidden path (any component starting
+    with ``_`` or ``.``: staging dirs, committer ``_temporary``,
+    markers) is excluded, so only files a reader would see count."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return None
+    root_uri = str(fs.makeQualified(root).toUri().getPath()).rstrip("/")
+    newest = None
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        rel = str(st.getPath().toUri().getPath())[len(root_uri):]
+        if any(c and c[0] in "_." for c in rel.split("/")):
+            continue
+        m = int(st.getModificationTime())
+        if newest is None or m > newest:
+            newest = m
+    return newest
+
+
 def _insert_partition_overwrite(
     spark: SparkSession, df: DataFrame, table_name: str, dynamic: bool = True
 ) -> None:
@@ -763,11 +799,49 @@ def compact_bucketed_table(
     - staging WITHOUT ``_SUCCESS``: the previous run died mid-snapshot
       — the table was never touched; drop the partial copy and stage
       fresh.
+
+    Stale-resume guard (advice r15): a snapshot is authoritative only
+    while the table holds NO writes newer than it. If the previous
+    insert actually SUCCEEDED and the process died before staging
+    cleanup, later upserts can land in the table; auto-resuming would
+    then static-overwrite the table with the pre-upsert snapshot —
+    silently reverting every row written since. Two defenses: (a) the
+    ``_SUCCESS`` marker is deleted IMMEDIATELY after a successful
+    insert (one FS op before the directory delete, shrinking the
+    stale-snapshot window to milliseconds), and (b) on resume, the
+    newest committed table data-file mtime is compared against the
+    snapshot's ``_SUCCESS`` mtime — table-newer means writes landed
+    after the snapshot was taken, so the resume REFUSES with the
+    snapshot kept for manual reconciliation. A failed insert commits
+    nothing (the committer publishes data files only at job commit),
+    so genuine crash recovery always passes this check.
+
+    Scale contract: this is deliberately a FULL-table rewrite — the
+    point of bucketed-lake compaction is to restore the one-file-per-
+    (partition, bucket) invariant that upsert write tasks erode, and
+    that clustering is global (every row must land in its murmur3
+    bucket file). Run it as scheduled maintenance at the deployment's
+    cadence, not per-batch; incremental tail-packing (the append-lake
+    compactor's shape) cannot apply because bucket membership, not
+    file size, dictates placement.
     """
     lake = spark.table(table_name)
     staging = f"{_table_location(spark, table_name)}/_compact_staging"
     resume = _dir_has_success(spark, staging)
     if resume:
+        snap_ts = _success_mtime(spark, staging)
+        table_ts = _max_data_mtime(spark, _table_location(spark, table_name))
+        if snap_ts is not None and table_ts is not None and table_ts > snap_ts:
+            raise RuntimeError(
+                f"compact {table_name}: staging snapshot at {staging} "
+                f"predates committed table writes (snapshot _SUCCESS "
+                f"{snap_ts} < newest table file {table_ts}) — a prior "
+                "compaction's insert likely succeeded before cleanup "
+                "died, and rows were written since; auto-resume would "
+                "revert them. The snapshot is KEPT; reconcile manually "
+                "(drop the staging dir to accept the current table, or "
+                "insert the snapshot yourself to accept it)"
+            )
         log.warning(
             "compact %s: resuming from the complete staging snapshot "
             "at %s (previous run failed during the insert phase)",
@@ -813,6 +887,11 @@ def compact_bucketed_table(
             staging,
         )
         raise
+    # Revoke the snapshot's authority FIRST (advice r15): the insert
+    # has committed, so from here the snapshot is stale — one marker
+    # delete closes the resume window before the (slower, many-file)
+    # directory delete runs.
+    _rm_dir(spark, f"{staging}/_SUCCESS")
     _rm_dir(spark, staging)
     return n
 

@@ -85,6 +85,7 @@ from .textops import (
     contamination_report,
     minhash_dedup_frame,
     q_simhash_neardup_pairs,
+    simhash64_neardup_pairs,
 )
 from .tokenizer import pack_token_stream, q_encode_corpus, vocab_with_ids
 from .urlops import domain_stats_frame, url_dedup_frame
@@ -443,6 +444,14 @@ def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inline signature verify + anti-join), vs the pair-listing
         # q_minhash_lsh_pairs already in the core set
         "x_minhash_dedup": lambda s, d: minhash_dedup_frame(_docs(s, d)),
+        # 64-bit SimHash near-miss pairs (r16): the corpus-scale twin
+        # of the registered 16-bit op, whose fingerprint space
+        # saturates past ~1e5 docs (SCALE.md r15 tail); pigeonhole
+        # band join over 4 disjoint 16-bit slices, exact-collapse
+        # representatives first. Differential: test_curation_ops.
+        "x_simhash64_pairs": lambda s, d: simhash64_neardup_pairs(
+            _docs(s, d)
+        ),
         # C4 corpus-level line dedup over the 10-word-line reshape
         "x_line_dedup": lambda s, d: line_dedup_frame(
             multiline_docs(_docs(s, d))

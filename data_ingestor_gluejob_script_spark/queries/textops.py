@@ -375,6 +375,135 @@ def require_unique_doc_ids(
         )
 
 
+def simhash64_frame(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash64): 64-bit SimHash over the distinct-word set —
+    the corpus-scale twin of :func:`simhash16_frame` (r15 verdict #3).
+    The 16-bit space saturates around 10⁵ docs: with only 65k
+    fingerprints, every 8-bit band bucket exceeds any sane cap and
+    the registered near-miss pair join returns ZERO pairs (SCALE.md
+    r15 tail). 64 bits keep band buckets sparse at any realistic
+    corpus size; the registered 16-bit queries keep the reference
+    semantics, this frame is the scale path.
+
+    Same codegen shape: explode the distinct-word set, ONE
+    partial-aggregated groupBy(id) with 64 vote sums, sign → bits.
+    The hash bits come from two 32-bit md5 chunks (hex chars 1-8 and
+    9-16) because ``conv`` of 16 hex chars overflows a signed long;
+    bit j reads chunk j//32 at position j%32. Bit 63 is set via
+    ``shiftleft(1L, 63)`` (the sum-of-powers form used for 16 bits
+    would overflow), so the fingerprint is a signed long whose BIT
+    PATTERN is the 64-bit hash — compare with XOR/bit_count, never
+    arithmetically. NULL text → NULL fingerprint."""
+    toks = docs.select(
+        id_col,
+        F.explode_outer(
+            F.array_distinct(words_col(F.col(text_col)))
+        ).alias("_w"),
+    )
+    h_lo = F.conv(F.substring(F.md5("_w"), 1, 8), 16, 10).cast("long")
+    h_hi = F.conv(F.substring(F.md5("_w"), 9, 8), 16, 10).cast("long")
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(h_lo if j < 32 else h_hi, j % 32).bitwiseAND(
+                    F.lit(1)
+                )
+                * 2
+                - 1
+            ).alias(f"_v{j}")
+            for j in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for j in range(64):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"_v{j}") > 0,
+                F.shiftleft(F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select(
+        id_col,
+        F.when(F.col("_v0").isNull(), F.lit(None).cast("long"))
+        .otherwise(fp)
+        .alias("simhash64"),
+    )
+
+
+#: Hot-bucket cap for the 64-bit near-miss band join — same role as
+#: MAX_SIMHASH_BUCKET for the 16-bit form, but over IDENTICAL-
+#: fingerprint-collapsed representatives: a 16-bit slice bucket this
+#: large means >500 DISTINCT fingerprints agree on one slice, a
+#: templated-boilerplate pathology whose O(bucket²) pairs are
+#: near-worthless; the cap keeps the join linear and is recorded in
+#: the docstring contract rather than silently unbounded.
+MAX_SIMHASH64_BUCKET = 500
+
+
+def simhash64_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-miss pairs on the 64-bit
+    fingerprint, Hamming distance in [1, max_hamming] — the
+    corpus-scale closer of the 16-bit saturation gap. Returns pairs
+    of IDENTICAL-FINGERPRINT REPRESENTATIVES (min id per
+    fingerprint): distance-0 mass is a linear groupBy concern exactly
+    as in q_simhash_dedup_groups, and collapsing it FIRST is what
+    keeps band buckets (and the output) linear on clone-heavy corpora
+    — the MinHash exact-collapse-first playbook.
+
+    Scale shape: pigeonhole band join on ``max_hamming + 1`` disjoint
+    bit slices of the fingerprint — the dhash64 image-dedup machinery
+    (operators/multimodal.py:phash_bands) reused verbatim on text
+    fingerprints; two hashes within ``max_hamming`` bits agree on at
+    least one slice, so candidate generation is an equi-join, never
+    all-pairs. Per-pair verify is a map-side popcount; band-duplicate
+    candidates collapse in a distinct. Buckets over
+    MAX_SIMHASH64_BUCKET distinct fingerprints are dropped (recorded
+    pathology cap, see the constant)."""
+    from ..operators.multimodal import phash_bands
+
+    fp = simhash64_frame(docs, text_col=text_col, id_col=id_col)
+    reps = (
+        fp.filter(F.col("simhash64").isNotNull())
+        .groupBy("simhash64")
+        .agg(F.min(id_col).alias(id_col))
+        .withColumnRenamed("simhash64", "phash")
+    )
+    bands = phash_bands(reps, max_hamming, id_col=id_col).repartition(
+        "band_idx", "band_val"
+    )
+    occ = F.count("*").over(Window.partitionBy("band_idx", "band_val"))
+    bands = (
+        bands.withColumn("_occ", occ)
+        .filter(F.col("_occ") <= MAX_SIMHASH64_BUCKET)
+        .drop("_occ")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            "inner",
+        )
+        .filter(ham <= max_hamming)  # >=1 is structural: ids differ
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over whitespace-normalized
     lowercased text (content hash), plus a 16-bit SimHash over the

@@ -252,6 +252,44 @@ def test_compaction_failure_keeps_staging_recovery_copy(
     assert not os.path.exists(staging)
 
 
+def test_compaction_refuses_stale_snapshot_after_newer_writes(
+    spark, clean_table
+):
+    """Advice r15: if a prior compaction's insert SUCCEEDED but the
+    process died before staging cleanup, the complete snapshot
+    survives with its _SUCCESS marker. Upserts can then land in the
+    table — auto-resuming from the stale snapshot would static-
+    overwrite the table and silently revert them. The resume guard
+    must detect the newer table writes, REFUSE with the snapshot kept,
+    and leave the table untouched."""
+    import os
+    import time
+
+    write_partitioned_upsert_bucketed(
+        spark, _batch(spark, BATCH1), SUBS, TABLE, num_buckets=BUCKETS
+    )
+    loc = pipeline._table_location(spark, TABLE)
+    staging = (loc.removeprefix("file:")) + "/_compact_staging"
+    # fabricate the post-insert-pre-cleanup crash: a COMPLETE snapshot
+    # (with _SUCCESS) of the current table left behind
+    spark.table(TABLE).write.parquet(staging)
+    time.sleep(0.2)  # ensure later writes carry strictly newer mtimes
+    write_partitioned_upsert_bucketed(
+        spark, _batch(spark, BATCH2), SUBS, TABLE, num_buckets=BUCKETS
+    )
+    before = _content(spark.table(TABLE))
+    with pytest.raises(RuntimeError, match="predates committed table"):
+        compact_bucketed_table(spark, TABLE, SUBS.id_col, BUCKETS)
+    # nothing reverted; snapshot kept for manual reconciliation
+    assert _content(spark.table(TABLE)) == before
+    assert os.path.isdir(staging)
+    # operator accepts the current table by dropping the stale staging
+    pipeline._rm_dir(spark, staging)
+    n = compact_bucketed_table(spark, TABLE, SUBS.id_col, BUCKETS)
+    assert n == len(before)
+    assert _content(spark.table(TABLE)) == before
+
+
 def test_compaction_partial_staging_is_dropped_not_trusted(
     spark, clean_table, monkeypatch
 ):

@@ -200,6 +200,93 @@ def test_simhash_frame_carry_cols_preserve_identity_edges(spark):
     assert len(got) == 5  # nothing dropped, nothing merged
 
 
+def _py_simhash64(text):
+    """Independent pure-python oracle for simhash64_frame: same word
+    convention as words_col (split on single spaces, distinct), two
+    32-bit md5 hex chunks for the 64 hash bits, ±1 votes, sign→bit,
+    signed-long bit pattern."""
+    import hashlib
+
+    if text is None:
+        return None
+    votes = [0] * 64
+    for w in set(text.split(" ")):
+        hx = hashlib.md5(w.encode()).hexdigest()
+        h_lo, h_hi = int(hx[0:8], 16), int(hx[8:16], 16)
+        for j in range(64):
+            chunk = h_lo if j < 32 else h_hi
+            votes[j] += 1 if (chunk >> (j % 32)) & 1 else -1
+    fp = 0
+    for j in range(64):
+        if votes[j] > 0:
+            fp |= 1 << j
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def test_simhash64_frame_matches_python_oracle(spark):
+    from data_ingestor_gluejob_script_spark.queries.textops import (
+        simhash64_frame,
+    )
+    from tools.make_zipf_corpus import zipf_documents
+
+    base = zipf_documents(
+        spark, 300, vocab=1500, cluster_size=4, dup_pct=40
+    ).select("doc_id", "text")
+    edges = spark.createDataFrame(
+        [(200000, None), (200001, "solo"), (200002, "a a  a")],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(edges)
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    got = {
+        r.doc_id: r.simhash64 for r in simhash64_frame(docs).collect()
+    }
+    want = {i: _py_simhash64(t) for i, t in rows.items()}
+    assert got == want
+    assert got[200000] is None
+
+
+def test_simhash64_neardup_pairs_match_bruteforce(spark):
+    """Banded pigeonhole join vs brute-force all-pairs over the
+    identical-fingerprint representatives: at max_hamming=3 the 4
+    disjoint 16-bit slices guarantee FULL recall (pigeonhole), so the
+    sets must be equal, not merely overlapping."""
+    from data_ingestor_gluejob_script_spark.queries.textops import (
+        simhash64_frame,
+        simhash64_neardup_pairs,
+    )
+    from tools.make_zipf_corpus import zipf_documents
+
+    docs = zipf_documents(
+        spark, 400, vocab=800, cluster_size=5, dup_pct=60
+    ).select("doc_id", "text")
+    fps = {
+        r.doc_id: r.simhash64
+        for r in simhash64_frame(docs).collect()
+        if r.simhash64 is not None
+    }
+    # representatives: min doc_id per fingerprint
+    rep = {}
+    for i, f in fps.items():
+        if f not in rep or i < rep[f]:
+            rep[f] = i
+    reps = sorted((i, f) for f, i in rep.items())
+    mask = (1 << 64) - 1
+    want = set()
+    for ai in range(len(reps)):
+        for bi in range(ai + 1, len(reps)):
+            (ia, fa), (ib, fb) = reps[ai], reps[bi]
+            d = bin((fa ^ fb) & mask).count("1")
+            if 1 <= d <= 3:
+                want.add((min(ia, ib), max(ia, ib), d))
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash64_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no near-miss pairs; weaken dup_pct"
+
+
 def test_require_unique_doc_ids_guard(spark):
     import pytest
 

@@ -21,11 +21,18 @@ records every compaction event and the per-lake final file counts, so
 a long-horizon run shows per-batch ms staying flat ACROSS compaction
 events instead of climbing with file count.
 
+r16 addition (r15 verdict #1): compaction is now INCREMENTAL — only
+the sub-target small-file tail is read and repacked; graduated files
+are untouched. Each compaction event records bytes_read vs lake_bytes
+at that moment, so the artifact itself witnesses the O(new data)
+bound: bytes_read must stay ~flat across events while lake_bytes
+grows with the stream.
+
 Usage:
   python tools/streaming_neardup_smoke.py [sf_dir] [n_chunks]
 (defaults: scale_data/sf10, 24 chunks)
 
-Output: scale_data/streaming_neardup_smoke_r15.json. Protocol: one
+Output: scale_data/streaming_neardup_smoke_r16.json. Protocol: one
 JVM, quiet host, never under concurrent Spark (memory:
 bench-timing-discipline).
 """
@@ -117,9 +124,16 @@ def main() -> int:
         "lake_bytes": _dir_bytes(lake_dir),
         "checkpoint_bytes": _dir_bytes(ckpt_dir),
         "compact_threshold_files": _st.APPEND_LAKE_COMPACT_FILES,
+        "compact_target_bytes": _st._COMPACT_TARGET_BYTES,
         "compaction_events": [
-            {"lake": os.path.basename(p), "files_before": n}
-            for p, n in _st.COMPACTION_EVENTS
+            {
+                "lake": os.path.basename(ev["path"]),
+                "small_files": ev["small_files"],
+                "bytes_read": ev["bytes_read"],
+                "lake_bytes": ev["lake_bytes"],
+                "n_out": ev["n_out"],
+            }
+            for ev in _st.COMPACTION_EVENTS
         ],
         "sig_files_final": _n_parquet_files(spark, sig_dir),
         "lake_files_final": _n_parquet_files(spark, lake_dir),
@@ -128,7 +142,7 @@ def main() -> int:
         "batch_ms_last3": [b["batch_ms"] for b in batches[-3:]],
     }
     path = os.path.join(
-        REPO, "scale_data", "streaming_neardup_smoke_r15.json"
+        REPO, "scale_data", "streaming_neardup_smoke_r16.json"
     )
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
