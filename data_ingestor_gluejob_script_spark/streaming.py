@@ -1532,7 +1532,15 @@ def _compact_append_lake(
     if len(small) <= 1:
         return None
     small_bytes = sum(b for _, b in small)
-    n_out = max(1, small_bytes // target + 1)  # no cap: sized by bytes
+    # Floor division, no cap: n_out <= small_bytes/target, so every
+    # pack file lands AT or above the target and GRADUATES — the
+    # +1 form produced files just under target that stayed "small"
+    # forever and were re-read every cycle (caught by the first r16
+    # smoke artifact: bytes_read == lake_bytes at every event).
+    # Under one target's worth of tail -> a single sub-target "runt"
+    # that rides into the next cycle; the amortized rewrite count per
+    # byte stays O(1).
+    n_out = max(1, small_bytes // target)
     staging_p = _lake_staging(path)
     jvm, fs = _fs_of(spark, path)
     staging = jvm.org.apache.hadoop.fs.Path(staging_p)

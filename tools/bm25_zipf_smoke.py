@@ -21,6 +21,16 @@ scan first, best-of-$SPARK_GRAFT_SCALE_REPS (default 2), variants
 interleaved per corpus so JIT state is comparable. Output:
 scale_data/bm25_zipf_smoke.json with per-size seconds and per-decade
 ratios; the committed analysis lives in SCALE.md.
+
+r16 (r15 verdict #4): per-variant EXCHANGE BYTES are recorded
+directly, not inferred — the Spark UI REST API is polled for the
+completed-stage deltas of each timed run (shuffle read/write bytes,
+input bytes, disk/memory spill), so "the dictionary path's only
+corpus exchange is the doc_id repartition and its bytes are flat
+across variants" is a number in the artifact. The UI is enabled for
+this tool only (the engine session keeps it off); stage metrics are
+wall-clock-free counters, so reading them does not perturb timing —
+the poll happens between runs.
 """
 
 from __future__ import annotations
@@ -40,6 +50,39 @@ REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
 FRAC = float(os.environ.get("SPARK_GRAFT_BM25_MAXDF", "0.1"))
 
 
+def _completed_stages(spark) -> list[dict]:
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.loads(r.read().decode())
+
+
+_BYTE_FIELDS = {
+    "shuffle_read_bytes": "shuffleReadBytes",
+    "shuffle_write_bytes": "shuffleWriteBytes",
+    "input_bytes": "inputBytes",
+    "disk_spill_bytes": "diskBytesSpilled",
+    "memory_spill_bytes": "memoryBytesSpilled",
+}
+
+
+def _max_stage_id(spark) -> int:
+    stages = _completed_stages(spark)
+    return max((s["stageId"] for s in stages), default=-1)
+
+
+def _bytes_since(spark, after_id: int) -> dict[str, int]:
+    tot = {k: 0 for k in _BYTE_FIELDS}
+    for st in _completed_stages(spark):
+        if st["stageId"] > after_id:
+            for k, f in _BYTE_FIELDS.items():
+                tot[k] += int(st.get(f, 0) or 0)
+    return tot
+
+
 def main() -> int:
     from data_ingestor_gluejob_script_spark.queries.corpusstats import (
         bm25_search_join,
@@ -48,7 +91,16 @@ def main() -> int:
     from data_ingestor_gluejob_script_spark.session import get_spark
 
     sizes = sys.argv[1:] or SIZES
-    spark = get_spark("bm25-zipf-smoke")
+    spark = get_spark(
+        "bm25-zipf-smoke",
+        extra_conf={
+            # exchange-bytes evidence rides the UI REST API; keep
+            # enough completed stages retained that a full variant
+            # run (tens of stages) never falls out of the window
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "20000",
+        },
+    )
     out: dict[str, dict] = {}
     for name in sizes:
         d = os.path.join(REPO, "scale_data", name)
@@ -98,16 +150,22 @@ def main() -> int:
             ),
         }
         res: dict[str, float] = {}
+        run_bytes: dict[str, dict] = {}
         for rep in range(REPS):
             for v, kw in variants.items():
+                mark = _max_stage_id(spark)
                 t0 = time.perf_counter()
                 bm25_search_join(docs, queries, k=5, **kw).write.mode(
                     "overwrite"
                 ).format("noop").save()
                 dt = round(time.perf_counter() - t0, 3)
                 res[v] = min(res.get(v, dt), dt)
+                # counters are deterministic per plan — any rep's
+                # delta is THE number; keep the last
+                run_bytes[v] = _bytes_since(spark, mark)
         out[name] = {"index_sec": index_sec, "stats_sec": stats_sec,
-                     **res}
+                     **res,
+                     "bytes": run_bytes}
         print(f"{name}: {out[name]}", flush=True)
 
     decades = {}
