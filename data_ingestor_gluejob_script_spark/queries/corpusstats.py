@@ -846,6 +846,35 @@ LIMIT {k}
 """
 
 
+#: Sizing model for the posting-stream exchange: estimated UNCOMPRESSED
+#: in-memory bytes per (doc_id, dl, token, tf, df) shuffle row (UnsafeRow
+#: fields + avg token chars + offsets), and the per-partition byte
+#: target the sort/agg machinery handles without spilling under
+#: default executor memory fractions.
+_POSTING_ROW_SHUFFLE_BYTES = 64
+_POSTING_PARTITION_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _posting_partitions(
+    spark, n_docs: int | None, avg_dl: float | None
+) -> int | None:
+    """Exchange width for the BM25 posting stream, from INDEX-TIME
+    stats (r16, driven by the recorded spill bytes — SCALE.md r16):
+    ``n_docs x avg_dl`` bounds the restricted stream's rows (distinct
+    terms per doc <= words per doc), x estimated row bytes, / the
+    per-partition target. None when either stat is unknown (the
+    caller keeps the session default width — small corpora and the
+    non-index-time paths are unchanged). Floored at the cluster
+    parallelism, capped at 32k (Spark's practical partition-count
+    ceiling for a single exchange)."""
+    if n_docs is None or avg_dl is None:
+        return None
+    est_bytes = float(n_docs) * float(avg_dl) * _POSTING_ROW_SHUFFLE_BYTES
+    want = int(est_bytes // _POSTING_PARTITION_TARGET_BYTES) + 1
+    base = spark.sparkContext.defaultParallelism
+    return max(base, min(32768, want))
+
+
 def bm25_search_join(
     docs: DataFrame,
     queries: DataFrame,
@@ -1057,6 +1086,25 @@ def bm25_search_join(
     # where partitioning by token would put every row of a hot term
     # in one task (the degenerate-vocabulary trap: testdata has 31
     # distinct words, so ANY term set saturates the corpus).
+    # Exchange width (r16, from the recorded bytes): the doc_id
+    # repartition defaults to the session shuffle width, and the r16
+    # smoke's spill columns showed the UNPRUNED dictionary stream
+    # disk-spilling 1.4-1.8 GB at 5M docs (65 MB of posting rows per
+    # partition under the fixed local width; the pruned variants
+    # spilled zero). With index-time stats the posting volume is
+    # known BEFORE the query runs — n_docs × avg_dl bounds the
+    # restricted stream's rows — so the exchange is sized to it.
+    # AQE never coalesces a user repartition, so over-estimating
+    # (pruned streams are ~3× smaller) costs only task overhead;
+    # under-estimating costs sort spill. Floor at the cluster's
+    # parallelism: small corpora keep today's width and plans.
+    n_parts = _posting_partitions(docs.sparkSession, n_docs, avg_dl)
+
+    def _by_doc(df: DataFrame) -> DataFrame:
+        if n_parts is not None:
+            return df.repartition(n_parts, "doc_id")
+        return df.repartition("doc_id")
+
     if df_table is not None:
         # Dictionary path: ONE corpus pass. The dictionary lookup
         # (inner join against broadcast qterms) yields ≤ |query terms|
@@ -1069,13 +1117,9 @@ def bm25_search_join(
             qdf = qdf.filter(
                 F.col("df") <= F.lit(max_df_frac * n_docs_total)
             )
-        with_df = ctf.join(F.broadcast(qdf), "token").repartition(
-            "doc_id"
-        )
+        with_df = _by_doc(ctf.join(F.broadcast(qdf), "token"))
     elif max_df_frac is None:
-        ctf_q = ctf.join(F.broadcast(qterms), "token").repartition(
-            "doc_id"
-        )
+        ctf_q = _by_doc(ctf.join(F.broadcast(qterms), "token"))
         # ctf_q is one row per (doc, token): counting rows per token
         # IS df
         df_tbl = ctf_q.groupBy("token").agg(F.count("*").alias("df"))
@@ -1098,9 +1142,7 @@ def bm25_search_join(
         # it is what lets the post-fan-out per-(query, doc) sum reuse
         # hash(doc_id) clustering instead of shuffling the fanned
         # contribution stream.
-        with_df = ctf.join(F.broadcast(df_tbl), "token").repartition(
-            "doc_id"
-        )
+        with_df = _by_doc(ctf.join(F.broadcast(df_tbl), "token"))
     idf = F.log(
         F.lit(1.0)
         + (F.lit(n_docs_total) - F.col("df") + 0.5) / (F.col("df") + 0.5)

@@ -767,3 +767,68 @@ def test_bm25_dictionary_from_vocab_ingest(spark, tmp_path):
             avg_dl=avg_dl,
         )
     ) == rows(bm25_search_join(corpus, queries, k=5))
+
+
+def test_posting_partitions_sizing(spark):
+    """r16: the posting-stream exchange width is sized from index-time
+    stats; unknown stats keep the session default (None), small
+    corpora floor at the cluster parallelism, big ones scale with
+    n_docs*avg_dl and cap at 32k."""
+    from data_ingestor_gluejob_script_spark.queries.corpusstats import (
+        _POSTING_PARTITION_TARGET_BYTES,
+        _POSTING_ROW_SHUFFLE_BYTES,
+        _posting_partitions,
+    )
+
+    base = spark.sparkContext.defaultParallelism
+
+    def want(n, adl):
+        est = n * adl * _POSTING_ROW_SHUFFLE_BYTES
+        return max(
+            base,
+            min(32768, int(est // _POSTING_PARTITION_TARGET_BYTES) + 1),
+        )
+
+    assert _posting_partitions(spark, None, None) is None
+    assert _posting_partitions(spark, 1000, None) is None
+    # tiny corpus: floor at parallelism (unchanged plans locally)
+    assert _posting_partitions(spark, 1000, 5.0) == base
+    # 5M docs x 57 words x 64B ~= 18 GB -> ~143 partitions of 128 MB
+    got = _posting_partitions(spark, 5_000_000, 57.0)
+    assert got == want(5_000_000, 57.0) and got >= 100
+    # absurd scale hits the cap
+    assert _posting_partitions(spark, 10**12, 500.0) == 32768
+
+
+def test_bm25_index_time_stats_set_exchange_width(spark):
+    """The dict_full path's doc_id repartition must carry the computed
+    width (visible as RepartitionByExpression with numPartitions in
+    the analyzed plan) while the no-stats path keeps the session
+    default form."""
+    import re
+
+    from data_ingestor_gluejob_script_spark.queries import corpusstats as cs
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "alpha beta")], "query_id long, text string"
+    )
+    dft = docs.selectExpr("explode(split(text, ' ')) AS token").groupBy(
+        "token"
+    ).agg(F.countDistinct("token").alias("df"))
+    # force the scaling branch with a tiny per-partition target
+    old = cs._POSTING_PARTITION_TARGET_BYTES
+    cs._POSTING_PARTITION_TARGET_BYTES = 64
+    try:
+        out = cs.bm25_search_join(
+            docs, queries, k=2, df_table=dft, n_docs=20, avg_dl=4.0
+        )
+        plan = out._jdf.queryExecution().analyzed().toString()
+        m = re.search(r"RepartitionByExpression \[doc_id[^\]]*\], (\d+)", plan)
+        assert m, plan
+        assert int(m.group(1)) == cs._posting_partitions(spark, 20, 4.0)
+    finally:
+        cs._POSTING_PARTITION_TARGET_BYTES = old

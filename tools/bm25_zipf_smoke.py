@@ -181,7 +181,10 @@ def main() -> int:
             }
     doc = {"reps": REPS, "max_df_frac": FRAC, "sizes": out,
            "decades": decades}
-    path = os.path.join(REPO, "scale_data", "bm25_zipf_smoke.json")
+    path = os.path.join(
+        REPO, "scale_data",
+        os.environ.get("SPARK_GRAFT_BM25_OUT", "bm25_zipf_smoke.json"),
+    )
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps(decades))
