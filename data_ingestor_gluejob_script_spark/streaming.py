@@ -760,7 +760,15 @@ def run_doc_dedup_ingest(
             spark, batch_df, lake_dir, "text_md5",
             row_digest(["text"]), "doc_id",
         )
-        fresh.write.mode("append").parquet(lake_dir)
+        # One file per broadcast-contract-bounded batch, then the
+        # shared incremental tail compaction (r16 — the near-dup
+        # twins' shape): the lake doubles as the per-batch digest
+        # ledger, so its file count is a per-batch scan cost. Crash
+        # ordering is safe: replay re-appends nothing (digest guard)
+        # and _ledgered_fresh recovers any interrupted swap before
+        # reading the lake.
+        fresh.coalesce(1).write.mode("append").parquet(lake_dir)
+        _maybe_compact_lakes(spark, lake_dir)
 
     return (
         stream.writeStream.foreachBatch(sink)
@@ -825,7 +833,10 @@ def run_url_dedup_ingest(
         fresh, _ = _ledgered_fresh(
             spark, parsed, lake_dir, "url_md5", F.md5(key), "doc_id"
         )
-        fresh.write.mode("append").parquet(lake_dir)
+        # same one-file-per-batch + incremental tail compaction as
+        # the doc twin (r16); idempotence + swap recovery identical
+        fresh.coalesce(1).write.mode("append").parquet(lake_dir)
+        _maybe_compact_lakes(spark, lake_dir)
 
     return (
         stream.writeStream.foreachBatch(sink)
@@ -889,7 +900,10 @@ def run_web_curation_ingest(
             spark, curated, lake_dir, "text_md5",
             row_digest(["text"]), "doc_id",
         )
-        fresh.write.mode("append").parquet(lake_dir)
+        # same one-file-per-batch + incremental tail compaction as
+        # the doc twin (r16); idempotence + swap recovery identical
+        fresh.coalesce(1).write.mode("append").parquet(lake_dir)
+        _maybe_compact_lakes(spark, lake_dir)
 
     return (
         stream.writeStream.foreachBatch(sink)

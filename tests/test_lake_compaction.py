@@ -366,3 +366,56 @@ def test_neardup_ingest_compacts_both_lakes_and_stays_exact(
         r["doc_id"] for r in spark.read.parquet(lake).collect()
     ) == want
     assert spark.read.parquet(sigs).count() == n_sigs
+
+
+def test_doc_and_url_dedup_ingests_compact_their_lakes(
+    spark, tmp_path, monkeypatch
+):
+    """r16: the lake-as-state ingests (doc dedup, URL dedup, web
+    curation) join the same incremental compaction path as the
+    two-lake twins — bounded file counts, exact content, replay
+    no-op."""
+    from data_ingestor_gluejob_script_spark.streaming import (
+        run_doc_dedup_ingest,
+        run_url_dedup_ingest,
+    )
+
+    monkeypatch.setattr(streaming, "APPEND_LAKE_COMPACT_FILES", 4)
+    rows = [(i, f"doc body {i % 10}") for i in range(16)]  # 10 distinct
+    docs_dir = str(tmp_path / "in")
+    for i, t in rows:
+        spark.createDataFrame(
+            [(i, t)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    lake = str(tmp_path / "lake")
+    q = run_doc_dedup_ingest(spark, docs_dir, lake, str(tmp_path / "ck"))
+    q.awaitTermination(600)
+    assert _n_parquet_files(spark, lake) <= 6  # compacted mid-stream
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(lake).collect()
+    )
+    assert got == list(range(10))  # first arrival per distinct text
+    # replay: nothing re-appended
+    q2 = run_doc_dedup_ingest(spark, docs_dir, lake, str(tmp_path / "ck2"))
+    q2.awaitTermination(600)
+    assert spark.read.parquet(lake).count() == 10
+
+    # URL twin: 8 docs over 4 distinct normalized URLs
+    url_rows = [
+        (i, f"doc {i}", f"HTTP://Example.com:80/p{i % 4}?utm_source=x")
+        for i in range(8)
+    ]
+    url_dir = str(tmp_path / "uin")
+    for r in url_rows:
+        spark.createDataFrame(
+            [r], "doc_id long, text string, url string"
+        ).coalesce(1).write.mode("append").parquet(url_dir)
+    ulake = str(tmp_path / "ulake")
+    monkeypatch.setattr(streaming, "APPEND_LAKE_COMPACT_FILES", 3)
+    uq = run_url_dedup_ingest(spark, url_dir, ulake, str(tmp_path / "uck"))
+    uq.awaitTermination(600)
+    assert _n_parquet_files(spark, ulake) <= 5
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(ulake).collect()
+    ) == [0, 1, 2, 3]
