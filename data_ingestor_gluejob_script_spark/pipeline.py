@@ -831,11 +831,18 @@ def compact_bucketed_table(
     if resume:
         snap_ts = _success_mtime(spark, staging)
         table_ts = _max_data_mtime(spark, _table_location(spark, table_name))
-        if snap_ts is not None and table_ts is not None and table_ts > snap_ts:
+        # >= not >: object stores truncate mtimes to whole seconds, so
+        # an upsert committing within the snapshot's granule would tie
+        # and slip past a strict comparison into the silent revert. A
+        # tie therefore REFUSES — fail-safe toward manual
+        # reconciliation; genuine crash recovery always has table
+        # files strictly older than the snapshot (a failed insert
+        # commits nothing), or a truncated/empty table (None).
+        if snap_ts is not None and table_ts is not None and table_ts >= snap_ts:
             raise RuntimeError(
                 f"compact {table_name}: staging snapshot at {staging} "
                 f"predates committed table writes (snapshot _SUCCESS "
-                f"{snap_ts} < newest table file {table_ts}) — a prior "
+                f"{snap_ts} <= newest table file {table_ts}) — a prior "
                 "compaction's insert likely succeeded before cleanup "
                 "died, and rows were written since; auto-resume would "
                 "revert them. The snapshot is KEPT; reconcile manually "

@@ -447,6 +447,7 @@ def simhash64_neardup_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    assume_unique_ids: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming): near-miss pairs on the 64-bit
     fingerprint, Hamming distance in [1, max_hamming] — the
@@ -465,9 +466,21 @@ def simhash64_neardup_pairs(
     all-pairs. Per-pair verify is a map-side popcount; band-duplicate
     candidates collapse in a distinct. Buckets over
     MAX_SIMHASH64_BUCKET distinct fingerprints are dropped (recorded
-    pathology cap, see the constant)."""
+    pathology cap, see the constant).
+
+    Identity contract (review r16): pairs are id-keyed, so a NULL id
+    could never appear in any pair (the ``<`` predicate is
+    NULL-poisoned) and duplicate-id rows would vote-merge into a
+    fingerprint matching neither text — the exact silent failure
+    :func:`simhash16_frame`'s contract names. ENFORCED here by
+    :func:`require_unique_doc_ids` (one id-column aggregate — cheap
+    against the corpus-wide fingerprint pass); a caller that already
+    guarantees the precondition (post-dedup pipelines) passes
+    ``assume_unique_ids=True`` to skip the scan."""
     from ..operators.multimodal import phash_bands
 
+    if not assume_unique_ids:
+        require_unique_doc_ids(docs, "simhash64_neardup_pairs", id_col)
     fp = simhash64_frame(docs, text_col=text_col, id_col=id_col)
     reps = (
         fp.filter(F.col("simhash64").isNotNull())
@@ -515,14 +528,24 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     content_md5 is CARRIED through the frame's aggregation rather
     than joined back on doc_id — one shuffle instead of
     shuffle+join, and NULL/duplicate doc_id rows keep the map-only
-    fold's multiplicity (only rows identical on (doc_id, content_md5)
-    — i.e. true duplicates — collapse)."""
+    fold's multiplicity. The grouping key includes a RAW-text digest
+    (review r16): content_md5 hashes the NORMALIZED text while the
+    SimHash votes over raw words, so grouping on content_md5 alone
+    would vote-merge case/whitespace variants sharing an id into a
+    fingerprint matching neither — with the raw digest in the key,
+    only rows identical on (doc_id, raw text) — true duplicates —
+    collapse, and the output stays value-identical to the fold."""
     docs = spread(spark, load(spark, sf_dir, "documents"))
     norm = F.lower(F.regexp_replace(F.col("text"), "\\s+", " "))
-    keyed = docs.select("doc_id", "text", F.md5(norm).alias("content_md5"))
-    return simhash16_frame(keyed, carry_cols=("content_md5",)).select(
-        "doc_id", "content_md5", "simhash16"
+    keyed = docs.select(
+        "doc_id",
+        "text",
+        F.md5(norm).alias("content_md5"),
+        F.md5(F.coalesce(F.col("text"), F.lit("\x00"))).alias("_raw_md5"),
     )
+    return simhash16_frame(
+        keyed, carry_cols=("content_md5", "_raw_md5")
+    ).select("doc_id", "content_md5", "simhash16")
 
 
 def minhash_signature_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1189,9 +1189,8 @@ BAND_LEDGER_COMPACT_FILES = 96
 
 
 def _n_parquet_files(spark: SparkSession, path: str) -> int:
-    jvm = spark._jvm
+    jvm, fs = _fs_of(spark, path)
     p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(p):
         return 0
     return sum(
@@ -1205,9 +1204,8 @@ def _banding_tag_of(spark: SparkSession, band_dir: str) -> str | None:
     """The banding-parameter tag recorded in ``band_dir`` (a zero-byte
     ``_BANDING_<tag>`` marker file — underscore-prefixed, so parquet
     readers ignore it), or None when the ledger predates tagging."""
-    jvm = spark._jvm
+    jvm, fs = _fs_of(spark, band_dir)
     p = jvm.org.apache.hadoop.fs.Path(band_dir)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(p):
         return None
     for s in fs.listStatus(p):
@@ -1220,9 +1218,8 @@ def _banding_tag_of(spark: SparkSession, band_dir: str) -> str | None:
 def _write_banding_tag(
     spark: SparkSession, band_dir: str, tag: str
 ) -> None:
-    jvm = spark._jvm
+    jvm, fs = _fs_of(spark, band_dir)
     p = jvm.org.apache.hadoop.fs.Path(f"{band_dir}/_BANDING_{tag}")
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     fs.create(p, True).close()
 
 
@@ -1261,10 +1258,9 @@ def _rebuild_band_ledger(
         .write.mode("overwrite")
         .parquet(staging)
     )
-    jvm = spark._jvm
+    jvm, fs = _fs_of(spark, band_dir)
     dst = jvm.org.apache.hadoop.fs.Path(band_dir)
     src = jvm.org.apache.hadoop.fs.Path(staging)
-    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(dst):
         fs.delete(dst, True)
     if not fs.rename(src, dst):
@@ -1305,18 +1301,28 @@ def _ensure_band_ledger(
     if state is None:
         return None
     _recover_lake_swap(spark, band_dir)
-    n_files = _n_parquet_files(spark, band_dir)
+    statuses = _data_file_statuses(spark, band_dir)
+    n_files = len(statuses)
     stale_banding = (
         banding_tag is not None
         and n_files > 0
         and _banding_tag_of(spark, band_dir) != banding_tag
     )
+    # SUB-TARGET count drives the pack trigger (review r16: the total
+    # count includes graduated files, which never shrink — once the
+    # lake held >threshold at-target files the condition would be
+    # permanently true and the runt repacked EVERY batch).
+    n_small = sum(
+        1 for _, b in statuses if b < _COMPACT_TARGET_BYTES
+    )
     if n_files == 0 or stale_banding:
         _rebuild_band_ledger(spark, state, band_dir, derive_rows)
         if banding_tag is not None:
             _write_banding_tag(spark, band_dir, banding_tag)
-    elif n_files > BAND_LEDGER_COMPACT_FILES:
-        ev = _compact_append_lake(spark, band_dir, sort_within="band_pfx")
+    elif n_small > BAND_LEDGER_COMPACT_FILES:
+        ev = _compact_append_lake(
+            spark, band_dir, sort_within="band_pfx", statuses=statuses
+        )
         if ev is not None:
             COMPACTION_EVENTS.append(ev)
     return _read_parquet_or_none(spark, band_dir)
@@ -1476,6 +1482,12 @@ def _recover_lake_swap(spark: SparkSession, path: str) -> None:
     if not fs.exists(marker):
         if fs.exists(staging):
             fs.delete(staging, True)
+        # a crash inside _write_swap_manifest (tmp created, rename not
+        # reached) leaves an orphan .tmp beside the lake — marker
+        # absent means the swap never committed, so drop it too
+        tmp = jvm.org.apache.hadoop.fs.Path(_lake_marker(path) + ".tmp")
+        if fs.exists(tmp):
+            fs.delete(tmp, False)
         return
     manifest = _read_swap_manifest(spark, path)
     if manifest is not None:
@@ -1511,6 +1523,7 @@ def _compact_append_lake(
     path: str,
     target_bytes: int | None = None,
     sort_within: str | None = None,
+    statuses: list[tuple[str, int]] | None = None,
 ) -> dict | None:
     """Count-preserving INCREMENTAL small-file compaction for an
     append-only lake: bin-pack only the sub-target tail (the one-file-
@@ -1541,7 +1554,13 @@ def _compact_append_lake(
     Returns the observability event dict, or None when there is
     nothing worth packing (≤1 small file)."""
     target = int(target_bytes or _COMPACT_TARGET_BYTES)
-    files = _data_file_statuses(spark, path)
+    # callers on the per-batch hot path pass the listing they already
+    # made for the threshold check — one listStatus RPC, not two
+    files = (
+        statuses
+        if statuses is not None
+        else _data_file_statuses(spark, path)
+    )
     small = [(n, b) for n, b in files if b < target]
     if len(small) <= 1:
         return None
@@ -1603,13 +1622,14 @@ def compact_append_lakes(
     for p in paths:
         _recover_lake_swap(spark, p)
         target = int(target_bytes or _COMPACT_TARGET_BYTES)
-        n_small = sum(
-            1 for _, b in _data_file_statuses(spark, p) if b < target
-        )
+        statuses = _data_file_statuses(spark, p)
+        n_small = sum(1 for _, b in statuses if b < target)
         if force or n_small > (
             threshold if threshold is not None else APPEND_LAKE_COMPACT_FILES
         ):
-            ev = _compact_append_lake(spark, p, target_bytes=target)
+            ev = _compact_append_lake(
+                spark, p, target_bytes=target, statuses=statuses
+            )
             if ev is not None:
                 COMPACTION_EVENTS.append(ev)
                 done.append(ev)

@@ -313,3 +313,35 @@ def test_compaction_partial_staging_is_dropped_not_trusted(
     assert n == len(before)
     assert _content(spark.table(TABLE)) == before
     assert not os.path.exists(staging)
+
+
+def test_compaction_refuses_stale_snapshot_on_mtime_tie(
+    spark, clean_table
+):
+    """Review r16: object stores truncate mtimes to whole seconds, so
+    an upsert committing within the snapshot's granule TIES with the
+    staging _SUCCESS — the guard must refuse on ties, not just on
+    strictly-newer table files."""
+    import os
+
+    write_partitioned_upsert_bucketed(
+        spark, _batch(spark, BATCH1), SUBS, TABLE, num_buckets=BUCKETS
+    )
+    loc = pipeline._table_location(spark, TABLE)
+    staging = (loc.removeprefix("file:")) + "/_compact_staging"
+    spark.table(TABLE).write.parquet(staging)
+    write_partitioned_upsert_bucketed(
+        spark, _batch(spark, BATCH2), SUBS, TABLE, num_buckets=BUCKETS
+    )
+    # force the tie: pin the snapshot marker's mtime to exactly the
+    # newest committed table file's mtime (coarse-granularity model)
+    table_ts = pipeline._max_data_mtime(spark, loc)
+    os.utime(
+        os.path.join(staging, "_SUCCESS"),
+        (table_ts / 1000.0, table_ts / 1000.0),
+    )
+    before = _content(spark.table(TABLE))
+    with pytest.raises(RuntimeError, match="predates committed table"):
+        compact_bucketed_table(spark, TABLE, SUBS.id_col, BUCKETS)
+    assert _content(spark.table(TABLE)) == before
+    assert os.path.isdir(staging)

@@ -419,3 +419,68 @@ def test_doc_and_url_dedup_ingests_compact_their_lakes(
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(ulake).collect()
     ) == [0, 1, 2, 3]
+
+
+def test_band_ledger_pack_trigger_ignores_graduated_files(
+    spark, tmp_path, monkeypatch
+):
+    """Review r16: the band-lake pack trigger must count SUB-TARGET
+    files only — graduated files never shrink, so a total-count
+    trigger would fire on every batch once the lake held more than
+    the threshold of at-target files, repacking the runt each time."""
+    from data_ingestor_gluejob_script_spark.streaming import (
+        _ensure_band_ledger,
+    )
+
+    band = str(tmp_path / "bands")
+    monkeypatch.setattr(streaming, "_COMPACT_TARGET_BYTES", 10_000)
+    monkeypatch.setattr(streaming, "BAND_LEDGER_COMPACT_FILES", 3)
+
+    def boom(_state):
+        raise AssertionError("structural rebuild must not fire")
+
+    # five GRADUATED files (> scaled target via md5 padding)
+    for i in range(5):
+        spark.range(i * 1000, i * 1000 + 600).select(
+            F.col("id").alias("band_key"),
+            F.md5(F.col("id").cast("string")).alias("sig_cat"),
+            (F.col("id") % 16).cast("int").alias("band_pfx"),
+        ).coalesce(1).write.mode("append").parquet(band)
+    names_before = _parquets(band)
+    assert all(
+        os.path.getsize(os.path.join(band, n)) >= 10_000
+        for n in names_before
+    )
+    state = spark.range(1)
+    out = _ensure_band_ledger(spark, state, band, boom)
+    assert out is not None
+    # total count (5) exceeds the threshold (3) but all are graduated:
+    # nothing rebuilt, nothing repacked
+    assert _parquets(band) == names_before
+
+    # four SMALL appends push the sub-target count past the threshold:
+    # the tail packs, graduated files stay byte-identical in place
+    for i in range(4):
+        spark.createDataFrame(
+            [(i, "x", i % 16)], "band_key long, sig_cat string, band_pfx int"
+        ).coalesce(1).write.mode("append").parquet(band)
+    n_rows = spark.read.parquet(band).count()
+    _ensure_band_ledger(spark, state, band, boom)
+    after = _parquets(band)
+    assert set(names_before) <= set(after)
+    assert len(after) == len(names_before) + 1  # 4 small -> 1 runt
+    assert spark.read.parquet(band).count() == n_rows
+
+
+def test_recovery_drops_orphan_manifest_tmp(spark, tmp_path):
+    """Review r16: a crash between creating the manifest .tmp and
+    renaming it into place must not leave debris — marker-absent
+    recovery drops the orphan .tmp along with orphan staging."""
+    lake = str(tmp_path / "lake")
+    _write(spark, lake, [(1,)])
+    tmp_marker = _lake_marker(lake) + ".tmp"
+    with open(tmp_marker, "w") as f:
+        f.write('{"staged": [], "replaced": []}')
+    _recover_lake_swap(spark, lake)
+    assert not os.path.exists(tmp_marker)
+    assert _vals(spark, lake) == [1]

