@@ -105,3 +105,45 @@ def test_sample_indices_cover_first_last_and_spread():
             # so a large-file run anywhere in the listing is hit
             gaps = [b - a for a, b in zip(idx, idx[1:])]
             assert max(gaps) <= (n - 1) // 7 + 1
+
+
+def test_load_memoizes_analyzed_frame_per_session(spark, tmp_path):
+    """r16: load() returns ONE analyzed frame per (session, path) —
+    plan-metadata caching only. Same object on repeat calls, distinct
+    objects for distinct paths, and the frame still recomputes from
+    the files on every action (no row caching)."""
+    from data_ingestor_gluejob_script_spark.queries._util import load
+
+    d1 = tmp_path / "sfx"
+    d1.mkdir()
+    spark.range(5).select(
+        F.col("id").alias("l_orderkey")
+    ).write.parquet(str(d1 / "lineitem.parquet"))
+    a = load(spark, str(d1), "lineitem")
+    b = load(spark, str(d1), "lineitem")
+    assert a is b
+    assert a.count() == 5
+    # a second table path gets its own entry
+    spark.range(3).select(F.col("id").alias("o_orderkey")).write.parquet(
+        str(d1 / "orders.parquet")
+    )
+    c = load(spark, str(d1), "orders")
+    assert c is not a and c.count() == 3
+
+
+def test_spread_memoizes_decision_on_the_frame(spark, tmp_path):
+    """r16: spread()'s split inspection runs once per input frame
+    object — the memoized result is the SAME frame, with the same
+    repartition decision the uncached path computes."""
+    path = str(tmp_path / "one.parquet")
+    _fat_rows(spark, n=5_000).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    s1 = spread(spark, df)
+    s2 = spread(spark, df)
+    assert s1 is s2
+    assert s1 is _util._spread_impl(spark, spark.read.parquet(path)) or (
+        s1.rdd.getNumPartitions()
+        == _util._spread_impl(
+            spark, spark.read.parquet(path)
+        ).rdd.getNumPartitions()
+    )
