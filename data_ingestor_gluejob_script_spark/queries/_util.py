@@ -205,6 +205,26 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
 _LOAD_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
+# Table row counts used as PLAN STATISTICS (adaptive LSH signature
+# width, IVF cell count): one count job per (session, path), then
+# memoized — the same role as the catalog's cached table statistics.
+# Not result caching: the statistic picks a plan parameter; the query
+# itself still computes from the parquet inputs on every action.
+_COUNT_MEMO: dict[tuple[str, str], int] = {}
+
+
+def table_rowcount(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Row count of one immutable testdata table, memoized per
+    (session, path) — see _COUNT_MEMO."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    key = (spark.sparkContext.applicationId, path)
+    n = _COUNT_MEMO.get(key)
+    if n is None:
+        n = load(spark, sf_dir, table).count()
+        _COUNT_MEMO[key] = n
+    return n
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one testdata table, normalizing events.ts to TimestampType.
     Analyzed frame memoized per (session, path) — see _LOAD_MEMO."""

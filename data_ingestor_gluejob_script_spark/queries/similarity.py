@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.graph import connected_components
-from ._util import load
+from ._util import load, table_rowcount
 
 EMB_DIM = 64  # testdata embeddings.embedding is array<float>[64]
 TOP_K = 5
@@ -60,6 +60,15 @@ def _lsh_weights(j: int) -> list[float]:
 def as_double_vec(col: Column) -> Column:
     """Exact float32 → float64 widening of an array column."""
     return F.transform(col, lambda x: x.cast("double"))
+
+
+def _lit_vec(xs: list[float]) -> Column:
+    """Constant double-array column from ONE JVM-parsed SQL literal —
+    r16: ``F.array(*[F.lit(x) ...])`` costs ~65 py4j round-trips per
+    64-dim hyperplane (the dominant driver cost of building the LSH
+    signature expressions, ~0.5 s per 8-plane signature); the parsed
+    string builds the identical literal array in one call."""
+    return F.expr("array(" + ",".join(f"{x!r}D" for x in xs) + ")")
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -122,7 +131,7 @@ def lsh_signature(vec: Column, n_bits: int = N_HYPERPLANES) -> Column:
     overflow int)."""
     sig = F.lit(0).cast("long")
     for j in range(n_bits):
-        w = F.array(*[F.lit(x) for x in _lsh_weights_ext(j)])
+        w = _lit_vec(_lsh_weights_ext(j))
         sig = sig + F.when(
             dot(vec, w) >= 0, F.lit(2 ** j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
@@ -202,7 +211,9 @@ def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented deterministic-approximation contract, same trade as
     SemDeDup's corpus-scaled K."""
     emb0 = _load_emb(spark, sf_dir)
-    bits = neardup_sig_bits(emb0.count())
+    # r16: the width statistic is the memoized table row count —
+    # one count job per session instead of one per construction
+    bits = neardup_sig_bits(table_rowcount(spark, sf_dir, "embeddings"))
     emb = (
         emb0
         .withColumn("sig", lsh_signature(F.col("emb"), bits))
@@ -973,7 +984,7 @@ def _knn_plane(band: int, bit: int) -> list[float]:
 def _knn_band_sig(vec: Column, band: int, bits: int) -> Column:
     sig = F.lit(0).cast("long")
     for t in range(bits):
-        w = F.array(*[F.lit(x) for x in _knn_plane(band, t)])
+        w = _lit_vec(_knn_plane(band, t))
         sig = sig + F.when(
             dot(vec, w) >= 0, F.lit(2 ** t).cast("long")
         ).otherwise(F.lit(0).cast("long"))

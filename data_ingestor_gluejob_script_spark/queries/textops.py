@@ -314,36 +314,40 @@ def simhash16_frame(
     fold stays for the narrow per-row uses measured fast on it; the
     frame form is for corpus-scale fingerprinting. The DuckDB oracle
     (_SIMHASH_CTE) has always been this formulation."""
+    # r16 (guide §1.2 per-task work → driver work counts too): the
+    # vote sums and the bit fold are built as SQL STRINGS parsed once
+    # in the JVM instead of 16 Python-assembled expression trees —
+    # byte-identical Catalyst expressions (pinned by the frame≡fold
+    # test), but query CONSTRUCTION drops from ~0.38 s to ~0.04 s of
+    # driver time per call (py4j round-trips, paid inside every bench
+    # rep and every real job submission). The word hash is projected
+    # ONCE as ``_h`` rather than restated inside each of the 16 sums,
+    # which also shrinks the analyzed tree 16×.
     toks = docs.select(
         id_col,
         *carry_cols,
         F.explode_outer(
             F.array_distinct(words_col(F.col(text_col)))
         ).alias("_w"),
+    ).withColumn(
+        "_h", F.expr("cast(conv(substring(md5(_w), 1, 4), 16, 10) as bigint)")
     )
-    h = F.conv(F.substring(F.md5("_w"), 1, 4), 16, 10).cast("long")
     votes = toks.groupBy(id_col, *carry_cols).agg(
         *[
-            F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(
-                f"_v{j}"
-            )
+            F.expr(f"sum((shiftright(_h, {j}) & 1) * 2 - 1)").alias(f"_v{j}")
             for j in range(16)
         ]
     )
-    fp = None
-    for j in range(16):
-        bit = (
-            F.when(F.col(f"_v{j}") > 0, F.lit(2**j))
-            .otherwise(F.lit(0))
-            .cast("long")
+    fp_sql = (
+        "CASE WHEN _v0 IS NULL THEN CAST(NULL AS BIGINT) ELSE "
+        + " + ".join(
+            f"CAST(CASE WHEN _v{j} > 0 THEN {2 ** j} ELSE 0 END AS BIGINT)"
+            for j in range(16)
         )
-        fp = bit if fp is None else fp + bit
+        + " END"
+    )
     return votes.select(
-        id_col,
-        *carry_cols,
-        F.when(F.col("_v0").isNull(), F.lit(None).cast("long"))
-        .otherwise(fp)
-        .alias("simhash16"),
+        id_col, *carry_cols, F.expr(fp_sql).alias("simhash16")
     )
 
 
@@ -396,40 +400,45 @@ def simhash64_frame(
     would overflow), so the fingerprint is a signed long whose BIT
     PATTERN is the 64-bit hash — compare with XOR/bit_count, never
     arithmetically. NULL text → NULL fingerprint."""
+    # r16: SQL-string build, same move as simhash16_frame — the 64
+    # Python-assembled vote sums plus the 64-deep bitwiseOR fold cost
+    # ~1.5 s of py4j driver time PER CONSTRUCTION (measured; ~65% of
+    # the benched entry). The JVM parses the same expressions from
+    # strings in ~0.1 s; both md5 chunk hashes are projected once.
     toks = docs.select(
         id_col,
         F.explode_outer(
             F.array_distinct(words_col(F.col(text_col)))
         ).alias("_w"),
+    ).withColumns(
+        {
+            "_hlo": F.expr(
+                "cast(conv(substring(md5(_w), 1, 8), 16, 10) as bigint)"
+            ),
+            "_hhi": F.expr(
+                "cast(conv(substring(md5(_w), 9, 8), 16, 10) as bigint)"
+            ),
+        }
     )
-    h_lo = F.conv(F.substring(F.md5("_w"), 1, 8), 16, 10).cast("long")
-    h_hi = F.conv(F.substring(F.md5("_w"), 9, 8), 16, 10).cast("long")
     votes = toks.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.shiftright(h_lo if j < 32 else h_hi, j % 32).bitwiseAND(
-                    F.lit(1)
-                )
-                * 2
-                - 1
+            F.expr(
+                f"sum((shiftright({'_hlo' if j < 32 else '_hhi'},"
+                f" {j % 32}) & 1) * 2 - 1)"
             ).alias(f"_v{j}")
             for j in range(64)
         ]
     )
-    fp = F.lit(0).cast("long")
-    for j in range(64):
-        fp = fp.bitwiseOR(
-            F.when(
-                F.col(f"_v{j}") > 0,
-                F.shiftleft(F.lit(1).cast("long"), j),
-            ).otherwise(F.lit(0).cast("long"))
+    fp_sql = (
+        "CASE WHEN _v0 IS NULL THEN CAST(NULL AS BIGINT) ELSE "
+        + " | ".join(
+            f"(CASE WHEN _v{j} > 0 THEN shiftleft(CAST(1 AS BIGINT), {j})"
+            " ELSE CAST(0 AS BIGINT) END)"
+            for j in range(64)
         )
-    return votes.select(
-        id_col,
-        F.when(F.col("_v0").isNull(), F.lit(None).cast("long"))
-        .otherwise(fp)
-        .alias("simhash64"),
+        + " END"
     )
+    return votes.select(id_col, F.expr(fp_sql).alias("simhash64"))
 
 
 #: Hot-bucket cap for the 64-bit near-miss band join — same role as
