@@ -98,7 +98,14 @@ def connected_components(
         .filter(F.col("a") != F.col("b"))
         .localCheckpoint()
     )
-    if eb.count() <= small_graph_edges:
+    # ONE probe action decides the strategy AND (for small graphs)
+    # delivers every edge: limit(threshold+1) over the cached
+    # partitions returns all rows iff the graph is small — replacing
+    # the separate count() + collect() pair (r16: one fewer action
+    # barrier per call; this operator runs inside eagerly-constructed
+    # pipelines where each action costs a full scheduling round-trip).
+    probe = eb.limit(small_graph_edges + 1).collect()
+    if len(probe) <= small_graph_edges:
         last_rounds = 0
         parent: dict = {}
 
@@ -111,7 +118,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in eb.collect():
+        for r in probe:
             ra, rb = find(r.a), find(r.b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)

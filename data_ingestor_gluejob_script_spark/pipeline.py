@@ -1225,15 +1225,23 @@ def apply_cdc_batch(
         # malformed row would otherwise satisfy neither the upsert nor
         # the delete filter and vanish without a trace; and a Debezium
         # 't' (truncate) silently upserted would corrupt the lake.
-        bad_ops = (
-            changes.filter(~op.isin("I", "U", "D") | op.isNull())
-            .select(op.alias("op"))
-            .distinct()
-            .collect()
-        )
-        if bad_ops:
+        # r16: the bad-op probe and the any-deletes probe ride ONE
+        # aggregation over the persisted batch (this action also
+        # materializes the persist) — previously the op check, the
+        # deletes.limit(1) probe, and the persist materialization were
+        # three separate action barriers per micro-batch.
+        stats = changes.agg(
+            F.collect_set(
+                F.when(
+                    ~op.isin("I", "U", "D") | op.isNull(),
+                    F.coalesce(op, F.lit("<null>")),
+                )
+            ).alias("bad"),
+            F.count(F.when(op == "D", 1)).alias("n_raw_deletes"),
+        ).first()
+        if stats["bad"]:
             raise ValueError(
-                f"apply_cdc_batch: unsupported ops {[r.op for r in bad_ops]}"
+                f"apply_cdc_batch: unsupported ops {sorted(stats['bad'])}"
                 " (expected I/U/D)"
             )
         # last-change-wins per key (delete beats upsert on a tie);
@@ -1287,7 +1295,11 @@ def apply_cdc_batch(
         lake = read_parquet_table(
             spark, lake_table_root(lake_root, spec.name)
         )
-        if lake is not None and deletes.limit(1).count() > 0:
+        # n_raw_deletes > 0 is a superset probe for "any deletes
+        # survive the window" (a surviving delete implies a raw D
+        # row); the rare all-D-rows-lost batch just runs an empty
+        # victims aggregation, same result as the old limit(1) probe.
+        if lake is not None and stats["n_raw_deletes"] > 0:
             del_keys = deletes.distinct()
             victims = (
                 lake.filter(F.col("company") == company)

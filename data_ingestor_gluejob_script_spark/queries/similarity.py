@@ -459,10 +459,14 @@ def ivf_refine(
     codebook = _ivf_centroid_row(emb, k)
     for _ in range(iters):
         assigned = ivf_assign(emb, codebook)
+        # one JVM-parsed aggregate expression instead of 64
+        # Python-built avg columns (r16 — same move as _lit_vec)
         means = assigned.groupBy("cell").agg(
-            F.array(*[F.avg(F.col("emb")[i]) for i in range(EMB_DIM)]).alias(
-                "m"
-            )
+            F.expr(
+                "array("
+                + ",".join(f"avg(emb[{i}])" for i in range(EMB_DIM))
+                + ")"
+            ).alias("m")
         )
         prior = codebook.select(F.explode("cents").alias("ct")).select(
             F.col("ct.cid").alias("cid"), F.col("ct.c").alias("prev_c")
@@ -825,15 +829,19 @@ def semantic_dedup_frame(
             .withColumn("class_rep", F.min("vec_id").over(w_class))
             .drop("_k1", "_k2")
         )
-        # Deliberate materialization: reps feeds every refine round,
-        # the assignment, and the final labeling — without it each
-        # consumer re-runs the collapse shuffle. Distinct-vector-sized
-        # (≤ corpus; at production scale use persist(DISK) and a real
-        # checkpoint dir).
-        reps = (
-            tagged.filter(F.col("vec_id") == F.col("class_rep"))
-            .select("vec_id", "emb")
-            .localCheckpoint()
+        # Deliberate materialization — r16: the CHECKPOINT moved from
+        # the reps projection up to ``tagged`` itself. The final clone
+        # rejoin reads ``tagged`` too, and with only reps pinned that
+        # meant the collapse window (a full corpus shuffle carrying
+        # the vectors) evaluated a SECOND time for the labeling join.
+        # One cached copy of (vec_id, emb, class_rep); reps and the
+        # rejoin view are now map-side projections over it — every
+        # refine round, the assignment, and the labeling re-run only
+        # a filter+project over cached partitions. (At production
+        # scale use persist(DISK) and a real checkpoint dir.)
+        tagged = tagged.localCheckpoint()
+        reps = tagged.filter(F.col("vec_id") == F.col("class_rep")).select(
+            "vec_id", "emb"
         )
     # K grows with the corpus (n_cells=None, the default): the pair
     # stage costs Σ|cell|² ≈ n²/K, so a FIXED K is a quadratic time
@@ -1111,16 +1119,22 @@ def knn_graph_frame(
             .withColumn("rep", F.min("vec_id").over(w_class))
             .drop("_k1", "_k2")
         )
-        # members is slim (two longs) but read by three consumers
-        # (intra edges, source expansion, the k+1-smallest window);
-        # reps carries the vectors and feeds the count, banding, and
-        # the clone-norm join — checkpoint both so the digest window
-        # runs once.
-        members = tagged.select("rep", "vec_id").localCheckpoint()
-        base = (
-            tagged.filter(F.col("vec_id") == F.col("rep"))
-            .select("vec_id", "emb")
-            .localCheckpoint()
+        # r16: ONE checkpoint of the tagged frame, not one per derived
+        # view — the previous cut checkpointed ``members`` and ``base``
+        # separately, and since each localCheckpoint evaluates its own
+        # lineage, the digest window (a full corpus shuffle carrying
+        # the vectors) ran TWICE per call. Both views are now cheap
+        # projections over the single cached frame; their consumers
+        # (intra edges, source expansion, the k+1-smallest window,
+        # count, banding, clone-norm join) re-run only map-side
+        # projection over cached partitions. Costs one cached copy of
+        # (vec_id, emb, rep) for all rows instead of distinct-rows'
+        # vectors plus a slim member list — the win is one fewer
+        # corpus shuffle+sort, which dominates.
+        tagged = tagged.localCheckpoint()
+        members = tagged.select("rep", "vec_id")
+        base = tagged.filter(F.col("vec_id") == F.col("rep")).select(
+            "vec_id", "emb"
         )
     if bits_per_band is None:
         bits_per_band = knn_band_bits(n if n is not None else base.count())

@@ -587,16 +587,15 @@ def minhash_signature_frame(docs: DataFrame, text_col: str = "text") -> DataFram
     # same LSH guarantees. The md5 array is materialized in its own
     # projection so the 8 slot mins reference it, not recompute it.
     hashed = sh.select("doc_id", F.transform(F.col("sh"), F.md5).alias("hs"))
-
-    def slot(i: int):
-        # Unary on purpose: a two-arg lambda would receive transform's
-        # (element, index) calling convention and shadow the slot id.
-        return lambda h: F.substring(h, 4 * i + 1, 4)
-
+    # slot mins as JVM-parsed expressions (r16): the Python lambda
+    # form built 8 transform closures per construction (~0.2 s of
+    # py4j); the SQL strings parse to the identical HOF expressions.
     return hashed.select(
         "doc_id",
         *[
-            F.array_min(F.transform(F.col("hs"), slot(i))).alias(f"s{i}")
+            F.expr(
+                f"array_min(transform(hs, h -> substring(h, {4 * i + 1}, 4)))"
+            ).alias(f"s{i}")
             for i in range(N_MINHASH)
         ],
     )
