@@ -965,6 +965,13 @@ def bm25_search_join(
         # index-time stats: the caller asserts the one-row-per-doc_id
         # precondition (see docstring) — no guard scan
         n_docs_total = int(n_docs)
+    elif "_sg_bm25_ndocs" in docs.__dict__:
+        # r16: the guard's verdict and the doc count are properties of
+        # an IMMUTABLE frame — memoized on the object after the first
+        # pass (same policy as _util.load/spread: metadata, not
+        # results), so repeat query batches over the same corpus frame
+        # skip the guard scan. Frames that raised are never marked.
+        n_docs_total = docs.__dict__["_sg_bm25_ndocs"]
     else:
         counts = docs.agg(
             F.count(F.lit(1)).alias("rows"),
@@ -985,6 +992,7 @@ def bm25_search_join(
                 "rows would score per row, not per document; run exact "
                 "dedup (q_exact_dedup_docs / exact_dedup_frame) first"
             )
+        docs.__dict__["_sg_bm25_ndocs"] = n_docs_total
     # tf WITHOUT a corpus shuffle. History, because each predecessor
     # died on a decade smoke: (a) r12 joined raw occurrences against
     # broadcast (query, token) pairs and grouped by (query, doc,
