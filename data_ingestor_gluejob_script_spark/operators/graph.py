@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import pin
+
 # Rounds used by the most recent connected_components call — exposed
 # for tests/benchmarks that pin the O(log diameter) convergence rate.
 last_rounds: int = 0
@@ -93,10 +95,10 @@ def connected_components(
     src, dst = edges.columns[0], edges.columns[1]
     # ONE evaluation of the (expensive) edge plan, pinned for every
     # consumer below
-    eb = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .localCheckpoint()
+    eb = pin(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+            F.col("a") != F.col("b")
+        )
     )
     # ONE probe action decides the strategy AND (for small graphs)
     # delivers every edge: limit(threshold+1) over the cached
@@ -135,16 +137,14 @@ def connected_components(
         return edges.sparkSession.createDataFrame(rows, schema)
     # distributed path: symmetrize once (from the CHECKPOINTED edges —
     # cheap), so propagation only needs one direction
-    sym = (
+    sym = pin(
         eb.union(eb.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = pin(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
     for rnd in range(1, max_iter + 1):
         last_rounds = rnd
@@ -182,8 +182,8 @@ def connected_components(
                     F.coalesce(F.col("_pc"), F.col("_c1")) < F.col("_old")
                 ).alias("_changed"),
             )
-            .localCheckpoint()
         )
+        new_labels = pin(new_labels)
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:

@@ -22,6 +22,7 @@ flip the events family again:
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -188,21 +189,63 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-# Analyzed-frame memo: (applicationId, path) -> lazy DataFrame.
-# METADATA caching only — a DataFrame is an immutable logical plan;
-# every action over it still scans the parquet inputs, so results are
-# recomputed on every bench/oracle invocation (the no-result-caching
-# rule). What this removes is the per-construction driver cost of
-# ``spark.read.parquet`` — footer schema inference + py4j analysis,
-# measured 121 ms per call on a warm quiet session — which otherwise
-# recurs for every query construction over the same immutable table
-# (q_revenue_by_nation alone reads six tables: ~0.7 s of its ~0.95 s
-# bench time was plan construction, not computation). The same move a
-# catalog table gives you for free (resolved relations are cached per
-# session); keyed on applicationId so a new session re-reads footers.
-# Testdata tables are immutable for the life of a process; writers in
-# pipeline/streaming use their own readers, never this helper.
-_LOAD_MEMO: dict[tuple[str, str], DataFrame] = {}
+# Analyzed-frame memo: session -> {(path, listing fingerprint) ->
+# lazy DataFrame}. METADATA caching only — a DataFrame is an immutable
+# logical plan; every action over it still scans the parquet inputs,
+# so results are recomputed on every bench/oracle invocation (the
+# no-result-caching rule). What this removes is the per-construction
+# driver cost of ``spark.read.parquet`` — footer schema inference +
+# py4j analysis, measured 121 ms per call on a warm quiet session —
+# which otherwise recurs for every query construction over the same
+# immutable table (q_revenue_by_nation alone reads six tables: ~0.7 s
+# of its ~0.95 s bench time was plan construction, not computation).
+# The same move a catalog table gives you for free (resolved
+# relations are cached per session).
+#
+# r17 key hardening (advice r16): the outer key is the SESSION OBJECT
+# (a WeakValueDictionary on id(session) — two sessions sharing an
+# applicationId via ``newSession()`` no longer share frames, and a
+# stopped session's frames drop with it), and the inner key carries a
+# cheap file-listing fingerprint (sorted name/mtime/size, one local
+# scandir ~0.1 ms) so a path REWRITTEN within the process gets a
+# fresh read — plus fresh on-object guard marks — instead of a stale
+# plan. Writers in pipeline/streaming use their own readers, never
+# this helper.
+_LOAD_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _listing_fingerprint(path: str) -> tuple:
+    """(name, mtime_ns, size) per entry of ``path`` (or of the file
+    itself), sorted — the memo-key component that detects an in-process
+    rewrite of a memoized table."""
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return ((os.path.basename(path), st.st_mtime_ns, st.st_size),)
+        with os.scandir(path) as it:
+            return tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in it
+                )
+            )
+    except OSError:
+        # Unreadable/absent path: let the reader raise its own error.
+        return ("<unlistable>",)
+
+
+def _session_memo(spark: SparkSession) -> dict:
+    """Per-session memo table {(path, fingerprint): value}. The weak
+    outer key means a replaced/garbage-collected session drops its
+    frames with it — an id()-keyed registry could alias a recycled
+    address to a new session's reads."""
+    memo = _LOAD_MEMO.get(spark)
+    if memo is None:
+        memo = {}
+        _LOAD_MEMO[spark] = memo
+    return memo
 
 
 # Table row counts used as PLAN STATISTICS (adaptive LSH signature
@@ -210,31 +253,35 @@ _LOAD_MEMO: dict[tuple[str, str], DataFrame] = {}
 # memoized — the same role as the catalog's cached table statistics.
 # Not result caching: the statistic picks a plan parameter; the query
 # itself still computes from the parquet inputs on every action.
-_COUNT_MEMO: dict[tuple[str, str], int] = {}
+# Same hardened key as _LOAD_MEMO (the ("count", ...) rows of the
+# same per-session table).
 
 
 def table_rowcount(spark: SparkSession, sf_dir: str, table: str) -> int:
     """Row count of one immutable testdata table, memoized per
-    (session, path) — see _COUNT_MEMO."""
+    (session, path, listing)."""
     path = os.path.join(sf_dir, f"{table}.parquet")
-    key = (spark.sparkContext.applicationId, path)
-    n = _COUNT_MEMO.get(key)
+    memo = _session_memo(spark)
+    key = ("count", path, _listing_fingerprint(path))
+    n = memo.get(key)
     if n is None:
         n = load(spark, sf_dir, table).count()
-        _COUNT_MEMO[key] = n
+        memo[key] = n
     return n
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one testdata table, normalizing events.ts to TimestampType.
-    Analyzed frame memoized per (session, path) — see _LOAD_MEMO."""
+    Analyzed frame memoized per (session, path, listing) — see
+    _LOAD_MEMO."""
     path = os.path.join(sf_dir, f"{table}.parquet")
-    key = (spark.sparkContext.applicationId, path)
-    df = _LOAD_MEMO.get(key)
+    memo = _session_memo(spark)
+    key = ("frame", path, _listing_fingerprint(path))
+    df = memo.get(key)
     if df is None:
         if table == "events":
             df = read_events(spark, path)
         else:
             df = spark.read.parquet(path)
-        _LOAD_MEMO[key] = df
+        memo[key] = df
     return df

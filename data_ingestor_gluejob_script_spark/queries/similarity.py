@@ -27,6 +27,7 @@ Reference parity note: the reference has no similarity operator at all
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -35,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.graph import connected_components
+from ..session import pin
 from ._util import load, table_rowcount
 
 EMB_DIM = 64  # testdata embeddings.embedding is array<float>[64]
@@ -67,7 +69,13 @@ def _lit_vec(xs: list[float]) -> Column:
     r16: ``F.array(*[F.lit(x) ...])`` costs ~65 py4j round-trips per
     64-dim hyperplane (the dominant driver cost of building the LSH
     signature expressions, ~0.5 s per 8-plane signature); the parsed
-    string builds the identical literal array in one call."""
+    string builds the identical literal array in one call.
+
+    Finite weights only (advice r16): ``repr(inf)`` would render as
+    the unparsable ``infD`` where the old ``F.lit`` path accepted it —
+    guard loudly rather than fail inside the SQL parser. Current
+    hyperplane families are integer-derived and always finite."""
+    assert all(math.isfinite(x) for x in xs), "non-finite hyperplane weight"
     return F.expr("array(" + ",".join(f"{x!r}D" for x in xs) + ")")
 
 
@@ -804,7 +812,7 @@ def semantic_dedup_frame(
         # and the final labeling, and is typically a mapInPandas
         # (encoder) lineage that must not re-run per consumer.
         tagged = None
-        reps = emb.select("vec_id", "emb").localCheckpoint()
+        reps = pin(emb.select("vec_id", "emb"))
     else:
         # Collapse IDENTICAL vectors first (the identical-fingerprint
         # lesson from the SimHash family): clones of one vector are
@@ -838,8 +846,9 @@ def semantic_dedup_frame(
         # rejoin view are now map-side projections over it — every
         # refine round, the assignment, and the labeling re-run only
         # a filter+project over cached partitions. (At production
-        # scale use persist(DISK) and a real checkpoint dir.)
-        tagged = tagged.localCheckpoint()
+        # scale set SPARK_GRAFT_PIN_LEVEL=DISK_ONLY — session.pin —
+        # so the pinned corpus stays out of execution memory.)
+        tagged = pin(tagged)
         reps = tagged.filter(F.col("vec_id") == F.col("class_rep")).select(
             "vec_id", "emb"
         )
@@ -878,12 +887,10 @@ def semantic_dedup_frame(
     # user-specified count is exempt from AQE coalescing; non-empty
     # partitions are still capped by cell cardinality.
     n_spread = emb.sparkSession.sparkContext.defaultParallelism
-    blocked = (
+    blocked = pin(
         assigned.withColumn(
             "norm", F.sqrt(dot(F.col("emb"), F.col("emb")))
-        )
-        .repartition(n_spread, "cell")
-        .localCheckpoint()
+        ).repartition(n_spread, "cell")
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     sim = F.round(
@@ -1130,8 +1137,9 @@ def knn_graph_frame(
         # projection over cached partitions. Costs one cached copy of
         # (vec_id, emb, rep) for all rows instead of distinct-rows'
         # vectors plus a slim member list — the win is one fewer
-        # corpus shuffle+sort, which dominates.
-        tagged = tagged.localCheckpoint()
+        # corpus shuffle+sort, which dominates. Pin level via
+        # session.pin (SPARK_GRAFT_PIN_LEVEL, r16 verdict #7).
+        tagged = pin(tagged)
         members = tagged.select("rep", "vec_id")
         base = tagged.filter(F.col("vec_id") == F.col("rep")).select(
             "vec_id", "emb"

@@ -323,6 +323,12 @@ def simhash16_frame(
     # rep and every real job submission). The word hash is projected
     # ONCE as ``_h`` rather than restated inside each of the 16 sums,
     # which also shrinks the analyzed tree 16×.
+    # ``_h`` is a reserved internal name (advice r16): a carry column
+    # so named would be clobbered by the projection below.
+    reserved = {"_w", "_h"}
+    assert reserved.isdisjoint({id_col, *carry_cols}), (
+        "simhash16_frame: '_w'/'_h' are reserved internal names"
+    )
     toks = docs.select(
         id_col,
         *carry_cols,
@@ -417,6 +423,11 @@ def simhash64_frame(
     # ~1.5 s of py4j driver time PER CONSTRUCTION (measured; ~65% of
     # the benched entry). The JVM parses the same expressions from
     # strings in ~0.1 s; both md5 chunk hashes are projected once.
+    # Reserved internal names (advice r16): the projections below
+    # would clobber an id column so named.
+    assert id_col not in ("_w", "_hlo", "_hhi"), (
+        "simhash64_frame: '_w'/'_hlo'/'_hhi' are reserved internal names"
+    )
     toks = docs.select(
         id_col,
         F.explode_outer(
