@@ -776,6 +776,24 @@ FROM lp GROUP BY doc_id
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+# Run-length tf build over the sorted words array (_sws, dl columns),
+# as JVM-parsed SQL — see the inline note in bm25_search_join for why
+# these exist and the plan-identity test that pins them to the
+# original lambda build.
+_BM25_STARTS_SQL = (
+    "CASE WHEN (dl > 0) THEN "
+    "filter(sequence(0, dl - 1), i -> "
+    "CASE WHEN (i = 0) THEN true "
+    "ELSE NOT (element_at(_sws, i + 1) = element_at(_sws, i)) END) "
+    "ELSE CAST(NULL AS ARRAY<INT>) END"
+)
+_BM25_ENTRIES_SQL = (
+    "zip_with(_st, "
+    "concat(slice(_st, 2, size(_st) - 1), array(dl)), "
+    "(s, e) -> struct(element_at(_sws, s + 1) AS token, "
+    "CAST(e - s AS BIGINT) AS tf))"
+)
+
 
 def bm25_topk_frame(
     docs: DataFrame,
@@ -1029,38 +1047,28 @@ def bm25_search_join(
         F.array_sort("_ws").alias("_sws"),
         F.size("_ws").alias("dl"),
     )
-    starts = F.filter(
-        F.sequence(F.lit(0), F.col("dl") - 1),
-        lambda i: F.when(i == 0, F.lit(True)).otherwise(
-            F.element_at(F.col("_sws"), i + 1)
-            != F.element_at(F.col("_sws"), i)
-        ),
-    )
     # dl > 0 guard: sequence(0, -1) would COUNT DOWN (two phantom
-    # indices), and slice's length arg must be non-negative — When
+    # indices), and slice's length arg must be non-negative — CASE
     # branches evaluate lazily per row, so the degenerate rows (NULL
     # text → NULL dl; split never returns an empty array otherwise)
     # fall to the empty branch and explode() drops them, exactly as
     # explode() dropped them from the old occurrence stream.
-    base = base.withColumn(
-        "_st",
-        F.when(F.col("dl") > 0, starts).otherwise(
-            F.lit(None).cast("array<int>")
-        ),
-    )
-    entries = F.zip_with(
-        F.col("_st"),
-        F.concat(
-            F.slice(F.col("_st"), 2, F.size(F.col("_st")) - 1),
-            F.array(F.col("dl")),
-        ),
-        lambda s, e: F.struct(
-            F.element_at(F.col("_sws"), s + 1).alias("token"),
-            (e - s).cast("long").alias("tf"),
-        ),
-    )
+    #
+    # r17 (r16 verdict #5, same move as the SimHash/MinHash builds):
+    # the run-start filter and the run-length zip_with are JVM-parsed
+    # SQL strings instead of Python-assembled HOF lambdas — the
+    # ANALYZED PLAN is identical to the lambda build modulo
+    # lambda-variable names (asserted by
+    # tests/test_corpusstats.py::test_bm25_runlength_sql_matches_lambda_build,
+    # a strictly stronger guarantee than a runtime re-measure: equal
+    # trees cannot bind differently, so the r14 explode-binding cliff
+    # documented above cannot reappear), while construction drops the
+    # per-call py4j round-trips. The explode STAYS inline over the
+    # expression — never bound through withColumn — per the cliff
+    # note.
+    base = base.withColumn("_st", F.expr(_BM25_STARTS_SQL))
     ctf = base.select(
-        "doc_id", "dl", F.explode(entries).alias("_e")
+        "doc_id", "dl", F.explode(F.expr(_BM25_ENTRIES_SQL)).alias("_e")
     ).select("doc_id", "dl", F.col("_e.token"), F.col("_e.tf"))
     # An index-time avg_dl arrives as a ONE-ROW FRAME, not a literal
     # (measured, r15 smoke: the literal form ran 1.5× SLOWER at the

@@ -832,3 +832,80 @@ def test_bm25_index_time_stats_set_exchange_width(spark):
         assert int(m.group(1)) == cs._posting_partitions(spark, 20, 4.0)
     finally:
         cs._POSTING_PARTITION_TARGET_BYTES = old
+
+
+def test_bm25_runlength_sql_matches_lambda_build(spark):
+    """r17: the SQL-string run-length expressions (_BM25_STARTS_SQL /
+    _BM25_ENTRIES_SQL) produce the IDENTICAL analyzed plan to the
+    original Python-lambda build, modulo lambda-variable names — the
+    guarantee that the r14 explode-binding cliff documented in
+    bm25_search_join cannot reappear (equal trees cannot bind
+    differently). Also checks the rows."""
+    import re as _re
+
+    from data_ingestor_gluejob_script_spark.queries import corpusstats as cs
+
+    docs = spark.createDataFrame(
+        [(1, "b a b c"), (2, None), (3, "x"), (4, "")],
+        "doc_id int, text string",
+    )
+
+    def _base(d):
+        return d.select(
+            "doc_id", cs.words_col(F.col("text")).alias("_ws")
+        ).select(
+            "doc_id",
+            F.array_sort("_ws").alias("_sws"),
+            F.size("_ws").alias("dl"),
+        )
+
+    # the pre-r17 lambda build, frozen
+    starts = F.filter(
+        F.sequence(F.lit(0), F.col("dl") - 1),
+        lambda i: F.when(i == 0, F.lit(True)).otherwise(
+            F.element_at(F.col("_sws"), i + 1)
+            != F.element_at(F.col("_sws"), i)
+        ),
+    )
+    old_base = _base(docs).withColumn(
+        "_st",
+        F.when(F.col("dl") > 0, starts).otherwise(
+            F.lit(None).cast("array<int>")
+        ),
+    )
+    entries = F.zip_with(
+        F.col("_st"),
+        F.concat(
+            F.slice(F.col("_st"), 2, F.size(F.col("_st")) - 1),
+            F.array(F.col("dl")),
+        ),
+        lambda s, e: F.struct(
+            F.element_at(F.col("_sws"), s + 1).alias("token"),
+            (e - s).cast("long").alias("tf"),
+        ),
+    )
+    old = old_base.select(
+        "doc_id", "dl", F.explode(entries).alias("_e")
+    ).select("doc_id", "dl", F.col("_e.token"), F.col("_e.tf"))
+
+    new = (
+        _base(docs)
+        .withColumn("_st", F.expr(cs._BM25_STARTS_SQL))
+        .select(
+            "doc_id",
+            "dl",
+            F.explode(F.expr(cs._BM25_ENTRIES_SQL)).alias("_e"),
+        )
+        .select("doc_id", "dl", F.col("_e.token"), F.col("_e.tf"))
+    )
+
+    def norm(df):
+        s = df._jdf.queryExecution().analyzed().toString()
+        s = _re.sub(r"#\d+", "#N", s)
+        return _re.sub(r"lambda '?[A-Za-z_0-9]+", "lambda V", s)
+
+    assert old.schema == new.schema
+    assert norm(old) == norm(new)
+    assert sorted(map(tuple, old.collect())) == sorted(
+        map(tuple, new.collect())
+    )
