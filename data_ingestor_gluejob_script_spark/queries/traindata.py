@@ -204,21 +204,23 @@ def prepare_training_corpus(
     else leaves it off] →
     [repetition filter: drop docs whose top-2-gram fraction exceeds
     ``max_repetition``, the Gopher-style degenerate-repetition cut,
-    if given] → exact dedup
-    (keep lowest doc_id per text) → SimHash near-dup drop (keep each
-    fingerprint group's representative) → keep the train split →
+    if given] → exact + SimHash near-dup drop in ONE stage (keep each
+    fingerprint group's lowest doc_id; exact text clones share a
+    fingerprint, so this subsumes exact dedup — see the inline
+    equivalence note) → keep the train split →
     sequence-pack. Returns the train-split pack manifest
     (doc_id, n_tokens, tokens_before, pack_id, pack_offset).
 
     Shuffle budget (the 100 TB story): redaction, quality, and split
     assignment are map-only column expressions Catalyst fuses into the
     stages around them; the optional repetition cut adds two
-    partial-aggregated gram shuffles plus a doc_id semi-join; exact
-    dedup shuffles 32-byte md5 digests; the near-dup drop is one
-    window shuffle on the 16-bit fingerprint; packing is the
-    distributed prefix sum (block-local window + #blocks-row global
-    window + broadcast offsets). Nothing enumerates pairs, nothing
-    collects to the driver.
+    partial-aggregated gram shuffles plus a doc_id semi-join; the
+    combined dedup/near-dup drop is the fingerprint aggregation (one
+    partial-aggregated vote shuffle), a doc_id join, and one window
+    shuffle on the 16-bit fingerprint; packing is the distributed
+    prefix sum (block-local window + #blocks-row global window +
+    broadcast offsets). Nothing enumerates pairs, nothing collects to
+    the driver.
 
     Differential-tested end-to-end against PIPELINE_ORACLE /
     pipeline_oracle(max_repetition=...)
@@ -227,7 +229,6 @@ def prepare_training_corpus(
     from .corpusstats import repetition_frame
     from .textops import (
         decontaminate,
-        exact_dedup_frame,
         quality_score_col,
         redacted_text_col,
         require_unique_doc_ids,
@@ -275,15 +276,31 @@ def prepare_training_corpus(
             F.col("top_ngram_frac") <= max_repetition
         )
         kept = kept.join(ok.select("doc_id"), "doc_id", "left_semi")
-    deduped = exact_dedup_frame(kept)
     # codegen SimHash frame (r15): the interpreted fold's per-word
     # array churn measured 12x slower at 500k docs — see
-    # simhash16_frame; the join is doc_id-clustered like the window
+    # simhash16_frame; the join is doc_id-clustered like the window.
+    #
+    # r17 (r16 verdict #4): the exact-dedup stage that used to run
+    # before the fingerprint window is REMOVED — provably redundant.
+    # Identical texts have identical fingerprints, so text groups are
+    # sub-partitions of fingerprint groups; each text group's min
+    # doc_id survives exact dedup, hence the fingerprint group's min
+    # over exact-survivors IS its global min, and "keep min id per
+    # text, then min id per fingerprint" ≡ "keep min id per
+    # fingerprint" (one row per group either way — ids are unique by
+    # the entry guard). NULL texts (can't reach here — the quality
+    # filter drops them — but for the record) all carry a NULL
+    # fingerprint and form one window group, exactly like the digest
+    # sentinel's one NULL-text survivor. Dropping the stage removes
+    # the digest groupBy + semi-join (two exchanges and a join) and
+    # halves the duplicated upstream subtree in the analyzed plan —
+    # the pipeline's measured driver-planning cost — while the
+    # differential vs PIPELINE_ORACLE stays exact
+    # (tests/test_corpus_pipeline.py).
     nd = (
-        deduped.join(
-            simhash16_frame(deduped).withColumnRenamed(
-                "simhash16", "_fp"
-            ),
+        kept.join(
+            simhash16_frame(kept.select("doc_id", "text"))
+            .withColumnRenamed("simhash16", "_fp"),
             "doc_id",
         )
         .withColumn(
