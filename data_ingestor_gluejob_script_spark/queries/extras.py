@@ -152,10 +152,20 @@ def x_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     it; best-of-reps times the steady-state apply, which is the number
     that matters — partition-rewrite amplification per batch).
 
-    The change batch clusters in the most recent order year, the
-    realistic CDC shape: updates/inserts/deletes land in ~12 of the
-    lake's ~80 monthly partitions, so the timing exposes whether the
-    apply stays partition-scoped or rewrites the world.
+    The change batch clusters in the most recent order years, the
+    realistic CDC shape: updates/inserts/deletes land only in the
+    created_at >= 1997 partitions — 56 of the current testdata lake's
+    80 monthly partitions (the regenerated orders table spans
+    1995-01..2001-08; an earlier generation made this ~12/80) — so
+    the timing exposes whether the apply stays partition-scoped or
+    rewrites the world. r17 I/O profile
+    (scale_data/cdc_io_profile_r17.json): the steady-state apply
+    rewrites EXACTLY the 56 touched partitions (none besides), and
+    bytes written per batch ≈ the touched fraction of the lake
+    (2.8 MB of 4.2 MB ≈ 56/80) — the write-amplification floor of
+    partition-grained dynamic overwrite; going below it means
+    file-level merge-on-read, i.e. a table-format change, not a plan
+    fix.
     """
     import atexit
     import shutil
