@@ -10,6 +10,7 @@ from pathlib import Path
 
 import duckdb
 import pyspark.sql.functions as F
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -39,6 +40,7 @@ def _oracle(sql):
     return [d[0] for d in cur.description], cur.fetchall()
 
 
+@pytest.mark.slow
 def test_q13_differential(spark):
     got = q13_order_count_distribution(spark, SF_DIR)
     s_cols, s_rows = got.columns, [tuple(r) for r in got.collect()]

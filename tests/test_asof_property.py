@@ -8,6 +8,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from data_ingestor_gluejob_script_spark.operators.relational import asof_join
+import pytest
 
 _left_row = st.tuples(
     st.integers(min_value=0, max_value=3),   # key
@@ -38,6 +39,7 @@ def _expected(left, right):
     left=st.lists(_left_row, min_size=1, max_size=15),
     right=st.lists(_right_row, max_size=15, unique_by=lambda r: (r[0], r[1])),
 )
+@pytest.mark.slow
 def test_asof_matches_bruteforce(spark, left, right):
     ldf = spark.createDataFrame(
         [(i, k, ts) for i, (k, ts) in enumerate(left)],

@@ -52,6 +52,7 @@ def _band_content(df):
     )
 
 
+@pytest.mark.slow
 def test_band_ledger_layout_and_rebuild_parity(spark):
     """After an ingest run the band lake carries the packed 3-column
     probe schema and holds exactly the rows a from-signature rebuild
@@ -77,6 +78,7 @@ def test_band_ledger_layout_and_rebuild_parity(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_band_ledger_self_heals_when_missing(spark):
     """Pre-r14 state (signature lake without a band lake): deleting
     the band lake mid-stream rebuilds it from the signatures and the

@@ -77,6 +77,7 @@ BATCH2 = [
 ]
 
 
+@pytest.mark.slow
 def test_bucketed_writer_matches_hive_writer(spark, tmp_path, clean_table):
     """Same batches through both writer modes produce identical lake
     content; re-running the increment is idempotent."""
@@ -169,6 +170,7 @@ def test_backfill_merge_plan_lake_side_exchange_free(
     assert not any("Exchange" in ln for ln in ancestors), ancestors
 
 
+@pytest.mark.slow
 def test_layout_survives_compaction(spark, clean_table):
     write_partitioned_upsert_bucketed(
         spark, _batch(spark, BATCH1), SUBS, TABLE, num_buckets=BUCKETS
@@ -203,6 +205,7 @@ def test_layout_survives_compaction(spark, clean_table):
     assert per_dir and all(v <= BUCKETS for v in per_dir.values()), per_dir
 
 
+@pytest.mark.slow
 def test_compaction_failure_keeps_staging_recovery_copy(
     spark, clean_table, monkeypatch
 ):

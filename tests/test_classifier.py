@@ -20,6 +20,7 @@ from pathlib import Path
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -211,6 +212,7 @@ def test_classifier_fuzz(spark, word_lists):
     _check(got, rows)
 
 
+@pytest.mark.slow
 def test_scored_ingest_matches_batch_partition_and_replays_clean(
     spark, tmp_path
 ):

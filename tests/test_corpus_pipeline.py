@@ -12,6 +12,7 @@ from pathlib import Path
 
 import duckdb
 import pyspark.sql.functions as F
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -287,6 +288,7 @@ def test_group_aware_split_is_leakage_proof(spark):
         assert sparse[doc_id]["split"] == rows[doc_id]["split"]
 
 
+@pytest.mark.slow
 def test_pipeline_gopher_quality_stage_composes(spark):
     """The optional Gopher quality-rule battery (round 12): enabling
     it must equal running prepare on the corpus pre-filtered by the

@@ -11,6 +11,7 @@ import sys
 from pathlib import Path
 
 import duckdb
+import pytest
 import pyspark.sql.functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -428,6 +429,7 @@ def test_bm25_differential(spark):
     assert len(s_rows) == 10
 
 
+@pytest.mark.slow
 def test_bm25_rewards_term_density(spark):
     docs = spark.createDataFrame(
         [
@@ -452,6 +454,7 @@ def bm25_helper(docs):
     return bm25_topk_frame(docs, ["apple"], k=5).collect()
 
 
+@pytest.mark.slow
 def test_bm25_search_join_matches_single_query(spark):
     """The batch search join restricted to one query must equal the
     single-query top-k (same formula, same tie-breaks) — and a
@@ -558,6 +561,7 @@ SELECT query_id, doc_id, bm25, rank FROM (
 """
 
 
+@pytest.mark.slow
 def test_bm25_differential_zipf_corpus(spark, tmp_path):
     """Round-14 verdict #1 companion: the decade smoke's new
     natural-vocabulary corpus (tools/make_zipf_corpus.zipf_documents —

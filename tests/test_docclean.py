@@ -18,6 +18,7 @@ from pathlib import Path
 import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -248,6 +249,7 @@ def test_gopher_filter_drops_repetitive_doc(spark):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_docclean_fuzz(spark, word_lists):
     rows = [
         (i, " ".join(ws)) for i, ws in enumerate(word_lists)
@@ -367,6 +369,7 @@ def test_dedup_spans_differential_sf0001(spark):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_dedup_spans_fuzz(spark, word_lists):
     from data_ingestor_gluejob_script_spark.queries.docclean import (
         dedup_spans_frame,
@@ -712,6 +715,7 @@ def test_quality_filter_forms_agree(spark):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_quality_battery_fuzz(spark, toks, n_lines):
     text = "\n".join(
         " ".join(toks[i::n_lines]) for i in range(n_lines)

@@ -9,10 +9,12 @@ instead of as a -1.0 in the next round's bench artifact.
 from __future__ import annotations
 
 from data_ingestor_gluejob_script_spark.queries.extras import extras
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.mark.slow
 def test_every_extras_entry_executes(spark):
     failures = {}
     for name, fn in sorted(extras().items()):

@@ -147,6 +147,7 @@ def test_components_preserve_string_node_ids(spark):
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
+@pytest.mark.slow
 def test_components_midsize_distributed_path(spark):
     """~200k-edge graph — ABOVE the SMALL_GRAPH_EDGES driver switch,
     so this exercises the distributed pointer-jumping path that would

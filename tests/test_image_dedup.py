@@ -11,6 +11,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -121,6 +122,7 @@ def _write_payload_batches(spark, rows, out_dir, n_batches=3):
         ).coalesce(1).write.mode("append").parquet(out_dir)
 
 
+@pytest.mark.slow
 def test_image_dedup_ingest_matches_batch_twin_and_replays_clean(
     spark, tmp_path
 ):
@@ -196,6 +198,7 @@ def test_image_dedup_ingest_matches_batch_twin_and_replays_clean(
     shutil.rmtree(str(tmp_path / "ck1"), ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_image_dedup_ingest_null_id_image_still_guards_neardups(
     spark, tmp_path
 ):
@@ -280,6 +283,7 @@ def test_image_dedup_ingest_corrupt_sig_lake_aborts_batch(spark, tmp_path):
     assert leftover == []
 
 
+@pytest.mark.slow
 def test_image_dedup_ingest_null_id_neardup_arriving_later_is_dropped(
     spark, tmp_path
 ):
@@ -330,6 +334,7 @@ def test_image_dedup_ingest_null_id_neardup_arriving_later_is_dropped(
     assert [r["doc_id"] for r in lake2] == [5]
 
 
+@pytest.mark.slow
 def test_image_ingest_rebuilds_band_lake_on_max_hamming_change(
     spark, tmp_path
 ):

@@ -17,6 +17,7 @@ import os
 import shutil
 import sys
 from pathlib import Path
+import pytest
 
 import pyspark.sql.functions as F  # noqa: F401
 
@@ -263,6 +264,7 @@ def test_compact_reads_only_the_small_tail(spark, tmp_path):
     assert len(_vals(spark, lake)) == len(before) + 500
 
 
+@pytest.mark.slow
 def test_compact_output_files_uncapped_and_target_sized(spark, tmp_path):
     """r15 verdict: the old min(64, ...) output cap meant any lake
     past 64x the target got over-large files (1.5 TB files at 100 TB).
@@ -316,6 +318,7 @@ def test_out_of_band_seam_and_inline_disable(spark, tmp_path, monkeypatch):
     assert _vals(spark, lake) == list(range(7))
 
 
+@pytest.mark.slow
 def test_neardup_ingest_compacts_both_lakes_and_stays_exact(
     spark, tmp_path, monkeypatch
 ):
@@ -368,6 +371,7 @@ def test_neardup_ingest_compacts_both_lakes_and_stays_exact(
     assert spark.read.parquet(sigs).count() == n_sigs
 
 
+@pytest.mark.slow
 def test_doc_and_url_dedup_ingests_compact_their_lakes(
     spark, tmp_path, monkeypatch
 ):

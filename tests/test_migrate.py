@@ -88,6 +88,7 @@ def test_doc_backfill_rewrites_only_stale_files(spark, tmp_path):
     assert _file_bytes(lake) == after
 
 
+@pytest.mark.slow
 def test_doc_backfill_makes_replay_append_nothing(spark, tmp_path):
     """The actual bug the migration fixes: replaying the source
     against a legacy lake double-ingests the null-text row; after the

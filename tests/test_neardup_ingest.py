@@ -14,6 +14,7 @@ import tempfile
 from pathlib import Path
 
 import pyspark.sql.functions as F
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -148,6 +149,7 @@ def _write_batches(spark, rows, docs_dir, n_batches=3):
         ).coalesce(1).write.mode("append").parquet(docs_dir)
 
 
+@pytest.mark.slow
 def test_neardup_ingest_matches_batch_twin_and_replays_clean(spark):
     docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
     rows = [(r["doc_id"], r["text"]) for r in docs.collect()][:200]
@@ -255,6 +257,7 @@ def test_null_text_docs_survive_exact_and_neardup_dedup(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_neardup_ingest_null_id_doc_still_guards_neardups(spark, tmp_path):
     """Review finding (latent twin of the image-ingest bug): the
     signature was joined back on doc_id, so a NULL-id document with a
@@ -294,6 +297,7 @@ def test_neardup_ingest_null_id_doc_still_guards_neardups(spark, tmp_path):
     assert lake_ids == [(False, 8), (True, None)]
 
 
+@pytest.mark.slow
 def test_neardup_ingest_null_id_neardup_arriving_later_is_dropped(
     spark, tmp_path
 ):

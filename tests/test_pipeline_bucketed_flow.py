@@ -91,6 +91,7 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+@pytest.mark.slow
 def test_bucketed_flow_e2e_matches_hive_flow(spark, tmp_path, clean_tables):
     lake = str(tmp_path / "lake")
 

@@ -97,6 +97,7 @@ def test_no_cartesian_products_anywhere(plans):
         assert "CartesianProduct" not in plans(name), name
 
 
+@pytest.mark.slow
 def test_extras_no_cartesian_products(spark):
     """Same pair-enumeration guard as the registered sweep, over the
     benched unregistered suite (queries/extras.py). Building a plan is

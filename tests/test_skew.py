@@ -10,6 +10,7 @@ from hypothesis import strategies as st
 
 from data_ingestor_gluejob_script_spark.operators.skew import salted_upsert_dedup
 from data_ingestor_gluejob_script_spark.operators.upsert import upsert_dedup
+import pytest
 
 _row = st.tuples(
     st.integers(min_value=0, max_value=5),  # id: few keys → collisions
@@ -31,6 +32,7 @@ def _collect(df):
     inc=st.lists(_row, min_size=1, max_size=20),
     ex=st.lists(_row, max_size=20),
 )
+@pytest.mark.slow
 def test_salted_equals_unsalted(spark, inc, ex):
     schema = "id int, v1 string, v2 string"  # explicit: rows may be all-None
     incoming = spark.createDataFrame(inc, schema)

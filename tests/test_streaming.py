@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 from datetime import datetime
+import pytest
 
 from data_ingestor_gluejob_script_spark import streaming
 from data_ingestor_gluejob_script_spark.queries.analytics import q_tumbling_window
@@ -145,6 +146,7 @@ def test_stream_sessions_match_batch(spark):
     assert len(stream_rows) > 0
 
 
+@pytest.mark.slow
 def test_stream_dedup_matches_batch(spark, tmp_path):
     """Duplicate every event across two files; the streaming dedup must
     emit each event_id exactly once and agree with the batch twin."""
@@ -179,6 +181,7 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
     assert stream_vals == batch_vals
 
 
+@pytest.mark.slow
 def test_stream_attribution_join_matches_batch(spark):
     """Stream-stream interval join vs the identical batch join: inner
     joins emit eagerly, so the availableNow run must reproduce the
@@ -478,6 +481,7 @@ def test_doc_dedup_ingest_corrupt_lake_aborts_batch(spark, tmp_path):
     assert leftover == []
 
 
+@pytest.mark.slow
 def test_audited_ingest_splits_and_is_idempotent(spark, tmp_path):
     """Two arriving order files with seeded violations: clean rows
     land in the lake, bad rows land in quarantine WITH their
@@ -753,6 +757,7 @@ def test_audited_ingest_collapses_in_batch_duplicates(spark, tmp_path):
     assert {r.o_orderkey for r in got.collect()} == {1, 2}
 
 
+@pytest.mark.slow
 def test_audited_ingest_null_moving_across_columns_is_new_content(
     spark, tmp_path
 ):
