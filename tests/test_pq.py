@@ -106,3 +106,113 @@ def test_pq_rescore_plan_shape(spark):
     p = buf.getvalue()
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_pq_sql_builds_match_lambda_builds(spark):
+    """r17: the SQL-string encode/LUT/ADC expressions produce the
+    IDENTICAL analyzed plans to the original Python-lambda builds,
+    modulo lambda-variable names (so runtime cannot differ), plus a
+    row-equality check."""
+    import re
+
+    from data_ingestor_gluejob_script_spark.queries import pq as P
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(64)]) for i in range(20)],
+        "vec_id long, emb array<double>",
+    )
+    books = P.pq_codebooks(emb)
+    M, S = P.M_PQ, P.SUB_DIM
+
+    def _sub(vec, j):
+        return F.slice(vec, (F.lit(j) if isinstance(j, int) else j) * S + 1, S)
+
+    def _l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    def norm(df):
+        s = df._jdf.queryExecution().analyzed().toString()
+        s = re.sub(r"#\d+", "#N", s)
+        return re.sub(r"lambda '?[A-Za-z_0-9]+", "lambda V", s)
+
+    # frozen pre-r17 lambda builds
+    old_codes = emb.crossJoin(F.broadcast(books)).select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(M - 1)),
+            lambda j: F.transform(
+                F.col("books")[j],
+                lambda c: _l2sq(_sub(F.col("emb").cast("array<double>"), j), c),
+            ),
+        ).alias("_dists"),
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("_dists"),
+            lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("tinyint"),
+        ).alias("codes"),
+    )
+    new_codes = P.pq_encode(emb, books)
+    assert old_codes.schema == new_codes.schema
+    assert norm(old_codes) == norm(new_codes)
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("emb").cast("array<double>").alias("qv")
+    )
+    old_luts = q.crossJoin(F.broadcast(books)).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(M - 1)),
+            lambda j: F.transform(
+                F.col("books")[j], lambda c: _dot(_sub(F.col("qv"), j), c)
+            ),
+        ).alias("dlut"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(M - 1)),
+            lambda j: F.transform(F.col("books")[j], lambda c: _dot(c, c)),
+        ).alias("nlut"),
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))).alias("q_norm"),
+    )
+    new_luts = P._query_luts(emb, 0, books)
+    assert old_luts.schema == new_luts.schema
+    assert norm(old_luts) == norm(new_luts)
+
+    idx = F.sequence(F.lit(0), F.lit(M - 1))
+    adc_dot = F.aggregate(
+        idx, F.lit(0.0),
+        lambda acc, j: acc + F.col("dlut")[j][F.col("codes")[j].cast("int")],
+    )
+    rnorm2 = F.aggregate(
+        idx, F.lit(0.0),
+        lambda acc, j: acc + F.col("nlut")[j][F.col("codes")[j].cast("int")],
+    )
+    old_adc = (
+        old_codes.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(old_luts))
+        .select(
+            "vec_id",
+            (
+                adc_dot
+                / F.when(
+                    F.sqrt(rnorm2) * F.col("q_norm") > 0,
+                    F.sqrt(rnorm2) * F.col("q_norm"),
+                )
+            ).alias("adc_sim"),
+        )
+    )
+    new_adc = P.pq_adc_scores(new_codes, emb, 0, books)
+    assert old_adc.schema == new_adc.schema
+    assert norm(old_adc) == norm(new_adc)
+    assert sorted(map(tuple, old_adc.collect())) == sorted(
+        map(tuple, new_adc.collect())
+    )
